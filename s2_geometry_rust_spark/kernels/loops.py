@@ -1,0 +1,258 @@
+"""S2Loop — spherical polygons with winding-number containment.
+
+Mirrors ``/root/reference/src/loop.rs``.  The point-in-polygon kernel is
+the reference's winding-number sign-sum (loop.rs:372-394, NOT canonical
+crossing-parity): a point is inside iff
+
+    sum_i robust_sign(p, v_i, v_{i+1})  !=  0
+
+``contains_points_batch`` vectorizes the triage determinant over all
+(point, edge) pairs and falls back to exact arithmetic only on flagged
+pairs — this is THE hot kernel behind the spatial join's refine stage.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import latlng as ll
+from . import predicates as pred
+from .rects import S2LatLngRect
+
+PI = math.pi
+EPS = float(np.finfo(np.float64).eps)
+
+
+@dataclass
+class S2Loop:
+    """vertices: (n,3) float64 array of unit points, CCW interior-left."""
+
+    vertices: np.ndarray
+    depth: int = 0
+    origin_inside: bool = field(init=False, default=False)
+    bound: S2LatLngRect = field(init=False, default=None)
+    valid: bool = field(init=False, default=True)
+    invalid_reason: str = field(init=False, default="")
+
+    def __post_init__(self):
+        self.vertices = np.asarray(self.vertices, dtype=np.float64).reshape(-1, 3)
+        self.valid, self.invalid_reason = self._validate()
+        self._init_origin_and_bound()
+
+    # -- construction -------------------------------------------------------
+
+    @staticmethod
+    def from_degrees(latlngs) -> "S2Loop":
+        """make_loop_from_degrees analogue
+        (tests/test_s2loop_port.rs:144-153): from_degrees().to_point()."""
+        lat = ll.degrees_to_radians(np.asarray([p[0] for p in latlngs], dtype=np.float64))
+        lng = ll.degrees_to_radians(np.asarray([p[1] for p in latlngs], dtype=np.float64))
+        x, y, z = ll.latlng_to_xyz(lat, lng)
+        return S2Loop(np.stack([x, y, z], axis=-1))
+
+    @staticmethod
+    def empty() -> "S2Loop":
+        return S2Loop(np.array([[0.0, 0.0, 1.0]]))
+
+    @staticmethod
+    def full() -> "S2Loop":
+        return S2Loop(np.array([[0.0, 0.0, -1.0]]))
+
+    # -- structure ------------------------------------------------------------
+
+    def num_vertices(self) -> int:
+        return len(self.vertices)
+
+    def is_empty_or_full(self) -> bool:
+        return len(self.vertices) == 1
+
+    def is_empty(self) -> bool:
+        return self.is_empty_or_full() and not self.origin_inside
+
+    def is_full(self) -> bool:
+        return self.is_empty_or_full() and self.origin_inside
+
+    # -- validation (loop.rs:123-175) ------------------------------------------
+
+    def _validate(self):
+        v = self.vertices
+        n = len(v)
+        if self.is_empty_or_full():
+            return True, ""
+        if n < 3:
+            return False, "Loop must have at least 3 vertices"
+        # duplicate vertices (glam abs_diff_eq: all |d| <= eps)
+        for i in range(n):
+            d = np.abs(v - v[i])
+            dup = np.all(d <= EPS, axis=1)
+            dup[i] = False
+            if np.any(dup[i + 1:]):
+                return False, "Loop has duplicate vertices"
+        # self-intersection via crossing_sign with the reference's skip rule
+        for i in range(n):
+            ni = (i + 1) % n
+            for j in range(i + 2, n):
+                if j == n - 1 and i == 0:
+                    continue
+                nj = (j + 1) % n
+                crossing = int(pred.crossing_sign_batch(
+                    v[i][None], v[ni][None], v[j][None], v[nj][None])[0])
+                if crossing > 0:
+                    return False, "Loop edges cross"
+        return True, ""
+
+    # -- origin / bound (loop.rs:178-237) ----------------------------------------
+
+    def _init_origin_and_bound(self):
+        if self.is_empty_or_full():
+            self.origin_inside = self.vertices[0][2] < 0.0
+            self.bound = S2LatLngRect.full() if self.origin_inside else S2LatLngRect.empty()
+            return
+        self.origin_inside = self._contains_origin()
+        self.bound = self._compute_rect_bound()
+
+    def _contains_origin(self) -> bool:
+        origin = np.array([0.0, 0.0, 1.0])
+        n = len(self.vertices)
+        a = np.broadcast_to(origin, (n, 3))
+        b = self.vertices
+        c = np.roll(self.vertices, -1, axis=0)
+        return int(pred.sign_batch(a, b, c).sum()) != 0
+
+    def _compute_rect_bound(self) -> S2LatLngRect:
+        rect = S2LatLngRect.empty()
+        for vx, vy, vz in self.vertices:
+            rect.add_point(float(ll.xyz_to_lat(vx, vy, vz)),
+                           float(ll.xyz_to_lng(vx, vy, vz)))
+        return rect.expanded(1e-15, 1e-15)
+
+    # -- containment ---------------------------------------------------------------
+
+    def contains_points_batch(self, x, y, z) -> np.ndarray:
+        """Vectorized winding-number PIP.
+
+        For each point p: sum over edges of robust_sign(p, v_i, v_{i+1});
+        inside iff the sum is POSITIVE.
+
+        NOTE on the reference: loop.rs:372-394 tests ``sign_sum != 0``,
+        but that contradicts the reference's own unit tests (e.g.
+        tests/test_s2loop_port.rs:315-318 asserts
+        ``!north_hemi.contains(south_pole)``, while the != 0 rule yields
+        sum == -4 => "inside").  The north star pins behavior to the
+        reference's *tests*, so this engine uses the signed rule
+        (sum > 0), which satisfies every containment assertion in
+        tests/test_s2loop_port.rs.
+
+        The triage determinant (p x v_i) . v_{i+1} is evaluated for all
+        (point, edge) pairs at once; only |det| <= threshold pairs take
+        the exact-arithmetic path.
+        """
+        if self.is_empty():
+            return np.zeros(np.shape(x), dtype=bool)
+        if self.is_full():
+            return np.ones(np.shape(x), dtype=bool)
+        p = np.stack([np.asarray(x, dtype=np.float64),
+                      np.asarray(y, dtype=np.float64),
+                      np.asarray(z, dtype=np.float64)], axis=-1)
+        flat = p.reshape(-1, 3)
+        n_pts = len(flat)
+        v = self.vertices
+        vn = np.roll(v, -1, axis=0)
+        n_edges = len(v)
+
+        # (n_pts, n_edges) triage determinant: (p x v_i) . v_{i+1}
+        px, py, pz = flat[:, 0:1], flat[:, 1:2], flat[:, 2:3]
+        vx, vy, vz = v[:, 0][None, :], v[:, 1][None, :], v[:, 2][None, :]
+        wx, wy, wz = vn[:, 0][None, :], vn[:, 1][None, :], vn[:, 2][None, :]
+        cx = py * vz - pz * vy
+        cy = pz * vx - px * vz
+        cz = px * vy - py * vx
+        det = cx * wx + cy * wy + cz * wz
+        signs = np.where(det > pred.TRIAGE_ERROR_THRESHOLD, 1,
+                         np.where(det < -pred.TRIAGE_ERROR_THRESHOLD, -1, 0)).astype(np.int64)
+        unresolved = np.argwhere(signs == 0)
+        for pi, ei in unresolved:
+            signs[pi, ei] = pred.exact_sign_scalar(flat[pi], v[ei], vn[ei])
+        inside = signs.sum(axis=1) > 0
+        return inside.reshape(np.shape(x))
+
+    def contains_point(self, x: float, y: float, z: float) -> bool:
+        return bool(self.contains_points_batch(
+            np.asarray([x]), np.asarray([y]), np.asarray([z]))[0])
+
+    def contains_loop(self, other: "S2Loop") -> bool:
+        """Vertex-containment only (loop.rs:397-415; edge-crossing TODO in
+        the reference)."""
+        if self.is_full() or other.is_empty():
+            return True
+        if self.is_empty() or other.is_full():
+            return False
+        return bool(np.all(self.contains_points_batch(
+            other.vertices[:, 0], other.vertices[:, 1], other.vertices[:, 2])))
+
+    def intersects(self, other: "S2Loop") -> bool:
+        """Vertex-probing only (loop.rs:418-441)."""
+        if self.is_empty() or other.is_empty():
+            return False
+        if self.is_full() or other.is_full():
+            return True
+        if bool(np.any(other.contains_points_batch(
+                self.vertices[:, 0], self.vertices[:, 1], self.vertices[:, 2]))):
+            return True
+        return bool(np.any(self.contains_points_batch(
+            other.vertices[:, 0], other.vertices[:, 1], other.vertices[:, 2])))
+
+    # -- metrics (loop.rs:322-369) ----------------------------------------------------
+
+    def get_area(self) -> float:
+        """The reference's non-canonical signed-excess variant
+        (loop.rs:322-342): sum of sign(0, v_i, v_{i+1}) * acos(v_i . v_{i+1}),
+        then | |sum| - (n-2)*pi |."""
+        if self.is_empty():
+            return 0.0
+        if self.is_full():
+            return 4.0 * PI
+        v = self.vertices
+        vn = np.roll(v, -1, axis=0)
+        zero = np.zeros_like(v)
+        s = pred.sign_batch(zero, v, vn).astype(np.float64)
+        dots = np.clip(np.sum(v * vn, axis=1), -1.0, 1.0)
+        area = float(np.sum(s * np.arccos(dots)))
+        return abs(abs(area) - (len(v) - 2.0) * PI)
+
+    def get_curvature(self) -> float:
+        return 2.0 * PI - self.get_area()
+
+    def get_centroid(self):
+        """Simple vertex mean (loop.rs:345-364, NOT area-weighted)."""
+        if self.is_empty_or_full():
+            return (0.0, 0.0, 0.0)
+        c = self.vertices.sum(axis=0)
+        n2 = float(c @ c)
+        if n2 > 0.0:
+            c = c * (1.0 / math.sqrt(n2))
+            return (float(c[0]), float(c[1]), float(c[2]))
+        return (0.0, 0.0, 0.0)
+
+    def get_rect_bound(self) -> S2LatLngRect:
+        return self.bound
+
+    def invert(self) -> None:
+        if self.is_empty_or_full():
+            self.vertices = np.array([[0.0, 0.0, -1.0]]) if self.is_empty() \
+                else np.array([[0.0, 0.0, 1.0]])
+            self.origin_inside = not self.origin_inside
+            self.bound = S2LatLngRect.full() if self.origin_inside else S2LatLngRect.empty()
+        else:
+            self.vertices = self.vertices[::-1].copy()
+            self.origin_inside = not self.origin_inside
+
+    def is_normalized(self) -> bool:
+        return self.get_area() <= 2.0 * PI
+
+    def normalize(self) -> None:
+        if not self.is_normalized():
+            self.invert()
