@@ -1,0 +1,47 @@
+"""Tiling: assign points to fixed-level cells ("tiles") and aggregate.
+
+Tile id = ``parent_at_level(cell_id, level)`` (cell_id.rs:651-657) — a
+pure bit expression, so tile assignment runs inside whole-stage codegen
+and the groupBy benefits from map-side partial aggregation.  At 100 TB
+this is scan -> codegen project -> partial agg -> single shuffle on
+tile_id -> final agg; no Python in the path once cell_id exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import cell_parent, cell_token, unsigned_sort_key
+
+
+def with_tile(points: DataFrame, level: int,
+              cell_col: str = "cell_id", out_col: str = "tile_id") -> DataFrame:
+    return points.withColumn(out_col, cell_parent(cell_col, level))
+
+
+def tile_counts(points: DataFrame, level: int,
+                cell_col: str = "cell_id") -> DataFrame:
+    """Docs per tile at the given level, Hilbert-ordered.
+
+    One shuffle (on tile_id); partial aggregation happens map-side.
+    Output: (tile_id, tile_token, n_points).
+    """
+    return (
+        with_tile(points, level, cell_col)
+        .groupBy("tile_id")
+        .agg(F.count("*").alias("n_points"))
+        .withColumn("tile_token", cell_token("tile_id"))
+        .select("tile_id", "tile_token", "n_points")
+        .orderBy(unsigned_sort_key("tile_id"))
+    )
+
+
+def raster_vector_join(raster_tiles: DataFrame, points: DataFrame,
+                       level: int, cell_col: str = "cell_id",
+                       tile_col: str = "tile_id") -> DataFrame:
+    """Raster-tile <-> vector join: equi-join on parent-at-level
+    (SURVEY.md §2.5).  A plain hash join on tile_id; Catalyst/AQE picks
+    broadcast when the raster side is small, and AQE skew-join splits
+    hot tiles (backstopped by explicit salting in plans.salting)."""
+    pts = with_tile(points, level, cell_col, tile_col)
+    return pts.join(raster_tiles, tile_col)

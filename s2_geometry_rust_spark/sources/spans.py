@@ -1,0 +1,64 @@
+"""Span extraction and the span-sequence invariant.
+
+``extract_geo_points`` is pure JVM relational algebra (posexplode +
+regexp + cast) up to the single Arrow UDF that Hilbert-encodes the
+coordinates — Catalyst prunes/pushes everything around it, and the
+output carries (doc_id, span_idx) so results can always be re-joined to
+the untouched document row.
+
+The per-row invariant (BASELINE.json input_hint): every engine output
+must preserve span-sequence equality (kind, text, media_ref, order) vs
+the input.  ``verify_span_sequence`` checks it distributively: an
+anti-join on the exploded (doc_id, span_idx, kind, text, media_ref)
+tuples — zero rows back means the sequences are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import cell_id_from_latlng_deg
+
+_POINT_RE = r"^POINT\(([-+0-9.eE]+) ([-+0-9.eE]+)\)$"
+
+
+def explode_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, span_idx, kind, text, media_ref, offset) rows, span order
+    preserved in span_idx."""
+    return docs.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "span")
+    ).select(
+        "doc_id",
+        "span_idx",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def extract_geo_points(docs: DataFrame) -> DataFrame:
+    """Geo spans -> (doc_id, span_idx, lat, lng, cell_id:long leaf).
+
+    String->double parse is correctly rounded (IEEE 754), so the lat/lng
+    written by the generator round-trips exactly; the leaf id then
+    matches kernels.cellid.from_point bit-for-bit.
+    """
+    s = explode_spans(docs).filter(F.col("kind") == "geo")
+    s = s.select(
+        "doc_id",
+        "span_idx",
+        F.regexp_extract("text", _POINT_RE, 1).cast("double").alias("lat"),
+        F.regexp_extract("text", _POINT_RE, 2).cast("double").alias("lng"),
+    ).filter(F.col("lat").isNotNull() & F.col("lng").isNotNull())
+    return s.withColumn("cell_id", cell_id_from_latlng_deg("lat", "lng"))
+
+
+def verify_span_sequence(input_docs: DataFrame, output_docs: DataFrame) -> int:
+    """Count of docs whose span sequence (kind, text, media_ref, order)
+    differs between input and output.  0 == invariant holds."""
+    key = ["doc_id", "span_idx", "kind", "text", "media_ref"]
+    a = explode_spans(input_docs).select(key)
+    b = explode_spans(output_docs).select(key)
+    broken = a.exceptAll(b).unionAll(b.exceptAll(a))
+    return broken.select("doc_id").distinct().count()
