@@ -1,0 +1,130 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS], one JSON line to stdout.
+
+Primary metric (BASELINE.json): spatial-join throughput in docs/sec on
+the interleaved-documents pipeline (synthesize spans -> extract geo ->
+leaf-encode -> level-12 tile agg -> point-in-region join against the
+fixture regions).  The two-cluster-size scaling criterion is evidenced
+by running the identical pipeline at local[N/4] and local[N] on the
+same input and reporting scaling efficiency (sandbox stand-in for N vs
+4N executors; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "150000"))
+RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+
+
+def _sf(sf_dir: str) -> float:
+    for tag in ("0.001", "0.01", "0.1", "1"):
+        if f"sf{tag}" in sf_dir:
+            return float(tag)
+    return -1.0
+
+
+def spatial_pipeline_count(spark, n_docs: int) -> int:
+    """The headline pipeline on synthesized interleaved docs."""
+    from pyspark.sql import functions as F
+
+    from s2_geometry_rust_spark import fixtures
+    from s2_geometry_rust_spark.operators.spatial_join import point_in_region_join
+    from s2_geometry_rust_spark.operators.tiling import tile_counts
+    from s2_geometry_rust_spark.sources import extract_geo_points, synth_documents
+
+    docs = synth_documents(spark, n_docs, seed=42,
+                           partitions=max(CPUS * 2, 16))
+    pts = extract_geo_points(docs)
+    tiles = tile_counts(pts, 12)
+    regions = fixtures.cap_regions(spark).unionByName(
+        fixtures.loop_regions(spark, ["arctic_80", "candy_cane", "small_ne_cw"])
+    )
+    joined = point_in_region_join(pts, regions, max_cells=64)
+    return tiles.count() + joined.count()
+
+
+def main() -> None:
+    from s2_geometry_rust_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    results: dict[str, float] = {}
+
+    # -- scaling probe: identical job at two parallelism levels ----------
+    throughput = {}
+    if RUN_SCALING:
+        for cpus in (max(CPUS // 4, 1), CPUS):
+            spark = get_spark(f"bench-scaling-{cpus}", cpus=cpus,
+                              shuffle_partitions=max(cpus * 2, 8))
+            t0 = time.time()
+            spatial_pipeline_count(spark, SCALING_DOCS)
+            dt = time.time() - t0
+            throughput[cpus] = SCALING_DOCS / dt
+            results[f"scaling_local{cpus}_sec"] = round(dt, 3)
+            spark.stop()
+        lo, hi = sorted(throughput)
+        eff = (throughput[hi] / throughput[lo]) / (hi / lo)
+        results["scaling_efficiency"] = round(eff, 3)
+
+    # -- headline queries at SF_DIR --------------------------------------
+    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=max(CPUS, 16))
+    queries = entrymod.queries()
+    headline = [
+        "leaf_assign", "tile_counts_l12", "point_in_rect",
+        "distance_join_chord", "knn_brute", "dedup_exact",
+        "token_counts", "text_quality", "lang_id",
+        "point_in_region", "knn_cell_ring", "near_dup_pairs", "ann_cosine",
+    ]
+    for name in headline:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        results[name] = round(time.time() - t0, 3)
+
+    # primary throughput number: docs/sec through the spatial pipeline
+    t0 = time.time()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    from s2_geometry_rust_spark.operators.spatial_join import point_in_region_join
+    from s2_geometry_rust_spark.sources import (
+        extract_geo_points,
+        interleave_flat_documents,
+    )
+    from s2_geometry_rust_spark import fixtures
+    from s2_geometry_rust_spark.operators.tiling import tile_counts
+
+    flat = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pts = extract_geo_points(interleave_flat_documents(flat))
+    tile_counts(pts, 12).count()
+    regions = fixtures.cap_regions(spark)
+    point_in_region_join(pts, regions, max_cells=64).count()
+    dt = time.time() - t0
+    results["spatial_pipeline_sf_sec"] = round(dt, 3)
+    docs_per_sec = n_docs / dt
+    spark.stop()
+
+    print(
+        json.dumps(
+            {
+                "metric": "spatial-join throughput",
+                "value": round(docs_per_sec, 1),
+                "unit": "docs/sec",
+                "queries": results,
+                "sf": _sf(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

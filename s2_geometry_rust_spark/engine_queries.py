@@ -75,11 +75,181 @@ def face_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _derived_latlng(spark: SparkSession, sf_dir: str,
+                    table: str = "customer", key: str = "c_custkey") -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    k = F.col(key)
+    return df.select(
+        k.alias("point_id"),
+        ((k * 37 % 181).cast("double") - 90.0 + 0.25).alias("lat"),
+        ((k * 73 % 361).cast("double") - 180.0 + 0.25).alias("lng"),
+    )
+
+
+def point_in_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-latlng-rect join (latlng_rect.rs:297-341 semantics incl.
+    antimeridian wraparound) — pure JVM filter-join."""
+    from .operators.spatial_join import point_in_rect_join
+
+    pts = _derived_latlng(spark, sf_dir)
+    rects = spark.createDataFrame(
+        [
+            ("band", -5.0, 5.0, -30.0, 30.0),
+            ("wrap", -10.0, 10.0, 170.0, -170.0),
+            ("north", 60.0, 90.0, -180.0, 180.0),
+        ],
+        "region_id string, lat_lo double, lat_hi double, lng_lo double, lng_hi double",
+    )
+    return point_in_rect_join(pts, rects).select(
+        "point_id", "region_id", "lat", "lng"
+    )
+
+
+def distance_join_chord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-threshold theta-join on squared chord length
+    (chord_angle.rs:90-95)."""
+    from .operators.spatial_join import distance_join
+
+    pts = _derived_points(spark, sf_dir)
+    centers = spark.createDataFrame(
+        [
+            ("c0", 0.5, 0.5, 0.5),
+            ("c1", -0.25, 0.8, -0.1),
+            ("c2", 0.9, -0.3, 0.2),
+        ],
+        "center_id string, cx double, cy double, cz double",
+    )
+    return distance_join(pts, centers, 0.05).select(
+        "point_id", "center_id", "chord2"
+    )
+
+
+def knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN (k=10): streaming local top-k + global window; the
+    north-star's exact-distance contract (cell-ring variant is the
+    approximate scale path, tested separately)."""
+    from .operators.knn import knn_bruteforce
+
+    queries = _derived_points(spark, sf_dir, "supplier", "s_suppkey").filter(
+        F.col("point_id") < 20
+    ).withColumnRenamed("point_id", "query_id")
+    cands = _derived_points(spark, sf_dir).withColumnRenamed(
+        "point_id", "cand_id"
+    )
+    return knn_bruteforce(queries, cands, 10)
+
+
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs)
+
+
+def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import with_token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_token_count(docs).select("doc_id", "n_tokens")
+
+
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import with_quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_quality_score(docs).select(
+        "doc_id", "n_tokens", "avg_token_len", "stopword_ratio",
+        "punct_ratio", "quality_score",
+    )
+
+
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import with_lang_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_lang_id(docs).select("doc_id", "lang_pred")
+
+
+# --- rows-only entries (non-SQL-expressible; driver records weaker check) ---
+
+def covering_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity coverings of the fixture regions
+    (region_coverer.rs best-first loop) — geometry-only, validated
+    bit-for-bit against the kernels in pytest."""
+    from . import fixtures
+    from .operators.coverings import cover_regions
+
+    return cover_regions(fixtures.all_regions(spark), max_cells=8)
+
+
+def point_in_region_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-and-refine point-in-region join over fixture loops/caps/
+    rects; exactness vs direct PIP is pytest-verified."""
+    from . import fixtures
+    from .operators.spatial_join import point_in_region_join
+    from .sources import extract_geo_points, interleave_flat_documents
+
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = extract_geo_points(interleave_flat_documents(flat))
+    regions = fixtures.loop_regions(
+        spark, ["arctic_80", "antarctic_80", "candy_cane", "north_hemi"]
+    ).unionByName(fixtures.cap_regions(spark))
+    return point_in_region_join(pts, regions, max_cells=64).select(
+        "doc_id", "span_idx", "region_id"
+    )
+
+
+def knn_cell_ring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import cell_id_from_xyz
+    from .operators.knn import knn_cell_ring
+
+    queries = (
+        _derived_points(spark, sf_dir, "supplier", "s_suppkey")
+        .filter(F.col("point_id") < 20)
+        .withColumnRenamed("point_id", "query_id")
+        .withColumn("cell_id", cell_id_from_xyz("x", "y", "z"))
+    )
+    cands = _derived_points(spark, sf_dir).withColumnRenamed(
+        "point_id", "cand_id"
+    ).withColumn("cell_id", cell_id_from_xyz("x", "y", "z"))
+    return knn_cell_ring(queries, cands, 10, start_level=4)
+
+
+def near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import near_dedup_minhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return near_dedup_minhash(docs, threshold=0.5, n_bands=32)
+
+
+def ann_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk_bruteforce(queries, emb, 10).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
     "tile_counts_l12": tile_counts_l12,
     "face_counts": face_counts,
+    "point_in_rect": point_in_rect,
+    "distance_join_chord": distance_join_chord,
+    "knn_brute": knn_brute,
+    "dedup_exact": dedup_exact_q,
+    "token_counts": token_counts_q,
+    "text_quality": text_quality_q,
+    "lang_id": lang_id_q,
+    # rows-only (geometry/approx operators with no SQL equivalent)
+    "covering_cells": covering_cells_q,
+    "point_in_region": point_in_region_q,
+    "knn_cell_ring": knn_cell_ring_q,
+    "near_dup_pairs": near_dup_pairs_q,
+    "ann_cosine": ann_cosine_q,
 }
 
 ORACLES = {
@@ -87,4 +257,11 @@ ORACLES = {
     "tile_counts_l8": oracle.tile_counts_sql(8),
     "tile_counts_l12": oracle.tile_counts_sql(12),
     "face_counts": oracle.face_counts_sql(),
+    "point_in_rect": oracle.point_in_rect_sql(),
+    "distance_join_chord": oracle.distance_join_sql(0.05),
+    "knn_brute": oracle.knn_sql(10),
+    "dedup_exact": oracle.dedup_exact_sql(),
+    "token_counts": oracle.token_counts_sql(),
+    "text_quality": oracle.text_quality_sql(),
+    "lang_id": oracle.lang_id_sql(),
 }

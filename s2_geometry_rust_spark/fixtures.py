@@ -1,0 +1,115 @@
+"""Golden region fixtures mirrored from the reference test suites
+(FIXTURES.md §3-4; /root/reference/tests/test_s2loop_port.rs:20-139,
+/root/reference/src/region_coverer.rs:794-925).
+
+These become small Spark `regions` DataFrames for covering / spatial-join
+tests and benchmarks.  Vertex -> point conversion matches
+make_loop_from_degrees (from_degrees().to_point()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+LOOPS: dict[str, list[tuple[float, float]]] = {
+    "north_hemi": [(0, -180), (0, -90), (0, 0), (0, 90)],
+    "south_hemi": [(0, 90), (0, 0), (0, -90), (0, -180)],
+    "west_hemi": [(0, -180), (-90, 0), (0, 0), (90, 0)],
+    "east_hemi": [(90, 0), (0, 0), (-90, 0), (0, -180)],
+    "near_hemi": [(0, -90), (-90, 0), (0, 90), (90, 0)],
+    "far_hemi": [(90, 0), (0, 90), (-90, 0), (0, -90)],
+    "candy_cane": [(-20, 150), (-20, -70), (0, 70), (10, -150), (10, 70), (-10, -70)],
+    "small_ne_cw": [(35, 20), (45, 20), (40, 25)],
+    "arctic_80": [(80, -150), (80, -30), (80, 90)],
+    "antarctic_80": [(-80, 120), (-80, 0), (-80, -120)],
+    "line_triangle": [(0, 1), (0, 2), (0, 3)],
+    "skinny_chevron": [(0, 0), (-1e-15, 80), (0, 1e-15), (1e-15, 80)],
+    "loop_a": [(0, 178), (-1, 180), (0, -179), (1, -180)],
+    "loop_b": [(0, 179), (-1, 180), (0, -178), (1, -180)],
+    "a_intersect_b": [(0, 179), (-1, 180), (0, -179), (1, -180)],
+    "a_union_b": [(0, 178), (-1, 180), (0, -178), (1, -180)],
+    "a_minus_b": [(0, 178), (-1, 180), (0, 179), (1, -180)],
+    "b_minus_a": [(0, -179), (-1, 180), (0, -178), (1, -180)],
+}
+
+# (cap_id, center_lat_deg, center_lng_deg, radius_deg) — cap at the
+# x-axis, radii from region_coverer.rs:846-884.
+CAPS: dict[str, tuple[float, float, float]] = {
+    "cap_x_1deg": (0.0, 0.0, 1.0),
+    "cap_x_10deg": (0.0, 0.0, 10.0),
+    "cap_seattle_2deg": (47.6, -122.3, 2.0),
+    "cap_sydney_5deg": (-33.87, 151.21, 5.0),
+}
+
+RECTS: dict[str, tuple[float, float, float, float]] = {
+    "rect_equator_band": (-5.0, 5.0, -30.0, 30.0),
+    "rect_antimeridian": (-10.0, 10.0, 170.0, -170.0),  # wraps
+    "rect_arctic": (70.0, 85.0, -180.0, 180.0),
+}
+
+REGIONS_SCHEMA = StructType(
+    [
+        StructField("region_id", StringType()),
+        StructField("kind", StringType()),
+        StructField("p0", DoubleType()),
+        StructField("p1", DoubleType()),
+        StructField("p2", DoubleType()),
+        StructField("p3", DoubleType()),
+        StructField(
+            "vertices",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("lat", DoubleType()),
+                        StructField("lng", DoubleType()),
+                    ]
+                )
+            ),
+        ),
+        StructField("cell_ids", ArrayType(LongType())),
+    ]
+)
+
+
+def loop_regions(spark: SparkSession, names: list[str] | None = None) -> DataFrame:
+    names = names or list(LOOPS)
+    rows = [
+        (n, "loop", None, None, None, None,
+         [(float(a), float(b)) for a, b in LOOPS[n]], None)
+        for n in names
+    ]
+    return spark.createDataFrame(rows, REGIONS_SCHEMA)
+
+
+def cap_regions(spark: SparkSession, names: list[str] | None = None) -> DataFrame:
+    names = names or list(CAPS)
+    rows = [
+        (n, "cap", *map(float, CAPS[n]), None, None, None)
+        for n in names
+    ]
+    return spark.createDataFrame(rows, REGIONS_SCHEMA)
+
+
+def rect_regions(spark: SparkSession, names: list[str] | None = None) -> DataFrame:
+    names = names or list(RECTS)
+    rows = [
+        (n, "rect", *map(float, RECTS[n]), None, None)
+        for n in names
+    ]
+    return spark.createDataFrame(rows, REGIONS_SCHEMA)
+
+
+def all_regions(spark: SparkSession) -> DataFrame:
+    return (
+        loop_regions(spark)
+        .unionByName(cap_regions(spark))
+        .unionByName(rect_regions(spark))
+    )

@@ -1,0 +1,291 @@
+"""The covering operator: regions DataFrame -> exploded coverings.
+
+Runs the per-region RegionCoverer kernel (best-first candidate loop,
+region_coverer.rs:459-472/613-635 semantics) inside ``mapInPandas`` —
+each region is independent and a covering is <= max_cells cells, so the
+operator is embarrassingly parallel with **zero shuffles**: the output
+arrives pre-partitioned like the regions input.  At 10^12-doc scale the
+regions side is the small side; its covering table is what gets
+broadcast into the spatial join (spatial_join.py).
+
+Output rows: (region_id, cell_id, level, cell_min, cell_max) with ids as
+signed-int64 reinterpretations of u64 (SURVEY.md §8.7).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernels import cellid as ck
+from ..kernels import latlng as lk
+from ..kernels.caps import S2Cap
+from ..kernels.coverer import (
+    CapRegion,
+    CellUnionRegion,
+    CovererOptions,
+    LoopRegion,
+    RectRegion,
+    S2RegionCoverer,
+)
+from ..kernels.loops import S2Loop
+from ..kernels.rects import S2LatLngRect
+
+from ..kernels import cells_true as ct
+from ..kernels import predicates as pred
+from ..kernels import unions as ku
+
+COVERINGS_SCHEMA = StructType(
+    [
+        StructField("region_id", StringType()),
+        StructField("cell_id", LongType()),
+        StructField("level", IntegerType()),
+        StructField("cell_min", LongType()),
+        StructField("cell_max", LongType()),
+    ]
+)
+
+
+def region_from_row(row) -> object:
+    """Build the kernel region adapter for one regions-table row
+    (fixtures.REGIONS_SCHEMA)."""
+    kind = row["kind"]
+    if kind == "cap":
+        lat_r = float(lk.degrees_to_radians(row["p0"]))
+        lng_r = float(lk.degrees_to_radians(row["p1"]))
+        x, y, z = lk.latlng_to_xyz(np.float64(lat_r), np.float64(lng_r))
+        cap = S2Cap.from_center_degrees((float(x), float(y), float(z)), row["p2"])
+        return CapRegion(cap)
+    if kind == "rect":
+        rect = S2LatLngRect.from_degrees(row["p0"], row["p2"], row["p1"], row["p3"])
+        return RectRegion(rect)
+    if kind == "loop":
+        verts = [(v["lat"], v["lng"]) for v in row["vertices"]]
+        return LoopRegion(S2Loop.from_degrees(verts))
+    if kind == "union":
+        ids = np.asarray(row["cell_ids"], dtype=np.int64).view(np.uint64)
+        return CellUnionRegion(ids)
+    raise ValueError(f"unknown region kind: {kind}")
+
+
+_UV_PAD = 1e-12
+
+
+class TrueLoopRegion:
+    """Conservative loop adapter over true cell geometry (cells_true):
+    used for *join filters*, where a covering must never miss a point
+    the engine's PIP (loops.contains_points_batch — the reference's
+    winding-sign-sum, loop.rs:372-394) would accept.
+
+    The winding-sum's inside/outside decision can only change across the
+    *full great circle* of some loop edge (each term robust_sign(p, vi,
+    vi+1) flips exactly there).  Cells are geodesically convex, so a
+    cell meets one of those circles iff its 4 true vertices straddle the
+    edge plane.  Hence:
+
+        may_intersect  =  any cell vertex inside (winding-sum)
+                          OR any edge plane straddled by the cell
+
+    — sound for the quirky PIP (boundary ⊂ the circles), and cheap:
+    one (4 x n_edges) matmul, no crossing predicates, no exact
+    arithmetic."""
+
+    _EPS = 1e-14
+
+    def __init__(self, loop):
+        self.loop = loop
+        v = loop.vertices
+        vn = np.roll(v, -1, axis=0)
+        self._normals = np.cross(v, vn)  # edge great-circle normals
+
+    def contains(self, x, y, z) -> bool:
+        return self.loop.contains_point(x, y, z)
+
+    def may_intersect_cell(self, cell) -> bool:
+        w = ct.cell_vertices_xyz(np.asarray([cell.id], np.uint64))[0]
+        if bool(np.any(self.loop.contains_points_batch(w[:, 0], w[:, 1], w[:, 2]))):
+            return True
+        s = w @ self._normals.T  # (4, n_edges) signed plane distances
+        straddle = (s.max(axis=0) >= -self._EPS) & (s.min(axis=0) <= self._EPS)
+        return bool(np.any(straddle))
+
+
+class TrueCapRegion:
+    """Conservative cap adapter: cell bounding-cap triangle inequality."""
+
+    def __init__(self, cap):
+        self.cap = cap
+        self._center = np.array([cap.cx, cap.cy, cap.cz])
+        self._radius = cap.get_radius_radians()
+
+    def contains(self, x, y, z) -> bool:
+        return self.cap.contains_point(x, y, z)
+
+    def may_intersect_cell(self, cell) -> bool:
+        c, r_cell = ct.cell_bounding_cap(cell.id)
+        ang = float(np.arccos(np.clip(np.dot(c, self._center), -1.0, 1.0)))
+        return ang <= self._radius + r_cell + 1e-12
+
+
+class TrueRectRegion:
+    """Conservative rect adapter: cell bounding cap -> lat/lng window
+    intersected with the rect (wraparound-aware)."""
+
+    def __init__(self, rect):
+        self.rect = rect
+
+    def contains(self, x, y, z) -> bool:
+        return self.rect.contains_point(x, y, z)
+
+    def may_intersect_cell(self, cell) -> bool:
+        c, r = ct.cell_bounding_cap(cell.id)
+        r += 1e-12
+        lat_c = float(np.arcsin(np.clip(c[2], -1.0, 1.0)))
+        lat_lo, lat_hi = lat_c - r, lat_c + r
+        if self.rect.lat.hi < lat_lo or self.rect.lat.lo > lat_hi:
+            return False
+        half_pi = np.pi / 2
+        if lat_hi >= half_pi or lat_lo <= -half_pi:
+            return True  # window touches a pole -> all longitudes
+        lng_c = float(np.arctan2(c[1], c[0]))
+        sin_r = np.sin(r)
+        cos_lat = min(np.cos(lat_lo), np.cos(lat_hi))
+        if sin_r >= cos_lat:
+            return True
+        dlng = float(np.arcsin(sin_r / cos_lat)) + 1e-12
+        # expand the rect's circular lng interval by the window half-width
+        # and test the cell-center longitude against it
+        return self.rect.lng.expanded(dlng).contains_point(lng_c)
+
+
+def conservative_covering(region, max_cells: int = 64,
+                          max_level: int = 30) -> np.ndarray:
+    """Bounded level-synchronous covering for *join filters*.
+
+    The reference's best-first coverer (region_coverer.rs:613-635)
+    relies on its vertex-sampling may_intersect going false almost
+    everywhere; with a truthful may_intersect its frontier explodes on
+    boundary-dominated regions.  This variant expands whole levels at a
+    time and stops when the next expansion could exceed ``max_cells`` —
+    every kept cell still may-intersect, so the result is always a
+    superset of the region in leaf-id space (never a miss), just coarser
+    when the budget is tight.
+    """
+    class _IdCell:
+        """Lightweight cell handle — conservative adapters only read .id."""
+
+        __slots__ = ("id",)
+
+        def __init__(self, cid: int):
+            self.id = cid
+
+    frontier: list[int] = []
+    terminal: list[int] = []
+    for face in range(6):
+        cid = int(ck.from_face_pos_level(face, 0, 0))
+        if region.may_intersect_cell(_IdCell(cid)):
+            frontier.append(cid)
+    level = 0
+    while frontier and level < max_level:
+        if len(terminal) + 4 * len(frontier) > max_cells:
+            break
+        nxt: list[int] = []
+        for cid in frontier:
+            for pos in range(4):
+                child = int(ck.child(np.uint64(cid), pos))
+                if not region.may_intersect_cell(_IdCell(child)):
+                    continue
+                verts = ct.cell_vertices_xyz(np.asarray([child], np.uint64))[0]
+                contained = all(
+                    region.contains(float(verts[k, 0]), float(verts[k, 1]),
+                                    float(verts[k, 2]))
+                    for k in range(4)
+                )
+                # containment sampling only stops refinement; the cell
+                # stays in the covering either way (conservative)
+                if contained:
+                    terminal.append(child)
+                else:
+                    nxt.append(child)
+        frontier = nxt
+        level += 1
+    out = np.array(terminal + frontier, dtype=np.uint64)
+    if len(out) == 0:
+        return out
+    return ku.normalize(out)
+
+
+def conservative_region_from_row(row) -> object:
+    kind = row["kind"]
+    base = region_from_row(row)
+    if kind == "loop":
+        return TrueLoopRegion(base.loop)
+    if kind == "cap":
+        return TrueCapRegion(base.cap)
+    if kind == "rect":
+        return TrueRectRegion(base.rect)
+    return base  # union: id-space containment is exact already
+
+
+def cover_regions(regions: DataFrame, max_cells: int = 8,
+                  min_level: int = 0, max_level: int = 30,
+                  level_mod: int = 1, interior: bool = False,
+                  conservative: bool = False) -> DataFrame:
+    """regions df (fixtures.REGIONS_SCHEMA) -> exploded coverings.
+
+    conservative=False: reference-parity coverings (region_coverer.rs
+    semantics, incl. its vertex-sampling may_intersect quirks).
+    conservative=True: true-geometry adapters — the covering is a sound
+    superset of the region in leaf-id space; REQUIRED when the covering
+    is used as a join filter.
+    """
+    opts = CovererOptions(
+        max_cells=max_cells, min_level=min_level,
+        max_level=max_level, level_mod=level_mod,
+    )
+    make_region = conservative_region_from_row if conservative else region_from_row
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        coverer = S2RegionCoverer(opts)
+        for b in batches:
+            out_region, out_cell = [], []
+            for _, row in b.iterrows():
+                region = make_region(row)
+                if conservative:
+                    ids = conservative_covering(
+                        region, max_cells=max_cells, max_level=max_level
+                    )
+                else:
+                    ids = (
+                        coverer.get_interior_covering(region)
+                        if interior
+                        else coverer.get_covering(region)
+                    )
+                out_region.extend([row["region_id"]] * len(ids))
+                out_cell.append(np.asarray(ids, dtype=np.uint64))
+            cells = (
+                np.concatenate(out_cell)
+                if out_cell
+                else np.array([], dtype=np.uint64)
+            )
+            yield pd.DataFrame(
+                {
+                    "region_id": out_region,
+                    "cell_id": cells.view(np.int64),
+                    "level": ck.level(cells),
+                    "cell_min": ck.range_min(cells).view(np.int64),
+                    "cell_max": ck.range_max(cells).view(np.int64),
+                }
+            )
+
+    return regions.mapInPandas(run, COVERINGS_SCHEMA)

@@ -1,0 +1,252 @@
+"""Deduplication operators for training-data pipelines.
+
+- exact: md5(text) hash-groupBy — one shuffle, map-side partial agg.
+- MinHash + LSH: shingle -> 128 minhashes -> b bands x r rows; docs
+  sharing any band bucket become candidate pairs (one shuffle keyed by
+  (band, bucket-hash)); candidates verified with true shingle Jaccard.
+- SimHash: 64-bit sign-aggregated token hashes; near-dups = equal
+  simhash (or banded by 16-bit chunks for hamming<=k retrieval).
+- n-gram Jaccard verification is exact on the candidate pairs only —
+  never all-pairs.
+
+All heavy math is numpy inside Arrow-batched mapInPandas; the joins and
+group-bys are plain DataFrame ops so Catalyst/AQE manage the shuffles.
+At 10^12 docs: minhash pass is embarrassingly parallel; the LSH
+band-bucket shuffle is the only wide exchange and its keys are
+high-cardinality (band x bucket), so no skew hot-spotting; candidate
+verification touches only pairs that collided.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: (text_md5, n_copies, keeper) where keeper
+    is the smallest doc id of the group."""
+    return (
+        docs.withColumn("text_md5", F.md5(F.col(text_col)))
+        .groupBy("text_md5")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("keeper"),
+        )
+    )
+
+
+def _minhash_matrix(hash_sets: list[np.ndarray], n_perm: int,
+                    seed: int = 42) -> np.ndarray:
+    """(n_docs, n_perm) minhash signatures via universal hashing
+    h_i(x) = (a_i*x + b_i) mod p."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(_MERSENNE), size=n_perm, dtype=np.uint64)
+    b = rng.integers(0, int(_MERSENNE), size=n_perm, dtype=np.uint64)
+    sig = np.full((len(hash_sets), n_perm), np.iinfo(np.uint64).max, np.uint64)
+    with np.errstate(over="ignore"):
+        for r, hs in enumerate(hash_sets):
+            if len(hs) == 0:
+                continue
+            # (n_perm, n_shingles) — wraps mod 2^64 then reduced mod p
+            v = (a[:, None] * hs[None, :] + b[:, None]) % _MERSENNE
+            sig[r] = v.min(axis=1)
+    return sig
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n_perm: int = 128,
+                       shingle_k: int = 3, seed: int = 42) -> DataFrame:
+    """(doc_id, sig: array<long>) minhash signatures.  Shingles are
+    hashed with process-stable FNV-1a (never Python's seeded hash()), so
+    signatures are identical across executors and reruns."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("sig", ArrayType(LongType())),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            sets = _stable_shingle_hashes(b[text_col], shingle_k)
+            sig = _minhash_matrix(sets, n_perm, seed)
+            yield pd.DataFrame(
+                {
+                    "doc_id": b[id_col].to_numpy(np.int64),
+                    "sig": list(sig.view(np.int64)),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def _fnv1a_bytes(arr: bytes) -> np.uint64:
+    h = np.uint64(1469598103934665603)
+    prime = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        for byte in np.frombuffer(arr, dtype=np.uint8).astype(np.uint64):
+            h = (h ^ byte) * prime
+    return h
+
+
+def _stable_shingle_hashes(texts: pd.Series, k: int) -> list[np.ndarray]:
+    """Stable across processes: per-shingle FNV-1a over utf-8 bytes,
+    computed with a rolling vectorized scheme per doc."""
+    out = []
+    prime = np.uint64(1099511628211)
+    for s in texts.astype(str):
+        words = s.split()
+        if not words:
+            out.append(np.empty(0, dtype=np.uint64))
+            continue
+        if len(words) < k:
+            grams = [" ".join(words)]
+        else:
+            grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+        hs = np.empty(len(grams), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i, g in enumerate(grams):
+                hs[i] = _fnv1a_bytes(g.encode("utf-8"))
+        out.append(np.unique(hs))
+    return out
+
+
+def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = 16,
+                        n_perm: int = 128) -> DataFrame:
+    """Band the signatures and emit candidate duplicate pairs (a < b)."""
+    rows = n_perm // n_bands
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.xxhash64(F.slice("sig", i * rows + 1, rows)).alias("bucket"),
+                )
+                for i in range(n_bands)
+            ]
+        )
+    ).alias("b")
+    banded = signatures.select("doc_id", bands).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def verify_jaccard(pairs: DataFrame, docs: DataFrame, threshold: float,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   shingle_k: int = 3) -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs only."""
+    d = docs.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    )
+    j = (
+        pairs.join(d, pairs["doc_a"] == d["_id"])
+        .withColumnRenamed("_text", "text_a")
+        .drop("_id")
+        .join(d, pairs["doc_b"] == d["_id"])
+        .withColumnRenamed("_text", "text_b")
+        .drop("_id")
+    )
+    schema = StructType(
+        [
+            StructField("doc_a", LongType()),
+            StructField("doc_b", LongType()),
+            StructField("jaccard", DoubleType()),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            sa = _stable_shingle_hashes(b["text_a"], shingle_k)
+            sb = _stable_shingle_hashes(b["text_b"], shingle_k)
+            jac = np.array(
+                [
+                    len(np.intersect1d(x, y, assume_unique=True))
+                    / max(len(np.union1d(x, y)), 1)
+                    for x, y in zip(sa, sb)
+                ]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_a": b["doc_a"].to_numpy(np.int64),
+                    "doc_b": b["doc_b"].to_numpy(np.int64),
+                    "jaccard": jac,
+                }
+            )
+
+    verified = j.select("doc_a", "doc_b", "text_a", "text_b").mapInPandas(
+        compute, schema
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def near_dedup_minhash(docs: DataFrame, threshold: float = 0.8,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n_perm: int = 128, n_bands: int = 16,
+                       shingle_k: int = 3) -> DataFrame:
+    """Full near-dup pipeline: signatures -> LSH candidates -> exact
+    Jaccard filter.  Returns (doc_a, doc_b, jaccard)."""
+    sigs = minhash_signatures(docs, id_col, text_col, n_perm, shingle_k)
+    cands = lsh_candidate_pairs(sigs, n_bands, n_perm)
+    return verify_jaccard(cands, docs, threshold, id_col, text_col, shingle_k)
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over word FNV hashes (sign-sum of bits)."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("simhash", LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bitcols = np.arange(64, dtype=np.uint64)
+        for b in batches:
+            out = np.zeros(len(b), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for r, s in enumerate(b[text_col].astype(str)):
+                    words = s.split()
+                    if not words:
+                        continue
+                    hs = np.empty(len(words), dtype=np.uint64)
+                    for i, w in enumerate(words):
+                        hs[i] = _fnv1a_bytes(w.encode("utf-8"))
+                    bits = (hs[:, None] >> bitcols[None, :]) & np.uint64(1)
+                    votes = bits.sum(axis=0) * 2 - len(words)
+                    out[r] = np.sum(
+                        (votes > 0).astype(np.uint64) << bitcols
+                    )
+            yield pd.DataFrame(
+                {"doc_id": b[id_col].to_numpy(np.int64), "simhash": out.view(np.int64)}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema)

@@ -1,0 +1,167 @@
+"""Approximate-nearest-neighbor similarity search over an embedding
+column (array<float>).
+
+- ``cosine_topk_bruteforce``: exact baseline.  Query vectors are
+  broadcast as one numpy matrix; candidates stream through a
+  mapInPandas doing a blocked GEMM (numpy dot) and emitting per-batch
+  local top-k, then a cheap global window finishes — the candidate
+  table is scanned once, never shuffled.
+- ``lsh_bucketed_topk``: the scale path — random-hyperplane signatures
+  (SimHash for cosine), candidates restricted to matching buckets,
+  exact re-rank inside the bucket.  Recall is tunable by n_tables.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_TOPK_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("cosine", DoubleType()),
+    ]
+)
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms[:, None]
+
+
+def cosine_topk_bruteforce(queries: DataFrame, candidates: DataFrame,
+                           k: int, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           query_id_col: str | None = None,
+                           exclude_self: bool = True) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+    Output: (query_id, neighbor_id, rank, cosine)."""
+    spark = queries.sparkSession
+    q_ids, q_mat = _collect_matrix(queries, query_id_col or id_col, vec_col)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qm = bc.value
+        for b in batches:
+            if len(b) == 0:
+                continue
+            c_ids = b[id_col].to_numpy(np.int64)
+            cm = np.array(list(b[vec_col]), dtype=np.float64)
+            n = np.linalg.norm(cm, axis=1)
+            n[n == 0] = 1.0
+            cm /= n[:, None]
+            cos = qm @ cm.T  # (n_q, n_c)
+            if exclude_self:
+                cos[ids[:, None] == c_ids[None, :]] = -np.inf
+            kk = min(k, cos.shape[1])
+            idx = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, kk),
+                    "neighbor_id": c_ids[idx.ravel()],
+                    "cosine": np.take_along_axis(cos, idx, axis=1).ravel(),
+                }
+            )
+
+    local_topk = candidates.mapInPandas(local, _TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        local_topk.filter(F.col("cosine") > -np.inf)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def with_hyperplane_buckets(df: DataFrame, n_bits: int = 16, dim: int = 64,
+                            n_tables: int = 8, seed: int = 42,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Multi-table random-hyperplane LSH: one row per (vector, table)
+    with that table's sign-pattern bucket — deterministic given seed.
+    Recall amplifies as 1-(1-p^n_bits)^n_tables."""
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_tables, n_bits, dim))
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(planes)
+    schema = StructType(
+        df.schema.fields
+        + [StructField("table", IntegerType()), StructField("bucket", LongType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bc.value
+        n_t, n_b, _ = pl.shape
+        weights = (np.uint64(1) << np.arange(n_b, dtype=np.uint64))
+        for b in batches:
+            if len(b) == 0:
+                continue
+            m = np.array(list(b[vec_col]), dtype=np.float64)
+            outs = []
+            for t in range(n_t):
+                bits = (m @ pl[t].T) > 0
+                bucket = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
+                o = b.copy()
+                o["table"] = t
+                # table id folded into bucket so a single join key works
+                o["bucket"] = (
+                    bucket + (np.uint64(t) << np.uint64(48))
+                ).view(np.int64)
+                outs.append(o)
+            yield pd.concat(outs, ignore_index=True)
+
+    return df.mapInPandas(gen, schema)
+
+
+def lsh_bucketed_topk(queries: DataFrame, candidates: DataFrame, k: int,
+                      n_bits: int = 12, dim: int = 64, n_tables: int = 8,
+                      seed: int = 42,
+                      id_col: str = "vec_id", vec_col: str = "embedding"
+                      ) -> DataFrame:
+    """ANN: equi-join on (table, bucket), exact cosine re-rank over the
+    union of bucket collisions.  One shuffle keyed by the folded bucket
+    id (cardinality n_tables * 2^n_bits — high, so no skew hot-spot)."""
+    qb = with_hyperplane_buckets(queries, n_bits, dim, n_tables, seed,
+                                 id_col, vec_col)
+    cb = with_hyperplane_buckets(candidates, n_bits, dim, n_tables, seed,
+                                 id_col, vec_col)
+    q = qb.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "bucket"
+    )
+    c = cb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "bucket"
+    )
+    joined = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    dot = F.aggregate(
+        F.zip_with("_qv", "_cv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nq = F.sqrt(F.aggregate("_qv", F.lit(0.0), lambda a, v: a + v * v))
+    nc = F.sqrt(F.aggregate("_cv", F.lit(0.0), lambda a, v: a + v * v))
+    joined = joined.withColumn("cosine", dot / (nq * nc))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1,0 +1,153 @@
+"""Point-in-region spatial join: filter-and-refine over cell coverings.
+
+Filter stage — the scale-critical part.  A covering cell C contains a
+point p iff ``parent(p.cell_id, level(C)) == C`` (cell_id.rs:355-357
+range containment, re-expressed as ancestor equality).  So instead of a
+range/theta join (which Spark executes as a nested-loop), we:
+
+1. collect the *distinct levels* present in the covering table (tiny:
+   <= 31 values, typically <= 8),
+2. explode each point into one row per distinct level with its ancestor
+   at that level — a pure codegen bit expression, fan-out = #levels,
+3. hash-equi-join ancestors against ``broadcast(coverings)`` on exact
+   cell-id equality.
+
+No shuffle of the big side, no nested loop, and Catalyst prunes/pushes
+everything around the join.  For covering tables too large to broadcast
+there's a shuffle variant (same keys, sort-merge).
+
+Refine stage — exact containment per region kind, vectorized per
+(batch x region) group inside one ``mapInPandas``: winding-number PIP
+for loops (loop.rs:372-394 via kernels.loops), chord-angle test for
+caps (cap.rs:227-237), interval algebra for rects (latlng_rect.rs).
+Region parameters ride along as a broadcast dict.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import cell_parent
+from ..kernels import latlng as lk
+from .coverings import cover_regions, region_from_row
+
+_REFINABLE = {"loop", "cap", "rect"}
+
+
+def _ancestor_candidates(points: DataFrame, coverings: DataFrame,
+                         levels: list[int], cell_col: str,
+                         broadcast: bool) -> DataFrame:
+    anc = F.explode(
+        F.array(*[cell_parent(cell_col, lv) for lv in sorted(levels)])
+    ).alias("_anc")
+    pts = points.select("*", anc)
+    cov = coverings.select(
+        F.col("cell_id").alias("_cov_cell"), "region_id"
+    )
+    if broadcast:
+        cov = F.broadcast(cov)
+    out = pts.join(cov, pts["_anc"] == cov["_cov_cell"]).drop("_anc", "_cov_cell")
+    # A normalized covering has non-overlapping cells, so a point matches
+    # at most one cell per region — no dedup needed per region.
+    return out
+
+
+def point_in_region_join(points: DataFrame, regions: DataFrame,
+                         cell_col: str = "cell_id", max_cells: int = 8,
+                         refine: bool = True,
+                         broadcast: bool = True) -> DataFrame:
+    """points (must carry a leaf ``cell_col``) x regions -> matched pairs.
+
+    Returns the points columns + ``region_id`` for every (point, region)
+    whose covering contains the point, refined to exact containment when
+    ``refine=True`` (filter-and-refine, SURVEY.md §2.5).
+    """
+    spark = points.sparkSession
+    coverings = cover_regions(regions, max_cells=max_cells, conservative=True)
+
+    # The covering table is small by construction (<= max_cells * n_regions):
+    # collect the distinct levels driver-side to build the ancestor fan-out.
+    lv_rows = coverings.select("level").distinct().collect()
+    levels = sorted({r["level"] for r in lv_rows})
+    if not levels:
+        return points.limit(0).withColumn("region_id", F.lit(None).cast("string"))
+
+    cand = _ancestor_candidates(points, coverings, levels, cell_col, broadcast)
+    if not refine:
+        return cand
+
+    region_rows = {r["region_id"]: r.asDict() for r in regions.collect()}
+    bc = spark.sparkContext.broadcast(region_rows)
+
+    out_schema = cand.schema
+
+    def refine_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        regions_cache: dict[str, object] = {}
+        rows = bc.value
+        for b in batches:
+            if len(b) == 0:
+                yield b
+                continue
+            keep = np.zeros(len(b), dtype=bool)
+            lat_r = lk.degrees_to_radians(b["lat"].to_numpy(np.float64))
+            lng_r = lk.degrees_to_radians(b["lng"].to_numpy(np.float64))
+            x, y, z = lk.latlng_to_xyz(lat_r, lng_r)
+            for rid, idx in b.groupby("region_id").indices.items():
+                row = rows.get(rid)
+                if row is None or row["kind"] not in _REFINABLE:
+                    keep[idx] = True  # no exact test — covering decides
+                    continue
+                if rid not in regions_cache:
+                    regions_cache[rid] = region_from_row(row)
+                reg = regions_cache[rid]
+                if row["kind"] == "loop":
+                    keep[idx] = reg.loop.contains_points_batch(x[idx], y[idx], z[idx])
+                elif row["kind"] == "cap":
+                    keep[idx] = reg.cap.contains_points_batch(x[idx], y[idx], z[idx])
+                else:  # rect
+                    keep[idx] = reg.rect.contains_latlng_batch(lat_r[idx], lng_r[idx])
+            yield b[keep]
+
+    return cand.mapInPandas(refine_fn, out_schema)
+
+
+def point_in_rect_join(points: DataFrame, rects: DataFrame) -> DataFrame:
+    """Pure-JVM variant for lat/lng rectangles (latlng_rect.rs:297-341
+    interval algebra incl. the circular-longitude branch): broadcast
+    cross join + codegen predicates.  Used when regions are rects only —
+    fully SQL-expressible, hence oracle-checkable.
+
+    rects: (region_id, lat_lo, lat_hi, lng_lo, lng_hi) in degrees;
+    lng_lo > lng_hi means the interval wraps the antimeridian.
+    points: must carry lat/lng degree columns.
+    """
+    r = F.broadcast(rects)
+    lat_ok = F.col("lat").between(F.col("lat_lo"), F.col("lat_hi"))
+    wraps = F.col("lng_lo") > F.col("lng_hi")
+    lng_ok = F.when(
+        wraps, (F.col("lng") >= F.col("lng_lo")) | (F.col("lng") <= F.col("lng_hi"))
+    ).otherwise(F.col("lng").between(F.col("lng_lo"), F.col("lng_hi")))
+    return points.join(r, lat_ok & lng_ok)
+
+
+def distance_join(points: DataFrame, centers: DataFrame,
+                  radius_chord2: float,
+                  point_xyz=("x", "y", "z"),
+                  center_xyz=("cx", "cy", "cz")) -> DataFrame:
+    """Distance-threshold theta-join on squared chord length
+    (chord_angle.rs:90-95: |p-q|^2 <= r2) — broadcast small centers,
+    codegen arithmetic only; exactly reproducible in SQL."""
+    px, py, pz = (F.col(c) for c in point_xyz)
+    cx, cy, cz = (F.col(c) for c in center_xyz)
+    d2 = (
+        (px - cx) * (px - cx)
+        + (py - cy) * (py - cy)
+        + (pz - cz) * (pz - cz)
+    )
+    return points.join(F.broadcast(centers), d2 <= F.lit(radius_chord2)).withColumn(
+        "chord2", d2
+    )

@@ -1,0 +1,127 @@
+"""Text analysis for training-data pipelines over the documents table:
+token counting, quality scoring, language ID, and document
+fingerprinting.  Everything here is either pure JVM (codegen,
+oracle-checkable in SQL) or a vectorized pandas UDF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+# Tiny stopword lists per language for the n-gram/stopword heuristic.
+_LANG_MARKERS = {
+    "en": ["the", "a", "and", "of"],
+    "de": ["der", "die", "das", "und"],
+    "fr": ["le", "la", "et", "les"],
+    "es": ["el", "la", "los", "y"],
+}
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def with_token_count(docs: DataFrame, text_col: str = "text",
+                     out_col: str = "n_tokens") -> DataFrame:
+    """Whitespace tokenization: count of non-empty whitespace-separated
+    tokens — JVM split + filter, SQL-expressible."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    return docs.withColumn(out_col, F.size(toks))
+
+
+def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword heuristics (all codegen):
+    n_chars, n_tokens, avg token length, stopword ratio, punct ratio,
+    and a combined [0,1] quality score."""
+    t = F.col(text_col)
+    toks = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    n_tokens = F.size(toks)
+    n_chars = F.length(t)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    avg_tok = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+    quality = (
+        F.least(n_tokens.cast("double") / 32.0, F.lit(1.0)) * 0.5
+        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.3
+        + (1.0 - F.least(punct_ratio * 4.0, F.lit(1.0))) * 0.2
+    )
+    return (
+        docs.withColumn("n_tokens", n_tokens)
+        .withColumn("n_chars_calc", n_chars)
+        .withColumn("avg_token_len", avg_tok)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("quality_score", quality)
+    )
+
+
+def with_lang_id(docs: DataFrame, text_col: str = "text",
+                 out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-marker language ID: argmax of per-language marker hits,
+    'und' (undetermined) when nothing matches.  Pure JVM."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+
+    def _marker_count(markers):
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = [
+        _marker_count(markers).alias(lang)
+        for lang, markers in _LANG_MARKERS.items()
+    ]
+    df = docs.withColumn("_scores", F.struct(*scores))
+    best = F.greatest(*[F.col(f"_scores.{lg}") for lg in _LANG_MARKERS])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lg in _LANG_MARKERS:  # first max wins, deterministic order
+        pred = pred.when(F.col(f"_scores.{lg}") == best, F.lit(lg))
+    return df.withColumn(out_col, pred).drop("_scores")
+
+
+_FP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fingerprint", LongType()),
+    ]
+)
+
+
+def fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """64-bit rolling polynomial hash of the whole document (Rabin
+    style, base 257 mod 2^64) — vectorized per batch with numpy."""
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base = np.uint64(257)
+        seed = np.uint64(1469598103934665603)
+        pow_cache = np.empty(0, dtype=np.uint64)
+
+        def powers(n: int) -> np.ndarray:
+            nonlocal pow_cache
+            if len(pow_cache) < n:
+                with np.errstate(over="ignore"):
+                    pow_cache = np.concatenate(
+                        [np.ones(1, np.uint64),
+                         np.cumprod(np.full(max(n, 1024) - 1, base, np.uint64))]
+                    )
+            return pow_cache[:n]
+
+        for b in batches:
+            out = np.zeros(len(b), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for r, s in enumerate(b[text_col].astype(str)):
+                    arr = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(
+                        np.uint64
+                    )
+                    n = len(arr)
+                    # h = seed*base^n + sum(byte_i * base^(n-1-i)) mod 2^64
+                    p = powers(n + 1)
+                    out[r] = seed * p[n] + np.sum(arr * p[:n][::-1])
+            yield pd.DataFrame(
+                {"doc_id": b[id_col].to_numpy(np.int64), "fingerprint": out.view(np.int64)}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(fp, _FP_SCHEMA)

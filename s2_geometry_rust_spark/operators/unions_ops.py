@@ -1,0 +1,189 @@
+"""Cell-union set algebra as DataFrame operators.
+
+Two execution tiers:
+
+- ``*_grouped``: per-union-id grouped kernels via ``applyInPandas`` —
+  bit-exact replicas of the reference algorithms (cell_union.rs:600-678)
+  for parity testing and for workloads with many small unions
+  (embarrassingly parallel across union ids, one shuffle to group).
+
+- ``normalize_distributed``: the scale path for one huge union spread
+  across partitions (e.g. the covering of a continent at level 20+):
+  iterative DataFrame fixpoint — drop contained cells with a running-max
+  window over the Hilbert order, collapse complete sibling quadruples
+  via groupBy(parent), repeat until stable.  Each pass is one window +
+  one groupBy (both on range-partitioned unsigned keys); worst case 30
+  passes, typical <= 3.  The fixpoint's normal form is unique, so it
+  equals the reference's sequential result (cell_union.rs:600-629).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from ..functions import cell_level, cell_range_max, cell_range_min, unsigned_sort_key
+from ..kernels import unions as ku
+
+UNION_CELLS_SCHEMA = StructType(
+    [
+        StructField("union_id", StringType()),
+        StructField("cell_id", LongType()),
+    ]
+)
+
+
+def _grouped(kernel) -> object:
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        uid = pdf["union_id"].iloc[0]
+        ids = pdf["cell_id"].to_numpy(np.int64).view(np.uint64)
+        out = kernel(ids)
+        return pd.DataFrame(
+            {"union_id": uid, "cell_id": np.asarray(out, np.uint64).view(np.int64)}
+        )
+
+    return fn
+
+
+def normalize_grouped(cells: DataFrame) -> DataFrame:
+    """Per-union normalize (cell_union.rs:600-629 exact semantics)."""
+    return cells.groupBy("union_id").applyInPandas(
+        _grouped(ku.normalize), UNION_CELLS_SCHEMA
+    )
+
+
+def _pairwise(cells_a: DataFrame, cells_b: DataFrame, kernel) -> DataFrame:
+    """Join two exploded union tables on union_id and apply a pairwise
+    kernel per group."""
+    a = cells_a.withColumn("_side", F.lit(0))
+    b = cells_b.withColumn("_side", F.lit(1))
+    both = a.unionByName(b)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        uid = pdf["union_id"].iloc[0]
+        ga = pdf[pdf._side == 0]["cell_id"].to_numpy(np.int64).view(np.uint64)
+        gb = pdf[pdf._side == 1]["cell_id"].to_numpy(np.int64).view(np.uint64)
+        out = kernel(ga, gb)
+        return pd.DataFrame(
+            {"union_id": uid, "cell_id": np.asarray(out, np.uint64).view(np.int64)}
+        )
+
+    return both.groupBy("union_id").applyInPandas(fn, UNION_CELLS_SCHEMA)
+
+
+def union_grouped(a: DataFrame, b: DataFrame) -> DataFrame:
+    """concat + normalize (cell_union.rs:375-380)."""
+    return _pairwise(a, b, ku.union)
+
+
+def intersection_grouped(a: DataFrame, b: DataFrame) -> DataFrame:
+    """two-pointer sorted merge (cell_union.rs:632-666)."""
+    return _pairwise(a, b, ku.intersection)
+
+
+def difference_grouped(a: DataFrame, b: DataFrame) -> DataFrame:
+    """recursive child subdivision (cell_union.rs:669-678)."""
+    return _pairwise(a, b, ku.difference)
+
+
+def contains_flags(unions_df: DataFrame, probe_cells: DataFrame) -> DataFrame:
+    """For each (union_id, probe cell): does the union contain it?
+    Binary-search semantics of cell_union.rs:262-282 re-expressed as an
+    ancestor-range predicate: contained iff some union cell's range
+    covers the probe's whole range.  Pure joins — no UDF."""
+    u = unions_df.select(
+        "union_id",
+        unsigned_sort_key(cell_range_min("cell_id")).alias("_umin"),
+        unsigned_sort_key(cell_range_max("cell_id")).alias("_umax"),
+    )
+    p = probe_cells.select(
+        "union_id",
+        F.col("cell_id").alias("probe_cell"),
+        unsigned_sort_key(cell_range_min("probe_cell")).alias("_pmin"),
+        unsigned_sort_key(cell_range_max("probe_cell")).alias("_pmax"),
+    )
+    hit = p.join(
+        u,
+        (p["union_id"] == u["union_id"])
+        & (u["_umin"] <= p["_pmin"])
+        & (p["_pmax"] <= u["_umax"]),
+        "left_semi",
+    )
+    return hit.select("union_id", "probe_cell").withColumn(
+        "contained", F.lit(True)
+    )
+
+
+def normalize_distributed(cells: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Scale-path normalize for huge exploded unions.
+
+    Round = (1) drop cells contained in a predecessor via a running-max
+    of range_max over Hilbert order (laminar intervals make this exact);
+    (2) collapse groups of exactly 4 distinct sibling cells into their
+    parent.  Iterate until the row count stops changing.
+    """
+    cur = cells.dropDuplicates(["union_id", "cell_id"])
+    prev_n = -1
+    for _ in range(max_rounds):
+        n = cur.count()
+        if n == prev_n:
+            break
+        prev_n = n
+        # Sort by (range_min asc, range_max desc): in a laminar family a
+        # containing cell then always precedes its contained cells (the
+        # raw id order does NOT have this property — a parent's id is the
+        # center of its range, after its first-half children).
+        w = (
+            Window.partitionBy("union_id")
+            .orderBy(
+                unsigned_sort_key(cell_range_min("cell_id")),
+                F.desc(unsigned_sort_key(cell_range_max("cell_id"))),
+            )
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cur = (
+            cur.withColumn(
+                "_prevmax", F.max(unsigned_sort_key(cell_range_max("cell_id"))).over(w)
+            )
+            .filter(
+                F.col("_prevmax").isNull()
+                | (F.col("_prevmax") < unsigned_sort_key(cell_range_max("cell_id")))
+            )
+            .drop("_prevmax")
+        )
+        lvl = cell_level("cell_id")
+        parent1 = (
+            F.col("cell_id").bitwiseAND(-(F.col("_plsb") * 4)).bitwiseOR(F.col("_plsb") * 4)
+        )
+        cur = cur.withColumn("_plsb", F.col("cell_id").bitwiseAND(-F.col("cell_id")))
+        cur = cur.withColumn(
+            "_parent", F.when(lvl > 0, parent1).otherwise(F.lit(None))
+        )
+        sib = (
+            cur.groupBy("union_id", "_parent")
+            .agg(F.count("*").alias("_nsib"))
+            .filter(F.col("_parent").isNotNull() & (F.col("_nsib") == 4))
+            .select("union_id", F.col("_parent").alias("_full_parent"))
+        )
+        collapsed = (
+            cur.join(
+                sib,
+                (cur["union_id"] == sib["union_id"])
+                & (cur["_parent"] == sib["_full_parent"]),
+                "left_semi",
+            )
+            .select("union_id", F.col("_parent").alias("cell_id"))
+            .dropDuplicates(["union_id", "cell_id"])
+        )
+        kept = cur.join(
+            sib,
+            (cur["union_id"] == sib["union_id"])
+            & (cur["_parent"] == sib["_full_parent"]),
+            "left_anti",
+        ).select("union_id", "cell_id")
+        cur = kept.unionByName(collapsed)
+    return cur

@@ -121,3 +121,146 @@ def tile_counts_sql(level: int, table: str = "customer",
 def face_counts_sql(table: str = "customer", key: str = "c_custkey") -> str:
     cte = hilbert_leaf_cte(derived_points_sql(table, key))
     return cte + "SELECT face, count(*) AS n_points FROM leaf GROUP BY face"
+
+
+# ---------------------------------------------------------------------------
+# geometry joins on derived lat/lng (affine from keys — no trig, bit-exact)
+# ---------------------------------------------------------------------------
+
+def derived_latlng_sql(table: str = "customer", key: str = "c_custkey") -> str:
+    return f"""
+SELECT {key} AS point_id,
+       (({key}*37) % 181)::DOUBLE - 90.0 + 0.25 AS lat,
+       (({key}*73) % 361)::DOUBLE - 180.0 + 0.25 AS lng
+FROM {table}
+"""
+
+
+RECTS_SQL = """
+(VALUES ('band', -5.0, 5.0, -30.0, 30.0),
+        ('wrap', -10.0, 10.0, 170.0, -170.0),
+        ('north', 60.0, 90.0, -180.0, 180.0))
+  AS r(region_id, lat_lo, lat_hi, lng_lo, lng_hi)
+"""
+
+
+def point_in_rect_sql(table: str = "customer", key: str = "c_custkey") -> str:
+    return f"""
+WITH pts AS ({derived_latlng_sql(table, key)})
+SELECT p.point_id, r.region_id, p.lat, p.lng
+FROM pts p CROSS JOIN {RECTS_SQL}
+WHERE p.lat BETWEEN r.lat_lo AND r.lat_hi
+  AND (CASE WHEN r.lng_lo > r.lng_hi
+            THEN p.lng >= r.lng_lo OR p.lng <= r.lng_hi
+            ELSE p.lng BETWEEN r.lng_lo AND r.lng_hi END)
+"""
+
+
+CENTERS_SQL = """
+(VALUES ('c0', 0.5, 0.5, 0.5),
+        ('c1', -0.25, 0.8, -0.1),
+        ('c2', 0.9, -0.3, 0.2))
+  AS c(center_id, cx, cy, cz)
+"""
+
+
+def distance_join_sql(radius_chord2: float = 0.05,
+                      table: str = "customer", key: str = "c_custkey") -> str:
+    return f"""
+WITH pts AS ({derived_points_sql(table, key)})
+SELECT p.point_id, c.center_id,
+       (p.x-c.cx)*(p.x-c.cx) + (p.y-c.cy)*(p.y-c.cy) + (p.z-c.cz)*(p.z-c.cz) AS chord2
+FROM pts p CROSS JOIN {CENTERS_SQL}
+WHERE (p.x-c.cx)*(p.x-c.cx) + (p.y-c.cy)*(p.y-c.cy) + (p.z-c.cz)*(p.z-c.cz) <= {radius_chord2!r}
+"""
+
+
+def knn_sql(k: int = 10, q_table: str = "supplier", q_key: str = "s_suppkey",
+            n_queries: int = 20, c_table: str = "customer",
+            c_key: str = "c_custkey") -> str:
+    return f"""
+WITH q AS (SELECT * FROM ({derived_points_sql(q_table, q_key)}) WHERE point_id < {n_queries}),
+c AS ({derived_points_sql(c_table, c_key)}),
+pairs AS (
+  SELECT q.point_id AS query_id, c.point_id AS neighbor_id,
+         (q.x-c.x)*(q.x-c.x) + (q.y-c.y)*(q.y-c.y) + (q.z-c.z)*(q.z-c.z) AS chord2
+  FROM q CROSS JOIN c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY chord2, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, rank, chord2 FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# text / dedup oracles over the documents table
+# ---------------------------------------------------------------------------
+
+def dedup_exact_sql() -> str:
+    return """
+SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keeper
+FROM documents GROUP BY md5(text)
+"""
+
+
+def token_counts_sql() -> str:
+    return r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+FROM documents
+"""
+
+
+def text_quality_sql() -> str:
+    return r"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+         length(text) AS n_chars_calc
+  FROM documents
+), m AS (
+  SELECT doc_id, n_chars_calc, len(toks) AS n_tokens,
+         len(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) AS n_stop,
+         n_chars_calc - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CASE WHEN n_tokens > 0 THEN n_chars_calc::DOUBLE / n_tokens ELSE 0.0 END AS avg_token_len,
+       CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END AS stopword_ratio,
+       CASE WHEN n_chars_calc > 0 THEN n_punct::DOUBLE / n_chars_calc ELSE 0.0 END AS punct_ratio,
+       LEAST(n_tokens::DOUBLE / 32.0, 1.0) * 0.5
+       + LEAST((CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END) * 4.0, 1.0) * 0.3
+       + (1.0 - LEAST((CASE WHEN n_chars_calc > 0 THEN n_punct::DOUBLE / n_chars_calc ELSE 0.0 END) * 4.0, 1.0)) * 0.2
+         AS quality_score
+FROM m
+"""
+
+
+def lang_id_sql() -> str:
+    markers = {
+        "en": ("the", "a", "and", "of"),
+        "de": ("der", "die", "das", "und"),
+        "fr": ("le", "la", "et", "les"),
+        "es": ("el", "la", "los", "y"),
+    }
+    score_cols = ",\n         ".join(
+        f"len(list_filter(toks, x -> x IN {m!r})) AS s_{lg}"
+        for lg, m in markers.items()
+    )
+    langs = list(markers)
+    best = "GREATEST(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = "CASE WHEN " + best + " <= 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         {score_cols}
+  FROM t
+)
+SELECT doc_id, {case} AS lang_pred FROM s
+"""

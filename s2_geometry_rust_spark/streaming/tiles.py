@@ -1,0 +1,45 @@
+"""Streaming tile aggregation: readStream over interleaved documents ->
+geo extraction -> windowed per-tile counts with a watermark.
+
+The reference has no streaming subsystem (SURVEY.md §2.12); this is the
+engine's batch-incremental complement: the same extraction + tile
+operators applied under Structured Streaming, so a 10^12-doc backfill
+and a live feed share one code path.  Late data is bounded by the
+watermark; state is per (window, tile) — cardinality-capped by tile
+level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import cell_id_from_latlng_deg, cell_parent
+
+_POINT_RE = r"^POINT\(([-+0-9.eE]+) ([-+0-9.eE]+)\)$"
+
+
+def streaming_tile_counts(doc_stream: DataFrame, level: int = 8,
+                          ts_col: str = "event_time",
+                          watermark: str = "10 minutes",
+                          window: str = "5 minutes") -> DataFrame:
+    """doc_stream: streaming DF with (doc_id, spans, event_time).
+    Returns a streaming DF of ((window), tile_id, n_points).
+
+    Same operator chain as the batch path (explode -> regexp -> leaf
+    encode -> parent-at-level) so results match the batch tiler on the
+    same data slice.
+    """
+    s = doc_stream.withWatermark(ts_col, watermark)
+    s = s.select("doc_id", ts_col, F.posexplode("spans").alias("span_idx", "span"))
+    s = s.filter(F.col("span.kind") == "geo").select(
+        "doc_id",
+        ts_col,
+        F.regexp_extract("span.text", _POINT_RE, 1).cast("double").alias("lat"),
+        F.regexp_extract("span.text", _POINT_RE, 2).cast("double").alias("lng"),
+    )
+    s = s.withColumn("cell_id", cell_id_from_latlng_deg("lat", "lng"))
+    s = s.withColumn("tile_id", cell_parent("cell_id", level))
+    return (
+        s.groupBy(F.window(ts_col, window), "tile_id")
+        .agg(F.count("*").alias("n_points"))
+    )

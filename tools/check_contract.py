@@ -47,11 +47,21 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
     qs, oracles = e.queries(), e.oracle_sql()
     failures = 0
     for name, fn in qs.items():
-        got = fn(spark, sf_dir).toPandas()
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            failures += 1
+            print(f"{name:28s} SPARK-ERROR {str(ex)[:200]}")
+            continue
         if name not in oracles:
             print(f"{name:28s} rows-only: {len(got)} rows")
             continue
-        want = con.execute(oracles[name]).fetchdf()
+        try:
+            want = con.execute(oracles[name]).fetchdf()
+        except Exception as ex:
+            failures += 1
+            print(f"{name:28s} ORACLE-ERROR {str(ex)[:200]}")
+            continue
         g, w = norm(got), norm(want)
         ok_rows = len(g) == len(w)
         ok_cols = list(g.columns) == list(w.columns)
