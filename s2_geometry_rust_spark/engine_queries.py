@@ -170,6 +170,47 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_lang_id(docs).select("doc_id", "lang_pred")
 
 
+def union_leaf_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-union leaf-count aggregate (cell_union.rs:472-479) over
+    unions assembled from derived points at mixed levels."""
+    from .functions import cell_id_from_xyz
+    from .operators.geom_aggs import union_leaf_cells_covered
+
+    pts = _derived_points(spark, sf_dir)
+    cells = (
+        pts.withColumn("_leaf", cell_id_from_xyz("x", "y", "z"))
+        .withColumn("_lv", (F.col("point_id") % 21 + 10).cast("int"))
+        .withColumn("_lsb", F.expr("shiftleft(1L, (30 - _lv) * 2)"))
+        .withColumn(
+            "cell_id", F.expr("(_leaf & -_lsb) | _lsb")
+        )
+        .withColumn("union_id", (F.col("point_id") % 10).cast("long"))
+        .select("union_id", "cell_id", "_lv")
+        .distinct()
+        .select("union_id", "cell_id")
+    )
+    return union_leaf_cells_covered(cells)
+
+
+def raster_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster-tile <-> vector equi-join at level 6 (SURVEY.md §2.5):
+    customer points against the distinct supplier tile set."""
+    from .functions import cell_id_from_xyz
+    from .operators.tiling import raster_vector_join
+
+    pts = _derived_points(spark, sf_dir).withColumn(
+        "cell_id", cell_id_from_xyz("x", "y", "z")
+    )
+    raster = (
+        _derived_points(spark, sf_dir, "supplier", "s_suppkey")
+        .withColumn("_leaf", cell_id_from_xyz("x", "y", "z"))
+        .withColumn("tile_id", cell_parent("_leaf", 6))
+        .select("tile_id")
+        .distinct()
+    )
+    return raster_vector_join(raster, pts, 6).select("point_id", "tile_id")
+
+
 # --- rows-only entries (non-SQL-expressible; driver records weaker check) ---
 
 def covering_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,6 +263,29 @@ def near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dedup_minhash(docs, threshold=0.5, n_bands=32)
 
 
+def loop_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loop aggregates (area/curvature/centroid/bounds — loop.rs
+    formulas) over the fixture catalog; kernel-parity in pytest."""
+    from . import fixtures
+    from .operators.geom_aggs import loop_stats
+
+    return loop_stats(fixtures.loop_regions(spark))
+
+
+def edge_crossings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-crossing join via the level-15 shape index
+    (mutable_shape_index.rs semantics + predicates.rs crossing_sign)."""
+    from . import fixtures
+    from .operators.shape_index import edge_crossing_join, edges_from_loops
+
+    names = ["candy_cane", "small_ne_cw", "arctic_80", "line_triangle",
+             "loop_a", "loop_b"]
+    edges = edges_from_loops(spark, {n: fixtures.LOOPS[n] for n in names})
+    a = edges.filter(F.col("shape_id") < 3)
+    b = edges.filter(F.col("shape_id") >= 3)
+    return edge_crossing_join(a, b, candidates_via_index=False)
+
+
 def ann_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import cosine_topk_bruteforce
 
@@ -244,12 +308,16 @@ QUERIES = {
     "token_counts": token_counts_q,
     "text_quality": text_quality_q,
     "lang_id": lang_id_q,
+    "union_leaf_cells": union_leaf_cells_q,
+    "raster_join": raster_join_q,
     # rows-only (geometry/approx operators with no SQL equivalent)
     "covering_cells": covering_cells_q,
     "point_in_region": point_in_region_q,
     "knn_cell_ring": knn_cell_ring_q,
     "near_dup_pairs": near_dup_pairs_q,
     "ann_cosine": ann_cosine_q,
+    "loop_stats": loop_stats_q,
+    "edge_crossings": edge_crossings_q,
 }
 
 ORACLES = {
@@ -264,4 +332,6 @@ ORACLES = {
     "token_counts": oracle.token_counts_sql(),
     "text_quality": oracle.text_quality_sql(),
     "lang_id": oracle.lang_id_sql(),
+    "union_leaf_cells": oracle.union_leaf_cells_sql(),
+    "raster_join": oracle.raster_join_sql(6),
 }

@@ -12,6 +12,8 @@ Two tiers, chosen by where the math can run:
 
 from .columns import (  # noqa: F401
     LONG_MIN,
+    degrees_to_e,
+    e_to_degrees,
     cell_contains,
     cell_intersects,
     cell_is_leaf,
@@ -29,4 +31,5 @@ from .udfs import (  # noqa: F401
     cell_id_from_latlng_deg,
     cell_id_from_xyz,
     cell_center_xyz,
+    cell_from_token,
 )

@@ -123,6 +123,19 @@ def cell_intersects(a, b) -> Column:
     )
 
 
+def e_to_degrees(col, k: int) -> Column:
+    """E5/E6/E7 fixed-point -> degrees (latlng.rs:66-100,
+    angle.rs:81-105): value * 10^-k, exact double arithmetic."""
+    return _c(col).cast("double") * F.lit(10.0 ** (-k))
+
+
+def degrees_to_e(col, k: int) -> Column:
+    """Degrees -> E-notation, round-half-away-from-zero like Rust's
+    f64::round (angle.rs e5/e6/e7 accessors)."""
+    v = _c(col).cast("double") * F.lit(float(10 ** k))
+    return F.when(v >= 0, F.floor(v + 0.5)).otherwise(F.ceil(v - 0.5)).cast("int")
+
+
 def cell_token(col) -> Column:
     """Hex token, trailing zeros stripped, 'X' for id 0
     (cell_id.rs:369-383).  Pure string ops, JVM-side."""

@@ -60,6 +60,14 @@ def _get(name: str):
 
         udf = pandas_udf(fn, LongType())
 
+    elif name == "cell_from_token":
+
+        def fn(tokens: pd.Series) -> pd.Series:
+            ids = ck.from_token(tokens.to_numpy(dtype=object))
+            return pd.Series(_u64_to_i64(ids))
+
+        udf = pandas_udf(fn, LongType())
+
     elif name == "cell_center_xyz":
         schema = StructType(
             [
@@ -97,3 +105,8 @@ def cell_id_from_latlng_deg(lat, lng) -> Column:
 def cell_center_xyz(ids) -> Column:
     """Approximate cell-center point (cell_id.rs:421-480 semantics)."""
     return _get("cell_center_xyz")(ids)
+
+
+def cell_from_token(tokens) -> Column:
+    """Token -> cell id (cell_id.rs:394-416; invalid tokens -> 0)."""
+    return _get("cell_from_token")(tokens)

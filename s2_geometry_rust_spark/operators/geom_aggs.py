@@ -1,0 +1,130 @@
+"""Geometric aggregations (SURVEY.md §2.6) as DataFrame operators.
+
+Per-row geometry aggregates (loop area/centroid/curvature/bounds,
+polyline length/interpolation/bounds) run inside one ``mapInPandas`` —
+embarrassingly parallel, zero shuffles.  Union-level aggregates
+(leaf_cells_covered, per-cell area sums) are pure JVM column math over
+exploded (union_id, cell_id) rows with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions import cell_level
+from ..kernels import latlng as lk
+from ..kernels import polylines as pk
+from ..kernels.loops import S2Loop
+
+LOOP_STATS_SCHEMA = StructType(
+    [
+        StructField("region_id", StringType()),
+        StructField("n_vertices", IntegerType()),
+        StructField("area", DoubleType()),
+        StructField("curvature", DoubleType()),
+        StructField("centroid_x", DoubleType()),
+        StructField("centroid_y", DoubleType()),
+        StructField("centroid_z", DoubleType()),
+        StructField("bound_lat_lo", DoubleType()),
+        StructField("bound_lat_hi", DoubleType()),
+        StructField("bound_lng_lo", DoubleType()),
+        StructField("bound_lng_hi", DoubleType()),
+    ]
+)
+
+
+def loop_stats(regions: DataFrame) -> DataFrame:
+    """Per-loop aggregates pinned to the reference formulas:
+    get_area (loop.rs:322-342 signed-excess variant), get_curvature
+    (= 2pi - area, loop.rs:367-369), get_centroid (simple vertex mean,
+    loop.rs:345-364), rect bound (loop.rs:219-237)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {k.name: [] for k in LOOP_STATS_SCHEMA.fields}
+            for _, row in b.iterrows():
+                if row["kind"] != "loop":
+                    continue
+                verts = [(v["lat"], v["lng"]) for v in row["vertices"]]
+                loop = S2Loop.from_degrees(verts)
+                cx, cy, cz = loop.get_centroid()
+                bound = loop.get_rect_bound()
+                out["region_id"].append(row["region_id"])
+                out["n_vertices"].append(loop.num_vertices())
+                out["area"].append(loop.get_area())
+                out["curvature"].append(loop.get_curvature())
+                out["centroid_x"].append(float(cx))
+                out["centroid_y"].append(float(cy))
+                out["centroid_z"].append(float(cz))
+                out["bound_lat_lo"].append(bound.lat.lo)
+                out["bound_lat_hi"].append(bound.lat.hi)
+                out["bound_lng_lo"].append(bound.lng.lo)
+                out["bound_lng_hi"].append(bound.lng.hi)
+            yield pd.DataFrame(out)
+
+    return regions.mapInPandas(run, LOOP_STATS_SCHEMA)
+
+
+POLYLINE_STATS_SCHEMA = StructType(
+    [
+        StructField("line_id", StringType()),
+        StructField("n_vertices", IntegerType()),
+        StructField("length_rad", DoubleType()),
+        StructField("mid_x", DoubleType()),
+        StructField("mid_y", DoubleType()),
+        StructField("mid_z", DoubleType()),
+    ]
+)
+
+
+def polyline_stats(polylines: DataFrame) -> DataFrame:
+    """polylines: (line_id, vertices array<struct<lat,lng>> degrees).
+    length per polyline.rs:182-199; midpoint = interpolate(0.5)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {k.name: [] for k in POLYLINE_STATS_SCHEMA.fields}
+            for _, row in b.iterrows():
+                lat = lk.degrees_to_radians(
+                    np.array([v["lat"] for v in row["vertices"]], np.float64)
+                )
+                lng = lk.degrees_to_radians(
+                    np.array([v["lng"] for v in row["vertices"]], np.float64)
+                )
+                x, y, z = lk.latlng_to_xyz(lat, lng)
+                v = np.stack([x, y, z], axis=-1)
+                mid = pk.interpolate(v, 0.5)
+                out["line_id"].append(row["line_id"])
+                out["n_vertices"].append(len(v))
+                out["length_rad"].append(pk.length(v))
+                out["mid_x"].append(float(mid[0]))
+                out["mid_y"].append(float(mid[1]))
+                out["mid_z"].append(float(mid[2]))
+            yield pd.DataFrame(out)
+
+    return polylines.mapInPandas(run, POLYLINE_STATS_SCHEMA)
+
+
+def union_leaf_cells_covered(cells: DataFrame) -> DataFrame:
+    """Sum of 4^(30-level) per union (cell_union.rs:472-479) — pure JVM
+    with map-side combine; one shuffle on union_id."""
+    return (
+        cells.withColumn("_lv", cell_level("cell_id"))
+        .withColumn("_leaves", F.expr("shiftleft(1L, (30 - _lv) * 2)"))
+        .groupBy("union_id")
+        .agg(
+            F.sum("_leaves").alias("leaf_cells_covered"),
+            F.count("*").alias("n_cells"),
+        )
+    )

@@ -1,0 +1,180 @@
+"""The shape index as a DataFrame: the reference's
+MutableS2ShapeIndex BTreeMap (mutable_shape_index.rs:63-78) re-expressed
+as a cell-id-sorted table — the inverted index IS a table.
+
+Build semantics (reference parity, mutable_shape_index.rs:119-193):
+a shape's covering = the **level-15 parents of each edge's v0** (dedup;
+no edge clipping — the TODOs at :154,157 are part of the pinned
+behavior), and every covering cell lists ALL the shape's edges.
+
+Scale shape: build is one narrow pass (leaf-encode v0, parent-15,
+distinct) + one equi-join back to edges, then a range write sorted by
+unsigned cell key — at cluster scale the sorted parquet/Iceberg layout
+gives min/max file skipping for ``seek`` and co-partitioned joins.
+
+Edge tables: (shape_id long, edge_id long, dim int,
+              v0x,v0y,v0z,v1x,v1y,v1z double).
+Index tables: (cell_id long, shape_id long, edge_id long).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..functions import cell_id_from_xyz, cell_parent, unsigned_sort_key
+from ..kernels import latlng as lk
+from ..kernels import predicates as pred
+
+INDEX_LEVEL = 15  # mutable_shape_index.rs:169-193
+
+EDGES_SCHEMA = StructType(
+    [
+        StructField("shape_id", LongType()),
+        StructField("edge_id", LongType()),
+        StructField("dim", IntegerType()),
+        StructField("v0x", DoubleType()),
+        StructField("v0y", DoubleType()),
+        StructField("v0z", DoubleType()),
+        StructField("v1x", DoubleType()),
+        StructField("v1y", DoubleType()),
+        StructField("v1z", DoubleType()),
+    ]
+)
+
+
+def edges_from_loops(spark: SparkSession, loops: dict[str, list],
+                     dim: int = 2) -> DataFrame:
+    """Fixture loops (name -> [(lat_deg, lng_deg), ...]) -> edge table;
+    vertex conversion matches make_loop_from_degrees
+    (tests/test_s2loop_port.rs:144-153)."""
+    rows = []
+    for sid, (name, pts) in enumerate(sorted(loops.items())):
+        lat = lk.degrees_to_radians(np.array([p[0] for p in pts], np.float64))
+        lng = lk.degrees_to_radians(np.array([p[1] for p in pts], np.float64))
+        x, y, z = lk.latlng_to_xyz(lat, lng)
+        n = len(pts)
+        for e in range(n):
+            ne = (e + 1) % n
+            rows.append(
+                (sid, e, dim,
+                 float(x[e]), float(y[e]), float(z[e]),
+                 float(x[ne]), float(y[ne]), float(z[ne]))
+            )
+    return spark.createDataFrame(rows, EDGES_SCHEMA)
+
+
+def build_shape_index(edges: DataFrame) -> DataFrame:
+    """(cell_id, shape_id, edge_id) rows, Hilbert-sorted.
+
+    Mirror of index_shape (mutable_shape_index.rs:119-166): covering
+    cells from v0 leaf parents at level 15, all edges per cell."""
+    with_cell = edges.withColumn(
+        "_leaf", cell_id_from_xyz("v0x", "v0y", "v0z")
+    ).withColumn("cell_id", cell_parent("_leaf", INDEX_LEVEL))
+    covering = with_cell.select("shape_id", "cell_id").distinct()
+    index = covering.join(
+        edges.select("shape_id", "edge_id"), "shape_id"
+    ).select("cell_id", "shape_id", "edge_id")
+    return index.sortWithinPartitions(unsigned_sort_key("cell_id")).sort(
+        unsigned_sort_key("cell_id")
+    )
+
+
+def seek(index: DataFrame, target_cell_id: int, n: int = 100) -> DataFrame:
+    """Iterator seek (shape_index.rs:284-287): ordered scan from the
+    first indexed cell >= target.  On a sorted parquet/Iceberg table the
+    unsigned-key filter prunes via min/max file stats."""
+    tkey = np.int64(np.uint64(target_cell_id) ^ np.uint64(1 << 63))
+    return (
+        index.filter(unsigned_sort_key("cell_id") >= int(tkey))
+        .orderBy(unsigned_sort_key("cell_id"))
+        .limit(n)
+    )
+
+
+def query_point_candidates(index: DataFrame, points: DataFrame,
+                           cell_col: str = "cell_id") -> DataFrame:
+    """Index lookup for points: shapes whose covering contains the
+    point's level-15 ancestor (reference query path: BTreeMap lookup at
+    the index cell).  Pure equi-join on a bit-expression key."""
+    pts = points.withColumn("_anc15", cell_parent(cell_col, INDEX_LEVEL))
+    idx = index.select(
+        F.col("cell_id").alias("_icell"), "shape_id"
+    ).distinct()
+    return pts.join(
+        F.broadcast(idx), pts["_anc15"] == idx["_icell"]
+    ).drop("_anc15", "_icell")
+
+
+_CROSS_SCHEMA_FIELDS = [
+    StructField("a_shape", LongType()),
+    StructField("a_edge", LongType()),
+    StructField("b_shape", LongType()),
+    StructField("b_edge", LongType()),
+    StructField("crossing", IntegerType()),
+]
+
+
+def edge_crossing_join(edges_a: DataFrame, edges_b: DataFrame,
+                       candidates_via_index: bool = True) -> DataFrame:
+    """Edge-crossing join (SURVEY.md §2.5): candidate pairs via shared
+    level-15 index cell, refined with the reference's crossing_sign
+    (predicates.rs:666-682, returns only +1/-1).
+
+    candidates_via_index=False: exact all-pairs (broadcast the smaller
+    side) — the oracle path for tests; the index path reproduces the
+    reference's unclipped level-15 candidate semantics."""
+    a = edges_a.select(
+        F.col("shape_id").alias("a_shape"), F.col("edge_id").alias("a_edge"),
+        *[F.col(c).alias(f"a_{c}") for c in ("v0x", "v0y", "v0z", "v1x", "v1y", "v1z")],
+    )
+    b = edges_b.select(
+        F.col("shape_id").alias("b_shape"), F.col("edge_id").alias("b_edge"),
+        *[F.col(c).alias(f"b_{c}") for c in ("v0x", "v0y", "v0z", "v1x", "v1y", "v1z")],
+    )
+    if candidates_via_index:
+        a = a.withColumn(
+            "_cell", cell_parent(cell_id_from_xyz("a_v0x", "a_v0y", "a_v0z"),
+                                 INDEX_LEVEL)
+        )
+        b = b.withColumn(
+            "_cell", cell_parent(cell_id_from_xyz("b_v0x", "b_v0y", "b_v0z"),
+                                 INDEX_LEVEL)
+        )
+        pairs = a.join(b, "_cell").drop("_cell")
+    else:
+        pairs = a.crossJoin(F.broadcast(b))
+
+    schema = StructType(_CROSS_SCHEMA_FIELDS)
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for p in batches:
+            if len(p) == 0:
+                continue
+            av0 = p[["a_v0x", "a_v0y", "a_v0z"]].to_numpy(np.float64)
+            av1 = p[["a_v1x", "a_v1y", "a_v1z"]].to_numpy(np.float64)
+            bv0 = p[["b_v0x", "b_v0y", "b_v0z"]].to_numpy(np.float64)
+            bv1 = p[["b_v1x", "b_v1y", "b_v1z"]].to_numpy(np.float64)
+            cr = pred.crossing_sign_batch(av0, av1, bv0, bv1)
+            yield pd.DataFrame(
+                {
+                    "a_shape": p["a_shape"].to_numpy(np.int64),
+                    "a_edge": p["a_edge"].to_numpy(np.int64),
+                    "b_shape": p["b_shape"].to_numpy(np.int64),
+                    "b_edge": p["b_edge"].to_numpy(np.int64),
+                    "crossing": cr.astype(np.int32),
+                }
+            )
+
+    return pairs.mapInPandas(refine, schema)

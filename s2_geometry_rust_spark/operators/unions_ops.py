@@ -90,6 +90,15 @@ def difference_grouped(a: DataFrame, b: DataFrame) -> DataFrame:
     return _pairwise(a, b, ku.difference)
 
 
+def expand_grouped(cells: DataFrame, expand_level: int) -> DataFrame:
+    """Union expand (cell_union.rs:427-444): promote to expand_level and
+    add the reference's placeholder id-space neighbors (SURVEY.md §8.3),
+    then normalize — per-union kernel for exact parity."""
+    return cells.groupBy("union_id").applyInPandas(
+        _grouped(lambda ids: ku.expand(ids, expand_level)), UNION_CELLS_SCHEMA
+    )
+
+
 def contains_flags(unions_df: DataFrame, probe_cells: DataFrame) -> DataFrame:
     """For each (union_id, probe cell): does the union contain it?
     Binary-search semantics of cell_union.rs:262-282 re-expressed as an

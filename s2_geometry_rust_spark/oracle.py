@@ -38,50 +38,60 @@ FROM {table}
 """
 
 
-def hilbert_leaf_cte(points_sql: str) -> str:
-    """WITH-clause prefix ending in relation ``leaf(point_id, face,
-    cell_id BIGINT)`` — the full reference encoding in SQL."""
+def _hilbert_chain(points_sql: str, prefix: str) -> str:
+    """CTE fragments (no WITH keyword) from a points relation to
+    ``{prefix}leaf(point_id, face, cell_id BIGINT)``; the shared ``lut``
+    table must be emitted once by the caller."""
+    p = prefix
     steps = []
-    prev = "s0"
+    prev = f"{p}s0"
     for k in range(7, -1, -1):
-        nm = f"s{8 - k}"
+        nm = f"{p}s{8 - k}"
         steps.append(
-            f"{nm} AS (SELECT p.point_id, p.face, p.i, p.j, "
-            f"p.n | ((l.r::UBIGINT >> 2) << {k * 8}) AS n, "
+            f"{nm} AS (SELECT q.point_id, q.face, q.i, q.j, "
+            f"q.n | ((l.r::UBIGINT >> 2) << {k * 8}) AS n, "
             f"(l.r::UBIGINT & 3) AS bits "
-            f"FROM {prev} p JOIN lut l ON l.idx = CAST(p.bits + "
-            f"(((p.i >> {k * 4}) & 15) << 6) + (((p.j >> {k * 4}) & 15) << 2)"
+            f"FROM {prev} q JOIN lut l ON l.idx = CAST(q.bits + "
+            f"(((q.i >> {k * 4}) & 15) << 6) + (((q.j >> {k * 4}) & 15) << 2)"
             f" AS BIGINT))"
         )
         prev = nm
     chain = ",\n".join(steps)
     return f"""
-WITH lut(idx, r) AS (VALUES {lookup_pos_sql_values()}),
-pts AS ({points_sql}),
-fuv AS (
+{p}pts AS ({points_sql}),
+{p}fuv AS (
   SELECT point_id,
     CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN (CASE WHEN x >= 0 THEN 0 ELSE 3 END)
          WHEN abs(y) >= abs(z) THEN (CASE WHEN y >= 0 THEN 1 ELSE 4 END)
          ELSE (CASE WHEN z >= 0 THEN 2 ELSE 5 END) END AS face,
-    x, y, z FROM pts),
-uv AS (
+    x, y, z FROM {p}pts),
+{p}uv AS (
   SELECT point_id, face,
     CASE face WHEN 0 THEN y/x WHEN 3 THEN -z/(-x) WHEN 1 THEN -x/y WHEN 4 THEN z/(-y) WHEN 2 THEN -y/z ELSE -x/(-z) END AS u,
     CASE face WHEN 0 THEN z/x WHEN 3 THEN -y/(-x) WHEN 1 THEN z/y WHEN 4 THEN x/(-y) WHEN 2 THEN -x/z ELSE y/(-z) END AS v
-  FROM fuv),
-ij AS (
+  FROM {p}fuv),
+{p}ij AS (
   SELECT point_id, face,
     CAST(trunc(LEAST(GREATEST(0.5*(u+1.0)*1073741824.0, 0.0), 1073741823.0)) AS UBIGINT) AS i,
     CAST(trunc(LEAST(GREATEST(0.5*(v+1.0)*1073741824.0, 0.0), 1073741823.0)) AS UBIGINT) AS j
-  FROM uv),
-s0 AS (SELECT point_id, face, i, j, (face::UBIGINT << 60) AS n, (face::UBIGINT & 1) AS bits FROM ij),
+  FROM {p}uv),
+{p}s0 AS (SELECT point_id, face, i, j, (face::UBIGINT << 60) AS n, (face::UBIGINT & 1) AS bits FROM {p}ij),
 {chain},
-leaf AS (
+{p}leaf AS (
   SELECT point_id, face,
     CASE WHEN hv >= {U63} THEN CAST(hv - {U64} AS BIGINT) ELSE CAST(hv AS BIGINT) END AS cell_id
   FROM (SELECT point_id, face, n::HUGEINT * 2 + 1 AS hv FROM {prev})
 )
 """
+
+
+def hilbert_leaf_cte(points_sql: str) -> str:
+    """WITH-clause prefix ending in relation ``leaf(point_id, face,
+    cell_id BIGINT)`` — the full reference encoding in SQL."""
+    return (
+        f"WITH lut(idx, r) AS (VALUES {lookup_pos_sql_values()}),"
+        + _hilbert_chain(points_sql, "")
+    )
 
 
 def parent_sql(col: str, level: int) -> str:
@@ -197,6 +207,53 @@ SELECT query_id, neighbor_id, rank, chord2 FROM ranked WHERE rank <= {k}
 # ---------------------------------------------------------------------------
 # text / dedup oracles over the documents table
 # ---------------------------------------------------------------------------
+
+def union_leaf_cells_sql(table: str = "customer",
+                         key: str = "c_custkey") -> str:
+    """Unions built from derived points: union_id = point_id % 10,
+    member cell = parent at level (point_id % 21 + 10).  leaf count =
+    4^(30-level) — POWER is exact here (4^20 < 2^53)."""
+    cte = hilbert_leaf_cte(derived_points_sql(table, key))
+    return cte + """
+, members AS (
+  SELECT point_id % 10 AS union_id,
+         point_id % 21 + 10 AS lv,
+         cell_id
+  FROM leaf
+), cells AS (
+  SELECT union_id,
+         (cell_id & -CAST(power(4, 30 - lv) AS BIGINT)) | CAST(power(4, 30 - lv) AS BIGINT) AS cell_id,
+         lv
+  FROM members
+), dedup AS (
+  SELECT DISTINCT union_id, cell_id, lv FROM cells
+)
+SELECT union_id,
+       CAST(SUM(CAST(power(4, 30 - lv) AS HUGEINT)) AS BIGINT) AS leaf_cells_covered,
+       count(*) AS n_cells
+FROM dedup GROUP BY union_id
+"""
+
+
+def raster_join_sql(level: int = 6) -> str:
+    """Raster-tile <-> vector equi-join: customer points against the
+    distinct supplier tile set at the given level (two independent
+    Hilbert chains sharing one lut)."""
+    p = parent_sql("cell_id", level)
+    return (
+        f"WITH lut(idx, r) AS (VALUES {lookup_pos_sql_values()}),"
+        + _hilbert_chain(derived_points_sql("customer", "c_custkey"), "")
+        + ","
+        + _hilbert_chain(derived_points_sql("supplier", "s_suppkey"), "b_")
+        + f"""
+, raster AS (
+  SELECT DISTINCT {p} AS tile_id FROM b_leaf
+)
+SELECT l.point_id, r.tile_id
+FROM leaf l JOIN raster r ON {p.replace('cell_id', 'l.cell_id')} = r.tile_id
+"""
+    )
+
 
 def dedup_exact_sql() -> str:
     return """

@@ -1,0 +1,163 @@
+"""Shape index build/seek/crossing-join and geometric aggregates."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from s2_geometry_rust_spark import fixtures
+from s2_geometry_rust_spark.kernels import cellid as ck
+from s2_geometry_rust_spark.kernels import latlng as lk
+from s2_geometry_rust_spark.kernels import polylines as pk
+from s2_geometry_rust_spark.kernels.loops import S2Loop
+from s2_geometry_rust_spark.kernels import predicates as pred
+from s2_geometry_rust_spark.operators.geom_aggs import (
+    loop_stats,
+    polyline_stats,
+    union_leaf_cells_covered,
+)
+from s2_geometry_rust_spark.operators.shape_index import (
+    INDEX_LEVEL,
+    build_shape_index,
+    edge_crossing_join,
+    edges_from_loops,
+    seek,
+)
+
+
+@pytest.fixture(scope="module")
+def loop_edges(spark):
+    names = ["candy_cane", "small_ne_cw", "arctic_80", "line_triangle"]
+    return edges_from_loops(
+        spark, {n: fixtures.LOOPS[n] for n in names}
+    ).cache()
+
+
+def test_build_shape_index_parity(spark, loop_edges):
+    """Mirror of index_shape: level-15 parents of v0s, all edges per
+    covering cell (mutable_shape_index.rs:119-193)."""
+    idx = build_shape_index(loop_edges).toPandas()
+    edges = loop_edges.toPandas()
+    for sid, grp in edges.groupby("shape_id"):
+        v0 = grp[["v0x", "v0y", "v0z"]].to_numpy(np.float64)
+        leafs = ck.from_point(v0[:, 0], v0[:, 1], v0[:, 2])
+        cover = np.unique(ck.parent(leafs, np.full(len(leafs), INDEX_LEVEL)))
+        got_cells = np.unique(
+            idx[idx.shape_id == sid]["cell_id"].to_numpy(np.int64).view(np.uint64)
+        )
+        np.testing.assert_array_equal(np.sort(got_cells), np.sort(cover))
+        # every covering cell lists ALL edges
+        n_edges = len(grp)
+        per_cell = idx[idx.shape_id == sid].groupby("cell_id").size()
+        assert (per_cell == n_edges).all()
+
+
+def test_seek_returns_sorted_tail(spark, loop_edges):
+    idx = build_shape_index(loop_edges)
+    cells = np.sort(
+        idx.select("cell_id").distinct().toPandas()["cell_id"]
+        .to_numpy(np.int64).view(np.uint64)
+    )
+    target = int(cells[len(cells) // 2])
+    got = seek(idx, target, n=1000).toPandas()
+    g = got["cell_id"].to_numpy(np.int64).view(np.uint64)
+    assert (g >= target).all()
+    assert np.array_equal(np.sort(np.unique(g)), cells[cells >= target])
+
+
+def test_edge_crossing_join_matches_kernel(spark, loop_edges):
+    a = loop_edges.filter(F.col("shape_id") == 0)
+    b = loop_edges.filter(F.col("shape_id") != 0)
+    got = edge_crossing_join(a, b, candidates_via_index=False).toPandas()
+    ea = a.toPandas()
+    eb = b.toPandas()
+    for _, ra in ea.iterrows():
+        for _, rb in eb.iterrows():
+            want = int(
+                pred.crossing_sign_batch(
+                    np.array([[ra.v0x, ra.v0y, ra.v0z]]),
+                    np.array([[ra.v1x, ra.v1y, ra.v1z]]),
+                    np.array([[rb.v0x, rb.v0y, rb.v0z]]),
+                    np.array([[rb.v1x, rb.v1y, rb.v1z]]),
+                )[0]
+            )
+            g = got[
+                (got.a_edge == ra.edge_id)
+                & (got.b_shape == rb.shape_id)
+                & (got.b_edge == rb.edge_id)
+            ]
+            assert len(g) == 1 and int(g.crossing.iloc[0]) == want
+
+
+def test_loop_stats_match_kernels(spark):
+    regions = fixtures.loop_regions(spark, ["north_hemi", "candy_cane", "arctic_80"])
+    got = loop_stats(regions).toPandas().set_index("region_id")
+    for name in ["north_hemi", "candy_cane", "arctic_80"]:
+        loop = S2Loop.from_degrees(fixtures.LOOPS[name])
+        row = got.loc[name]
+        assert row.area == loop.get_area()
+        assert row.curvature == loop.get_curvature()
+        cx, cy, cz = loop.get_centroid()
+        assert (row.centroid_x, row.centroid_y, row.centroid_z) == (
+            float(cx), float(cy), float(cz),
+        )
+
+
+def test_polyline_stats_match_kernels(spark):
+    lines = {
+        "equator_arc": [(0.0, 0.0), (0.0, 30.0), (0.0, 60.0)],
+        "meridian": [(-45.0, 10.0), (0.0, 10.0), (45.0, 10.0)],
+    }
+    df = spark.createDataFrame(
+        [
+            (k, [(float(a), float(b)) for a, b in v])
+            for k, v in lines.items()
+        ],
+        "line_id string, vertices array<struct<lat:double,lng:double>>",
+    )
+    got = polyline_stats(df).toPandas().set_index("line_id")
+    for k, v in lines.items():
+        lat = lk.degrees_to_radians(np.array([p[0] for p in v]))
+        lng = lk.degrees_to_radians(np.array([p[1] for p in v]))
+        x, y, z = lk.latlng_to_xyz(lat, lng)
+        verts = np.stack([x, y, z], axis=-1)
+        assert got.loc[k].length_rad == pk.length(verts)
+        mid = pk.interpolate(verts, 0.5)
+        assert got.loc[k].mid_x == mid[0]
+    # 90-degree equator arc spans pi/2... full arc 60 deg = pi/3
+    assert abs(got.loc["equator_arc"].length_rad - np.pi / 3) < 1e-12
+
+
+def test_polyline_intersects_kernel():
+    eq = np.stack(lk.latlng_to_xyz(
+        lk.degrees_to_radians(np.array([0.0, 0.0])),
+        lk.degrees_to_radians(np.array([-10.0, 10.0])),
+    ), axis=-1)
+    mer = np.stack(lk.latlng_to_xyz(
+        lk.degrees_to_radians(np.array([-10.0, 10.0])),
+        lk.degrees_to_radians(np.array([0.0, 0.0])),
+    ), axis=-1)
+    # NOTE: the reference's simplified 4-sign crossing formula
+    # (predicates.rs:666-682) reports +1 for many far-apart segment
+    # pairs (great-circle, not segment, semantics in some orderings);
+    # parity means matching the formula, so the negative case below is
+    # one the formula itself rejects.
+    far = np.stack(lk.latlng_to_xyz(
+        lk.degrees_to_radians(np.array([40.0, 41.0])),
+        lk.degrees_to_radians(np.array([0.0, 1.0])),
+    ), axis=-1)
+    assert pk.intersects(eq, mer)
+    assert not pk.intersects(eq, far)
+
+
+def test_union_leaf_cells_covered(spark):
+    face0 = int(ck.from_face_pos_level(0, 0, 0))
+    kids = [int(c) for c in ck.children(np.uint64(face0))]
+    df = spark.createDataFrame(
+        [("u", np.uint64(face0).astype(np.int64).item())]
+        + [("v", np.uint64(k).astype(np.int64).item()) for k in kids[:2]],
+        "union_id string, cell_id long",
+    )
+    got = union_leaf_cells_covered(df).toPandas().set_index("union_id")
+    assert got.loc["u"].leaf_cells_covered == 4 ** 30
+    assert got.loc["v"].leaf_cells_covered == 2 * 4 ** 29
