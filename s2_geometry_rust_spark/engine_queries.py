@@ -263,6 +263,41 @@ def near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dedup_minhash(docs, threshold=0.5, n_bands=32)
 
 
+def events_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type event rollup — the batch twin of the streaming
+    tile aggregation (same window semantics as streaming/tiles.py).
+    Aggregates chosen order-independent (count/min/max/integer-sum) so
+    the oracle comparison is exact."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn("cents", F.round(F.col("value") * 100, 0).cast("long"))
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("ts_hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+def fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprints(docs)
+
+
+def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_signatures(docs)
+
+
 def loop_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Loop aggregates (area/curvature/centroid/bounds — loop.rs
     formulas) over the fixture catalog; kernel-parity in pytest."""
@@ -310,6 +345,9 @@ QUERIES = {
     "lang_id": lang_id_q,
     "union_leaf_cells": union_leaf_cells_q,
     "raster_join": raster_join_q,
+    "events_hourly": events_hourly_q,
+    "fingerprints": fingerprints_q,
+    "simhash": simhash_q,
     # rows-only (geometry/approx operators with no SQL equivalent)
     "covering_cells": covering_cells_q,
     "point_in_region": point_in_region_q,
@@ -334,4 +372,5 @@ ORACLES = {
     "lang_id": oracle.lang_id_sql(),
     "union_leaf_cells": oracle.union_leaf_cells_sql(),
     "raster_join": oracle.raster_join_sql(6),
+    "events_hourly": oracle.events_hourly_sql(),
 }

@@ -19,8 +19,6 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from . import cellid as ci
-from . import chord
-from .intervals import R1Interval
 
 EPS = float(np.finfo(np.float64).eps)
 

@@ -42,7 +42,6 @@ from ..kernels.loops import S2Loop
 from ..kernels.rects import S2LatLngRect
 
 from ..kernels import cells_true as ct
-from ..kernels import predicates as pred
 from ..kernels import unions as ku
 
 COVERINGS_SCHEMA = StructType(

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions import cell_parent
 from ..kernels import latlng as lk
-from .coverings import cover_regions, region_from_row
+from .coverings import region_from_row
 
 _REFINABLE = {"loop", "cap", "rect"}
 

@@ -321,3 +321,17 @@ WITH t AS (
 )
 SELECT doc_id, {case} AS lang_pred FROM s
 """
+
+
+def events_hourly_sql() -> str:
+    """Hourly rollup with order-independent aggregates (integer cent
+    sums commute; double sums would not)."""
+    return """
+SELECT date_trunc('hour', ts) AS ts_hour, event_type,
+       count(*) AS n_events,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY 1, 2
+"""
