@@ -128,12 +128,15 @@ class S1Interval:
     @staticmethod
     def new(lo: float, hi: float) -> "S1Interval":
         """Public constructor with -pi -> pi normalization
-        (interval.rs:62-79)."""
+        (interval.rs:62-79).  NOTE: the reference tests the *original*
+        lo in the second branch (bounds[0] is mutated but the check
+        reads the untouched parameter), so new(-pi, -pi) -> [pi, pi]."""
+        new_lo, new_hi = lo, hi
         if lo == -PI and hi != PI:
-            lo = PI
+            new_lo = PI
         if hi == -PI and lo != PI:
-            hi = PI
-        return S1Interval(lo, hi)
+            new_hi = PI
+        return S1Interval(new_lo, new_hi)
 
     @staticmethod
     def empty() -> "S1Interval":

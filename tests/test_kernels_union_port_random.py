@@ -1,0 +1,83 @@
+"""Seeded randomized cell-union property tests mirroring the structure
+of /root/reference/tests/test_s2cell_union_port.rs:146-343 (families 2):
+contains-input-cells, union/intersection consistency, contains/
+intersects consistency.  Property-based (the reference asserts
+properties, not golden values), deterministic seeds."""
+
+import numpy as np
+import pytest
+
+from s2_geometry_rust_spark.kernels import cellid as ck
+from s2_geometry_rust_spark.kernels import unions as ku
+
+
+def _random_cells(seed, n=30):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    leaf = ck.from_point(v[:, 0], v[:, 1], v[:, 2])
+    return ck.parent(leaf, rng.integers(0, 31, size=n))
+
+
+@pytest.mark.parametrize("seed", [42, 123, 456, 789])
+def test_contains_input_cells(seed):
+    ids = _random_cells(seed)
+    u = ku.normalize(ids)
+    for cid in ids:
+        assert ku.contains_cell_id(u, int(cid)), hex(int(cid))
+        assert ku.intersects_cell_id(u, int(cid))
+        lv = int(ck.level(np.uint64(cid)))
+        if lv > 0:
+            parent = int(ck.parent(np.uint64(cid), lv - 1))
+            assert ku.intersects_cell_id(u, parent)
+        if lv < 30:
+            for child in ck.children(np.uint64(cid)):
+                assert ku.contains_cell_id(u, int(child))
+
+
+@pytest.mark.parametrize("seed", [456, 789])
+def test_union_contains_both_inputs(seed):
+    a = ku.normalize(_random_cells(seed))
+    b = ku.normalize(_random_cells(seed + 1))
+    un = ku.union(a, b)
+    assert ku.contains_union(un, a)
+    assert ku.contains_union(un, b)
+    assert ku.is_normalized(un)
+
+
+@pytest.mark.parametrize("seed", [42, 123])
+def test_intersection_contained_in_both(seed):
+    a = ku.normalize(_random_cells(seed, 40))
+    b = ku.normalize(_random_cells(seed + 7, 40))
+    inter = ku.intersection(a, b)
+    if len(inter):
+        assert ku.contains_union(a, inter)
+        assert ku.contains_union(b, inter)
+    # consistency: every intersection cell intersects both
+    for cid in inter:
+        assert ku.intersects_cell_id(a, int(cid))
+        assert ku.intersects_cell_id(b, int(cid))
+
+
+@pytest.mark.parametrize("seed", [42])
+def test_difference_disjoint_from_subtrahend(seed):
+    a = ku.normalize(_random_cells(seed, 40))
+    b = ku.normalize(_random_cells(seed + 3, 40))
+    d = ku.difference(a, b)
+    for cid in d:
+        assert not ku.intersects_cell_id(b, int(cid))
+        assert ku.intersects_cell_id(a, int(cid))
+    # a = (a - b) + (a ∩ b) in leaf count
+    inter = ku.intersection(a, b)
+    assert (
+        ku.leaf_cells_covered(d) + ku.leaf_cells_covered(inter)
+        == ku.leaf_cells_covered(a)
+    )
+
+
+def test_whole_sphere_leaf_count():
+    faces = np.array(
+        [int(ck.from_face_pos_level(f, 0, 0)) for f in range(6)], np.uint64
+    )
+    assert ku.leaf_cells_covered(faces) == 6 << 60
+    assert ku.is_normalized(np.sort(faces))
