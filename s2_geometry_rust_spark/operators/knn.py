@@ -99,19 +99,33 @@ def knn_bruteforce(queries: DataFrame, candidates: DataFrame, k: int,
 
 
 def knn_cell_ring(queries: DataFrame, candidates: DataFrame, k: int,
-                  start_level: int = 8,
+                  start_level: int = 8, margin_levels: int = 1,
                   query_id: str = "query_id", cand_id: str = "cand_id",
                   query_cell: str = "cell_id", cand_cell: str = "cell_id",
                   query_xyz=("x", "y", "z"), cand_xyz=("x", "y", "z")
                   ) -> DataFrame:
-    """Cell-ring expansion kNN (north-star semantics).
+    """Cell-ring expansion kNN (north-star semantics): candidates from
+    the query's cell at level L, widening L <- L-1 until >= k
+    candidates, then exact squared-chord distance + top-k.
 
-    For each level L from start_level down to 0: join remaining queries
-    to candidates sharing their level-L ancestor cell; queries that have
-    accumulated >= k candidates take their exact top-k and retire.
-    Approximate by design (candidates outside the shared ancestor are
-    not seen); validated against knn_bruteforce recall in tests.
+    Physical plan — 3 jobs total, independent of how many levels the
+    widening logically visits (the naive per-level driver loop runs
+    2 jobs *per level*):
+
+    1. density pass: one groupBy over candidates counting per-cell
+       candidates at every level in [0, start_level] simultaneously
+       (explode over the ancestor chain — pure bit expressions);
+    2. per-query level choice: join queries to the (broadcastable)
+       density table and take the deepest level with count >= k —
+       exactly the level the iterative widening would stop at;
+    3. candidate join at the chosen level: candidates exploded once per
+       distinct chosen level (bounded fan-out), hash-joined on
+       (level, ancestor), then window top-k.
+
+    Approximate by design (neighbors outside the shared ancestor are
+    unseen); recall vs knn_bruteforce is pytest-checked.
     """
+    levels = list(range(0, start_level + 1))
     q = queries.select(
         F.col(query_id).alias("query_id").cast("long"),
         F.col(query_cell).alias("_qcell"),
@@ -122,46 +136,94 @@ def knn_cell_ring(queries: DataFrame, candidates: DataFrame, k: int,
         F.col(cand_cell).alias("_ccell"),
         *[F.col(c_).alias(f"_c{c2}") for c_, c2 in zip(cand_xyz, "xyz")],
     )
-    results = None
-    remaining = q
-    for lv in range(start_level, -1, -1):
-        if remaining.isEmpty():
-            break
-        joined = remaining.withColumn("_qa", cell_parent("_qcell", lv)).join(
-            c.withColumn("_ca", cell_parent("_ccell", lv)),
-            F.col("_qa") == F.col("_ca"),
+
+    # 1. per-(level, cell) candidate density — one pass, map-side combine
+    anc = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(lv).alias("lv"), cell_parent("_ccell", lv).alias("cell")
+                )
+                for lv in levels
+            ]
         )
-        d2 = (
-            (F.col("_qx") - F.col("_cx")) * (F.col("_qx") - F.col("_cx"))
-            + (F.col("_qy") - F.col("_cy")) * (F.col("_qy") - F.col("_cy"))
-            + (F.col("_qz") - F.col("_cz")) * (F.col("_qz") - F.col("_cz"))
-        )
-        joined = joined.withColumn("chord2", d2)
-        counts = joined.groupBy("query_id").agg(F.count("*").alias("_n"))
-        done_ids = counts.filter(F.col("_n") >= k).select("query_id")
-        w = Window.partitionBy("query_id").orderBy("chord2", "neighbor_id")
-        done = (
-            joined.join(F.broadcast(done_ids), "query_id")
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank", "chord2")
-        )
-        results = done if results is None else results.unionByName(done)
-        remaining = remaining.join(
-            F.broadcast(done_ids), "query_id", "left_anti"
-        )
-        if lv == 0:
-            # level 0 saw every candidate on the query's face; any query
-            # still unresolved has < k candidates on its face — emit all.
-            rest = (
-                joined.join(F.broadcast(done_ids), "query_id", "left_anti")
-                .withColumn("rank", F.row_number().over(w))
-                .select("query_id", "neighbor_id", "rank", "chord2")
+    ).alias("_a")
+    density = (
+        c.select(anc)
+        .select(F.col("_a.lv").alias("lv"), F.col("_a.cell").alias("cell"))
+        .groupBy("lv", "cell")
+        .agg(F.count("*").alias("n"))
+    )
+
+    # 2. deepest level with n >= k per query (the widening stop level);
+    #    fall back to level 0 when even the face has < k candidates
+    qa = q.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lv).alias("lv"),
+                        cell_parent("_qcell", lv).alias("cell"),
+                    )
+                    for lv in levels
+                ]
             )
-            results = rest if results is None else results.unionByName(rest)
-    return results if results is not None else queries.limit(0).select(
-        F.lit(0).alias("query_id"),
-        F.lit(0).alias("neighbor_id"),
-        F.lit(0).alias("rank"),
-        F.lit(0.0).alias("chord2"),
+        ).alias("_a"),
+    ).select("query_id", F.col("_a.lv").alias("lv"), F.col("_a.cell").alias("cell"))
+    chosen = (
+        qa.join(density, ["lv", "cell"])
+        .filter(F.col("n") >= k)
+        .groupBy("query_id")
+        .agg(F.max("lv").alias("lv"))
+    )
+    # margin_levels coarsens the chosen cell (4^m times the area) so
+    # true neighbors just across the cell boundary are still seen —
+    # recall lever at bounded extra cost
+    chosen = q.join(chosen, "query_id", "left").withColumn(
+        "lv",
+        F.greatest(
+            F.coalesce(F.col("lv"), F.lit(0)) - F.lit(margin_levels), F.lit(0)
+        ),
+    )
+
+    # 3. single candidate join at each query's chosen level
+    distinct_lv = [r["lv"] for r in chosen.select("lv").distinct().collect()]
+    c_exp = c.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lv).alias("lv"),
+                        cell_parent("_ccell", lv).alias("_ca"),
+                    )
+                    for lv in sorted(distinct_lv)
+                ]
+            )
+        ).alias("_a"),
+    ).select(
+        "neighbor_id", "_cx", "_cy", "_cz",
+        F.col("_a.lv").alias("lv"), F.col("_a._ca").alias("_ca"),
+    )
+    # ancestor at the per-row level: pick from the precomputed chain
+    qk = chosen.select(
+        "query_id", "lv", "_qx", "_qy", "_qz",
+        F.element_at(
+            F.array(*[cell_parent("_qcell", lv) for lv in levels]),
+            F.col("lv") + 1,
+        ).alias("_qa"),
+    )
+    joined = qk.join(c_exp, (qk["lv"] == c_exp["lv"]) & (qk["_qa"] == c_exp["_ca"]))
+    d2 = (
+        (F.col("_qx") - F.col("_cx")) * (F.col("_qx") - F.col("_cx"))
+        + (F.col("_qy") - F.col("_cy")) * (F.col("_qy") - F.col("_cy"))
+        + (F.col("_qz") - F.col("_cz")) * (F.col("_qz") - F.col("_cz"))
+    )
+    w = Window.partitionBy("query_id").orderBy("chord2", "neighbor_id")
+    return (
+        joined.withColumn("chord2", d2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "chord2")
     )

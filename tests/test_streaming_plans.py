@@ -94,3 +94,32 @@ def test_checkpoint_resume_filter(spark, tmp_path):
     row = cp.first()
     assert row["stage"] == "stage1" and row["row_count"] > 0
     assert row["lineage"] == "test-run-1"
+
+
+def test_stateful_tile_counts(spark, tmp_path):
+    from s2_geometry_rust_spark.streaming.stateful import stateful_tile_counts
+
+    docs = synth_documents(spark, 250, seed=42).withColumn(
+        "event_time", F.timestamp_seconds(F.lit(1700000000))
+    )
+    src = str(tmp_path / "state_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    agg = stateful_tile_counts(stream, level=4)
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("state_tiles")
+        .option("checkpointLocation", str(tmp_path / "state_cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM state_tiles").toPandas()
+    assert got.n_points.sum() == 250
+    batch = tile_counts(extract_geo_points(synth_documents(spark, 250, seed=42)), 4).toPandas()
+    merged = got.groupby("tile_id").n_points.max()
+    want = batch.set_index("tile_id").n_points
+    assert len(merged) == len(want)
+    for tid, n in merged.items():
+        assert want.get(tid, 0) == n
