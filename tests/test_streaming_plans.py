@@ -123,3 +123,39 @@ def test_stateful_tile_counts(spark, tmp_path):
     assert len(merged) == len(want)
     for tid, n in merged.items():
         assert want.get(tid, 0) == n
+
+
+def test_hilbert_sorted_sink_and_range_read(spark, tmp_path):
+    from s2_geometry_rust_spark.sources.sinks import (
+        read_cell_range,
+        write_hilbert_sorted,
+    )
+    from s2_geometry_rust_spark.kernels import cellid as ck
+
+    pts = extract_geo_points(synth_documents(spark, 400, seed=42))
+    path = str(tmp_path / "hilbert_tbl")
+    write_hilbert_sorted(pts, path, num_partitions=4)
+
+    all_ids = np.sort(
+        spark.read.parquet(path).select("cell_id").toPandas()["cell_id"]
+        .to_numpy(np.int64).view(np.uint64)
+    )
+    # pick the range of face-1 and read it back
+    lo = int(ck.range_min(ck.from_face_pos_level(1, 0, 0)))
+    hi = int(ck.range_max(ck.from_face_pos_level(1, 0, 0)))
+    got = read_cell_range(spark, path, lo, hi).toPandas()
+    g = got["cell_id"].to_numpy(np.int64).view(np.uint64)
+    want = all_ids[(all_ids >= lo) & (all_ids <= hi)]
+    assert np.array_equal(np.sort(g), want)
+    # files are sorted: each parquet part covers a disjoint key range
+    import pyarrow.parquet as pq
+    import glob
+    ranges = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        t = pq.read_table(f, columns=["cell_id"])
+        ids = t["cell_id"].to_numpy().view(np.uint64)
+        if len(ids):
+            ranges.append((ids.min(), ids.max()))
+    ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi <= b_lo
