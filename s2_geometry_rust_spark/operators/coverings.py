@@ -110,13 +110,23 @@ class TrueLoopRegion:
     def contains(self, x, y, z) -> bool:
         return self.loop.contains_point(x, y, z)
 
+    def contains_points_batch(self, x, y, z) -> np.ndarray:
+        return self.loop.contains_points_batch(x, y, z)
+
     def may_intersect_cell(self, cell) -> bool:
-        w = ct.cell_vertices_xyz(np.asarray([cell.id], np.uint64))[0]
-        if bool(np.any(self.loop.contains_points_batch(w[:, 0], w[:, 1], w[:, 2]))):
-            return True
-        s = w @ self._normals.T  # (4, n_edges) signed plane distances
-        straddle = (s.max(axis=0) >= -self._EPS) & (s.min(axis=0) <= self._EPS)
-        return bool(np.any(straddle))
+        return bool(self.may_intersect_cells(np.asarray([cell.id], np.uint64))[0])
+
+    def may_intersect_cells(self, ids: np.ndarray) -> np.ndarray:
+        """Vectorized over n cells: one (n,4,3) vertex build, one batch
+        PIP, one einsum against the edge planes."""
+        w = ct.cell_vertices_xyz(ids)  # (n, 4, 3)
+        flat = w.reshape(-1, 3)
+        inside = self.loop.contains_points_batch(
+            flat[:, 0], flat[:, 1], flat[:, 2]
+        ).reshape(len(ids), 4)
+        s = np.einsum("nkd,ed->nke", w, self._normals)  # (n,4,n_edges)
+        straddle = (s.max(axis=1) >= -self._EPS) & (s.min(axis=1) <= self._EPS)
+        return inside.any(axis=1) | straddle.any(axis=1)
 
 
 class TrueCapRegion:
@@ -130,9 +140,18 @@ class TrueCapRegion:
     def contains(self, x, y, z) -> bool:
         return self.cap.contains_point(x, y, z)
 
+    def contains_points_batch(self, x, y, z) -> np.ndarray:
+        return np.asarray(self.cap.contains_points_batch(x, y, z), bool)
+
     def may_intersect_cell(self, cell) -> bool:
-        c, r_cell = ct.cell_bounding_cap(cell.id)
-        ang = float(np.arccos(np.clip(np.dot(c, self._center), -1.0, 1.0)))
+        return bool(self.may_intersect_cells(np.asarray([cell.id], np.uint64))[0])
+
+    def may_intersect_cells(self, ids: np.ndarray) -> np.ndarray:
+        centers = ct.cell_center_xyz(ids)  # (n,3)
+        verts = ct.cell_vertices_xyz(ids)  # (n,4,3)
+        dots = np.clip(np.einsum("nkd,nd->nk", verts, centers), -1.0, 1.0)
+        r_cell = np.arccos(dots).max(axis=1)
+        ang = np.arccos(np.clip(centers @ self._center, -1.0, 1.0))
         return ang <= self._radius + r_cell + 1e-12
 
 
@@ -188,37 +207,67 @@ def conservative_covering(region, max_cells: int = 64,
         def __init__(self, cid: int):
             self.id = cid
 
-    frontier: list[int] = []
-    terminal: list[int] = []
-    for face in range(6):
-        cid = int(ck.from_face_pos_level(face, 0, 0))
-        if region.may_intersect_cell(_IdCell(cid)):
-            frontier.append(cid)
+    batch_intersect = getattr(region, "may_intersect_cells", None)
+    batch_contains = getattr(region, "contains_points_batch", None)
+
+    faces = np.array(
+        [int(ck.from_face_pos_level(f, 0, 0)) for f in range(6)], np.uint64
+    )
+    if batch_intersect is not None:
+        frontier_arr = faces[np.asarray(batch_intersect(faces), bool)]
+    else:
+        frontier_arr = np.array(
+            [cid for cid in faces if region.may_intersect_cell(_IdCell(int(cid)))],
+            np.uint64,
+        )
+    terminal: list[np.ndarray] = []
+    n_terminal = 0
     level = 0
-    while frontier and level < max_level:
-        if len(terminal) + 4 * len(frontier) > max_cells:
+    while len(frontier_arr) and level < max_level:
+        if n_terminal + 4 * len(frontier_arr) > max_cells:
             break
-        nxt: list[int] = []
-        for cid in frontier:
-            for pos in range(4):
-                child = int(ck.child(np.uint64(cid), pos))
-                if not region.may_intersect_cell(_IdCell(child)):
-                    continue
-                verts = ct.cell_vertices_xyz(np.asarray([child], np.uint64))[0]
-                contained = all(
-                    region.contains(float(verts[k, 0]), float(verts[k, 1]),
-                                    float(verts[k, 2]))
-                    for k in range(4)
-                )
-                # containment sampling only stops refinement; the cell
-                # stays in the covering either way (conservative)
-                if contained:
-                    terminal.append(child)
-                else:
-                    nxt.append(child)
-        frontier = nxt
+        children = ck.children(frontier_arr).reshape(-1)  # (4n,)
+        if batch_intersect is not None:
+            keep = np.asarray(batch_intersect(children), bool)
+        else:
+            keep = np.array(
+                [region.may_intersect_cell(_IdCell(int(c))) for c in children],
+                bool,
+            )
+        children = children[keep]
+        if len(children) == 0:
+            break
+        # containment sampling only stops refinement; kept cells stay in
+        # the covering either way (conservative)
+        verts = ct.cell_vertices_xyz(children)  # (m,4,3)
+        flat = verts.reshape(-1, 3)
+        if batch_contains is not None:
+            inside = np.asarray(
+                batch_contains(flat[:, 0], flat[:, 1], flat[:, 2]), bool
+            ).reshape(len(children), 4)
+            contained = inside.all(axis=1)
+        else:
+            contained = np.array(
+                [
+                    all(
+                        region.contains(float(v[k, 0]), float(v[k, 1]), float(v[k, 2]))
+                        for k in range(4)
+                    )
+                    for v in verts
+                ],
+                bool,
+            )
+        if contained.any():
+            terminal.append(children[contained])
+            n_terminal += int(contained.sum())
+        frontier_arr = children[~contained]
         level += 1
-    out = np.array(terminal + frontier, dtype=np.uint64)
+    parts = terminal + ([frontier_arr] if len(frontier_arr) else [])
+    out = (
+        np.concatenate(parts).astype(np.uint64)
+        if parts
+        else np.array([], dtype=np.uint64)
+    )
     if len(out) == 0:
         return out
     return ku.normalize(out)

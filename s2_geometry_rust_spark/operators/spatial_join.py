@@ -148,7 +148,28 @@ def point_in_region_join(points: DataFrame, regions: DataFrame,
     if not region_covs:
         return points.limit(0).withColumn("region_id", F.lit(None).cast("string"))
 
-    cand = _literal_candidates(points, region_covs, cell_col)
+    # Literal InSet compilation wins while the expression stays inside
+    # whole-stage codegen; past ~1k covering cells the generated method
+    # exceeds JIT limits and falls back to interpreted evaluation
+    # (measured 16x slower at 150 regions) — switch to the
+    # ancestor-explode equi-join instead.
+    total_cells = sum(
+        len(cells) for by in region_covs.values() for cells in by.values()
+    )
+    if total_cells <= 1000:
+        cand = _literal_candidates(points, region_covs, cell_col)
+    else:
+        cov_rows = [
+            (rid, cid, lv)
+            for rid, by in region_covs.items()
+            for lv, cells in by.items()
+            for cid in cells
+        ]
+        coverings = spark.createDataFrame(
+            cov_rows, "region_id string, cell_id long, level int"
+        ).coalesce(1)
+        levels = sorted({lv for _, _, lv in cov_rows})
+        cand = _ancestor_candidates(points, coverings, levels, cell_col, broadcast)
     if not refine:
         return cand
 
