@@ -94,34 +94,55 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(id_col, text_col).mapInPandas(gen, schema)
 
 
-def _fnv1a_bytes(arr: bytes) -> np.uint64:
+def _fnv1a_bytes(arr: bytes) -> int:
+    """FNV-1a over bytes — vectorized Horner form: because the FNV fold
+    h=(h^b)*p is not linear, we keep exact FNV only for single words via
+    the classic loop but amortize it with a per-process cache (corpus
+    vocabularies are tiny relative to token counts)."""
     h = np.uint64(1469598103934665603)
     prime = np.uint64(1099511628211)
     with np.errstate(over="ignore"):
         for byte in np.frombuffer(arr, dtype=np.uint8).astype(np.uint64):
             h = (h ^ byte) * prime
+    return int(h)
+
+
+_WORD_HASH_CACHE: dict[str, int] = {}
+
+
+def _word_hash(w: str) -> int:
+    h = _WORD_HASH_CACHE.get(w)
+    if h is None:
+        if len(_WORD_HASH_CACHE) > 1_000_000:
+            _WORD_HASH_CACHE.clear()
+        h = _fnv1a_bytes(w.encode("utf-8"))
+        _WORD_HASH_CACHE[w] = h
     return h
 
 
+_SHINGLE_P = np.uint64(0x100000001B3)
+
+
 def _stable_shingle_hashes(texts: pd.Series, k: int) -> list[np.ndarray]:
-    """Stable across processes: per-shingle FNV-1a over utf-8 bytes,
-    computed with a rolling vectorized scheme per doc."""
+    """Process-stable shingle hashes: cached FNV-1a per unique word,
+    then a vectorized k-word rolling polynomial combine per doc — no
+    per-shingle Python, determinism unchanged across executors."""
     out = []
-    prime = np.uint64(1099511628211)
-    for s in texts.astype(str):
-        words = s.split()
-        if not words:
-            out.append(np.empty(0, dtype=np.uint64))
-            continue
-        if len(words) < k:
-            grams = [" ".join(words)]
-        else:
-            grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
-        hs = np.empty(len(grams), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for i, g in enumerate(grams):
-                hs[i] = _fnv1a_bytes(g.encode("utf-8"))
-        out.append(np.unique(hs))
+    with np.errstate(over="ignore"):
+        for s in texts.astype(str):
+            words = s.split()
+            if not words:
+                out.append(np.empty(0, dtype=np.uint64))
+                continue
+            ids = np.fromiter(
+                (_word_hash(w) for w in words), dtype=np.uint64, count=len(words)
+            )
+            n = len(ids)
+            kk = min(k, n)
+            acc = ids[: n - kk + 1].copy()
+            for j in range(1, kk):
+                acc = acc * _SHINGLE_P + ids[j: n - kk + 1 + j]
+            out.append(np.unique(acc))
     return out
 
 
@@ -237,9 +258,11 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                     words = s.split()
                     if not words:
                         continue
-                    hs = np.empty(len(words), dtype=np.uint64)
-                    for i, w in enumerate(words):
-                        hs[i] = _fnv1a_bytes(w.encode("utf-8"))
+                    hs = np.fromiter(
+                        (_word_hash(w) for w in words),
+                        dtype=np.uint64,
+                        count=len(words),
+                    )
                     bits = (hs[:, None] >> bitcols[None, :]) & np.uint64(1)
                     votes = bits.sum(axis=0) * 2 - len(words)
                     out[r] = np.sum(
