@@ -164,6 +164,75 @@ def compare_distance_scalar(x, r: float) -> int:
     return 0
 
 
+_EDGE_DIRECTION_ERROR = 2.0 * float(np.finfo(np.float64).eps)
+
+
+def compare_edge_directions_scalar(a0, a1, b0, b1) -> int:
+    """predicates.rs:419-445 — NOTE the reference quirk: nearly-parallel
+    edges return 0 for BOTH same and opposite direction (the dot-product
+    branch returns 0 either way)."""
+    a0 = np.asarray(a0, np.float64)
+    a1 = np.asarray(a1, np.float64)
+    b0 = np.asarray(b0, np.float64)
+    b1 = np.asarray(b1, np.float64)
+    edge_a = a1 - a0
+    edge_b = b1 - b0
+    cross = np.cross(edge_a, edge_b)
+    if float(np.linalg.norm(cross)) < _EDGE_DIRECTION_ERROR:
+        return 0
+    center = (a0 + a1 + b0 + b1) * 0.25
+    cs = float(cross @ center)
+    if cs > _EDGE_DIRECTION_ERROR:
+        return 1
+    if cs < -_EDGE_DIRECTION_ERROR:
+        return -1
+    return 0
+
+
+def _min_edge_distance(point, edge_start, edge_end) -> float:
+    """predicates.rs:548-562: euclidean point-to-segment distance in R3
+    (the reference's simplification — not a geodesic distance)."""
+    point = np.asarray(point, np.float64)
+    edge_start = np.asarray(edge_start, np.float64)
+    edge_end = np.asarray(edge_end, np.float64)
+    edge = edge_end - edge_start
+    l2 = float(edge @ edge)
+    if l2 < np.finfo(np.float64).eps:
+        return float(np.linalg.norm(point - edge_start))
+    t = float(np.clip((point - edge_start) @ edge / l2, 0.0, 1.0))
+    return float(np.linalg.norm(point - (edge_start + t * edge)))
+
+
+def compare_edge_distance_scalar(x, a0, a1, r: float) -> int:
+    """sign(dist(x, edge a0a1) - r), predicates.rs:503-520."""
+    x = np.asarray(x, np.float64)
+    a0 = np.asarray(a0, np.float64)
+    a1 = np.asarray(a1, np.float64)
+    edge = a1 - a0
+    l2 = float(edge @ edge)
+    if l2 < np.finfo(np.float64).eps:
+        return compare_distance_scalar(x - a0, r)
+    t = float(np.clip((x - a0) @ edge / l2, 0.0, 1.0))
+    return compare_distance_scalar(x - (a0 + t * edge), r)
+
+
+def compare_edge_pair_distance_scalar(a0, a1, b0, b1, r: float) -> int:
+    """predicates.rs:525-545 (vertex-to-edge sampling; borderline -> 0
+    placeholder, reproduced)."""
+    eps4 = 4.0 * float(np.finfo(np.float64).eps)
+    m = min(
+        _min_edge_distance(a0, b0, b1),
+        _min_edge_distance(a1, b0, b1),
+        _min_edge_distance(b0, a0, a1),
+        _min_edge_distance(b1, a0, a1),
+    )
+    if m > r + eps4:
+        return 1
+    if m < r - eps4:
+        return -1
+    return 0
+
+
 def ordered_ccw_scalar(a, b, c, o) -> bool:
     """B within the CCW angle from A to C around O (predicates.rs:466-496,
     the reference's simplified version)."""
