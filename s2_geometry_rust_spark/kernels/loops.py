@@ -174,6 +174,8 @@ class S2Loop:
         signs = np.where(det > pred.TRIAGE_ERROR_THRESHOLD, 1,
                          np.where(det < -pred.TRIAGE_ERROR_THRESHOLD, -1, 0)).astype(np.int64)
         unresolved = np.argwhere(signs == 0)
+        pred.TRIAGE_TOTAL_COUNT += int(signs.size)
+        pred.EXACT_FALLBACK_COUNT += int(len(unresolved))
         for pi, ei in unresolved:
             signs[pi, ei] = pred.exact_sign_scalar(flat[pi], v[ei], vn[ei])
         inside = signs.sum(axis=1) > 0

@@ -42,6 +42,9 @@ _REFINABLE = {"loop", "cap", "rect"}
 # bench loop, incremental batches) skip recomputation entirely.
 _COVERING_CACHE: dict = {}
 
+# Accumulators of the most recent join (see last_fallback_rate).
+FALLBACK_ACCUMULATORS: dict = {}
+
 
 def _region_cache_key(row: dict) -> tuple:
     def _freeze(v):
@@ -175,11 +178,22 @@ def point_in_region_join(points: DataFrame, regions: DataFrame,
 
     bc = spark.sparkContext.broadcast(region_rows)
 
+    # Fleet-wide exact-arithmetic fallback accounting (BASELINE sanity
+    # target: < 1% of predicate evaluations).  Read after an action via
+    # ``last_fallback_rate()``.
+    acc_total = spark.sparkContext.accumulator(0)
+    acc_exact = spark.sparkContext.accumulator(0)
+    FALLBACK_ACCUMULATORS["total"] = acc_total
+    FALLBACK_ACCUMULATORS["exact"] = acc_exact
+
     out_schema = cand.schema
 
     def refine_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels import predicates as _pred
+
         regions_cache: dict[str, object] = {}
         rows = bc.value
+        t0, e0 = _pred.TRIAGE_TOTAL_COUNT, _pred.EXACT_FALLBACK_COUNT
         for b in batches:
             if len(b) == 0:
                 yield b
@@ -203,8 +217,20 @@ def point_in_region_join(points: DataFrame, regions: DataFrame,
                 else:  # rect
                     keep[idx] = reg.rect.contains_latlng_batch(lat_r[idx], lng_r[idx])
             yield b[keep]
+        acc_total.add(int(_pred.TRIAGE_TOTAL_COUNT - t0))
+        acc_exact.add(int(_pred.EXACT_FALLBACK_COUNT - e0))
 
     return cand.mapInPandas(refine_fn, out_schema)
+
+
+def last_fallback_rate() -> float | None:
+    """Exact-arithmetic fallback rate of the most recent
+    point_in_region_join action (None before any action)."""
+    total = FALLBACK_ACCUMULATORS.get("total")
+    exact = FALLBACK_ACCUMULATORS.get("exact")
+    if total is None or total.value == 0:
+        return None
+    return exact.value / total.value
 
 
 def point_in_rect_join(points: DataFrame, rects: DataFrame) -> DataFrame:

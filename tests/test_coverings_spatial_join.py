@@ -112,3 +112,13 @@ def test_point_in_rect_join_pure_jvm(spark, points):
         (p.lat.between(-10, 10)) & ((p.lng >= 170) | (p.lng <= -170))
     ).sum()
     assert len(pdf) == want
+
+
+def test_exact_fallback_rate_under_one_percent(spark, regions, points):
+    from s2_geometry_rust_spark.operators.spatial_join import last_fallback_rate
+
+    point_in_region_join(points, regions, max_cells=32).count()
+    rate = last_fallback_rate()
+    # BASELINE sanity target (src/lib.rs:18-20 tier claims): < 1% of
+    # predicate evaluations take the exact-arithmetic path
+    assert rate is not None and rate < 0.01, rate
