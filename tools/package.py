@@ -35,3 +35,10 @@ if __name__ == "__main__":
     path = build(*sys.argv[1:])
     names = zipfile.ZipFile(path).namelist()
     print(f"{path}: {len(names)} files")
+
+
+# Verified deployment path (run from any directory, no repo on sys.path):
+#   python tools/package.py /tmp/s2pkg.zip
+#   /opt/spark/bin/spark-submit --master local[4] \
+#       --py-files /tmp/s2pkg.zip tools/submit_smoke_job.py
+# -> TILES_ROWS=<n> from the packaged engine alone.
