@@ -321,6 +321,27 @@ def edge_crossings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_crossing_join(a, b, candidates_via_index=False)
 
 
+def polyline_crossings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polyline-intersection join (polyline.rs:316-338 semantics as a
+    distributed filter-and-refine join); kernel-parity in pytest."""
+    from .operators.polyline_join import polyline_intersection_join
+
+    lines = {
+        "equator_w": [(0.0, -30.0), (0.0, 0.0), (0.0, 30.0)],
+        "meridian_0": [(-20.0, 0.0), (20.0, 0.0)],
+        "meridian_90": [(-20.0, 90.0), (20.0, 90.0)],
+        "arctic_arc": [(80.0, -30.0), (80.0, 30.0)],
+        "mid_lat": [(30.0, -40.0), (35.0, 40.0)],
+    }
+    df = spark.createDataFrame(
+        [(k, [(float(a), float(b)) for a, b in v]) for k, v in lines.items()],
+        "line_id string, vertices array<struct<lat:double,lng:double>>",
+    )
+    return polyline_intersection_join(df, df).filter(
+        F.col("a_id") < F.col("b_id")
+    )
+
+
 def ann_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import cosine_topk_bruteforce
 
@@ -356,6 +377,7 @@ QUERIES = {
     "ann_cosine": ann_cosine_q,
     "loop_stats": loop_stats_q,
     "edge_crossings": edge_crossings_q,
+    "polyline_crossings": polyline_crossings_q,
 }
 
 ORACLES = {

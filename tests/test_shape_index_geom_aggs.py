@@ -161,3 +161,42 @@ def test_union_leaf_cells_covered(spark):
     got = union_leaf_cells_covered(df).toPandas().set_index("union_id")
     assert got.loc["u"].leaf_cells_covered == 4 ** 30
     assert got.loc["v"].leaf_cells_covered == 2 * 4 ** 29
+
+
+def test_polyline_intersection_join(spark):
+    from s2_geometry_rust_spark.operators.polyline_join import (
+        polyline_intersection_join,
+    )
+
+    lines = {
+        "equator_w": [(0.0, -30.0), (0.0, 0.0), (0.0, 30.0)],
+        "meridian_0": [(-20.0, 0.0), (20.0, 0.0)],
+        "meridian_90": [(-20.0, 90.0), (20.0, 90.0)],
+        "arctic_arc": [(80.0, -30.0), (80.0, 30.0)],
+    }
+    df = spark.createDataFrame(
+        [(k, [(float(a), float(b)) for a, b in v]) for k, v in lines.items()],
+        "line_id string, vertices array<struct<lat:double,lng:double>>",
+    )
+    got = polyline_intersection_join(df, df).toPandas()
+    pairs = {tuple(sorted((r.a_id, r.b_id))) for r in got.itertuples()
+             if r.a_id != r.b_id}
+    # ground truth via the kernel on all pairs
+    from s2_geometry_rust_spark.kernels import latlng as lk2
+    from s2_geometry_rust_spark.kernels import polylines as pk2
+
+    def verts(v):
+        lat = lk2.degrees_to_radians(np.array([p[0] for p in v], float))
+        lng = lk2.degrees_to_radians(np.array([p[1] for p in v], float))
+        x, y, z = lk2.latlng_to_xyz(lat, lng)
+        return np.stack([x, y, z], axis=-1)
+
+    names = list(lines)
+    want = set()
+    for i, ni in enumerate(names):
+        for nj in names[i + 1:]:
+            if pk2.intersects(verts(lines[ni]), verts(lines[nj])):
+                want.add(tuple(sorted((ni, nj))))
+    assert pairs == want
+    assert ("equator_w", "meridian_0") in pairs
+    assert not any("arctic_arc" in p and "equator_w" in p for p in pairs)
