@@ -62,9 +62,11 @@ def media_spans(docs: DataFrame) -> DataFrame:
         "span_idx",
         F.col("span.media_ref").alias("media_ref"),
     )
+    # pmod, not %: Spark's remainder is negative for negative hashes,
+    # which would funnel ~half of all refs into the video branch.
     modality = (
-        F.when(F.xxhash64("media_ref") % 3 == 0, "image")
-        .when(F.xxhash64("media_ref") % 3 == 1, "audio")
+        F.when(F.pmod(F.xxhash64("media_ref"), F.lit(3)) == 0, "image")
+        .when(F.pmod(F.xxhash64("media_ref"), F.lit(3)) == 1, "audio")
         .otherwise("video")
     )
     # fake payload: utf-8 bytes of the ref (deterministic, small)
@@ -73,45 +75,65 @@ def media_spans(docs: DataFrame) -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes, modality: str) -> dict:
-    """Deterministic stand-in decoder.
-
-    Real implementation: PIL.Image.open / soundfile.read / pyav frame
-    sampling.  Raises nothing here so the pipeline shape is testable;
-    a real deployment replaces DECODERS[modality].
-    """
+def _feature_vec(payload: bytes) -> np.ndarray:
     h = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
     rng_like = (h.cumsum() % 251.0) / 251.0
-    base = rng_like[:8] if len(rng_like) >= 8 else np.pad(rng_like, (0, 8 - len(rng_like)))
+    if len(rng_like) >= 8:
+        return rng_like[:8]
+    return np.pad(rng_like, (0, 8 - len(rng_like)))
+
+
+def _fake_decode_batch(payloads: list[bytes], modality: str) -> dict:
+    """Deterministic stand-in BATCH decoder: one call per (Arrow batch,
+    modality), columnar output — the shape a real vectorized codec
+    (PIL batched open / torchaudio batch load / pyav frame sampling)
+    slots into.  A real deployment replaces DECODERS[modality] with a
+    function of the same (payload list) -> columnar dict contract.
+    """
+    n = len(payloads)
+    feats = [_feature_vec(p) for p in payloads]
     if modality == "image":
-        return {"width": 64, "height": 64, "n_frames": 1, "features": base}
+        return {"width": np.full(n, 64), "height": np.full(n, 64),
+                "n_frames": np.full(n, 1), "features": feats}
     if modality == "audio":
-        return {"width": 0, "height": 0, "n_frames": int(len(h)), "features": base}
-    return {"width": 32, "height": 32, "n_frames": 16, "features": base}
+        lens = np.fromiter((len(p) for p in payloads), np.int64, count=n)
+        return {"width": np.zeros(n, np.int64), "height": np.zeros(n, np.int64),
+                "n_frames": lens, "features": feats}
+    return {"width": np.full(n, 32), "height": np.full(n, 32),
+            "n_frames": np.full(n, 16), "features": feats}
 
 
-DECODERS = {"image": _fake_decode, "audio": _fake_decode, "video": _fake_decode}
+DECODERS = {
+    "image": _fake_decode_batch,
+    "audio": _fake_decode_batch,
+    "video": _fake_decode_batch,
+}
 
 
 def extract_media_features(spans: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction: Arrow-batched, per-modality
-    vectorizable, no shuffle (runs in place on the span partitions)."""
+    """mapInPandas feature extraction: Arrow-batched, one decoder call
+    per (batch, modality) — no per-row Python dispatch — and no shuffle
+    (runs in place on the span partitions)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            out = {
-                "doc_id": [], "span_idx": [], "modality": [],
-                "width": [], "height": [], "n_frames": [], "features": [],
-            }
-            for _, row in b.iterrows():
-                dec = DECODERS[row["modality"]](row["payload"], row["modality"])
-                out["doc_id"].append(row["doc_id"])
-                out["span_idx"].append(row["span_idx"])
-                out["modality"].append(row["modality"])
-                out["width"].append(dec["width"])
-                out["height"].append(dec["height"])
-                out["n_frames"].append(dec["n_frames"])
-                out["features"].append(np.asarray(dec["features"], np.float64))
-            yield pd.DataFrame(out)
+            if len(b) == 0:
+                continue
+            parts = []
+            for modality, idx in b.groupby("modality").indices.items():
+                sub = b.iloc[idx]
+                dec = DECODERS[modality](list(sub["payload"]), modality)
+                parts.append(pd.DataFrame(
+                    {
+                        "doc_id": sub["doc_id"].to_numpy(),
+                        "span_idx": sub["span_idx"].to_numpy(),
+                        "modality": modality,
+                        "width": np.asarray(dec["width"], np.int64),
+                        "height": np.asarray(dec["height"], np.int64),
+                        "n_frames": np.asarray(dec["n_frames"], np.int64),
+                        "features": dec["features"],
+                    }
+                ))
+            yield pd.concat(parts, ignore_index=True)
 
     return spans.mapInPandas(run, FEATURE_SCHEMA)

@@ -105,7 +105,14 @@ def polyline_intersection_join(lines_a: DataFrame, lines_b: DataFrame
         F.greatest(F.lit(0.0), 1.0 - F.col("b_cos_r") * F.col("b_cos_r"))
     )
     cos_sum = F.col("cos_r") * F.col("b_cos_r") - sin_a * sin_b
-    pairs = a.join(F.broadcast(b), dot >= cos_sum - F.lit(1e-12))
+    # cos(r_a + r_b) is only a valid lower bound while r_a + r_b < pi;
+    # past that the caps jointly cover every direction, so every pair is
+    # a candidate.  r_a + r_b >= pi  <=>  cos_r + b_cos_r <= 0 (each
+    # radius is in [0, pi] so cos(r_a) <= -cos(r_b) iff r_a >= pi - r_b).
+    caps_cover_sphere = (F.col("cos_r") + F.col("b_cos_r")) <= F.lit(0.0)
+    pairs = a.join(
+        F.broadcast(b), (dot >= cos_sum - F.lit(1e-12)) | caps_cover_sphere
+    )
 
     schema = StructType(
         [

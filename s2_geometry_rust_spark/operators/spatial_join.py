@@ -42,8 +42,23 @@ _REFINABLE = {"loop", "cap", "rect"}
 # bench loop, incremental batches) skip recomputation entirely.
 _COVERING_CACHE: dict = {}
 
-# Accumulators of the most recent join (see last_fallback_rate).
+# One (total, exact) accumulator pair per SparkContext, keyed by the
+# context's applicationId: registering a fresh pair per join call leaks
+# accumulators, and pairs from a stopped context must never be read
+# (bench.py-style create/stop cycles made PythonAccumulatorV2.merge
+# throw against dead sockets).  See last_fallback_rate().
 FALLBACK_ACCUMULATORS: dict = {}
+
+
+def _session_accumulators(spark):
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    entry = FALLBACK_ACCUMULATORS.get("entry")
+    if entry is None or entry[0] != app_id:
+        FALLBACK_ACCUMULATORS["entry"] = (
+            app_id, sc.accumulator(0), sc.accumulator(0), sc
+        )
+    return FALLBACK_ACCUMULATORS["entry"][1:3]
 
 
 def _region_cache_key(row: dict) -> tuple:
@@ -181,10 +196,7 @@ def point_in_region_join(points: DataFrame, regions: DataFrame,
     # Fleet-wide exact-arithmetic fallback accounting (BASELINE sanity
     # target: < 1% of predicate evaluations).  Read after an action via
     # ``last_fallback_rate()``.
-    acc_total = spark.sparkContext.accumulator(0)
-    acc_exact = spark.sparkContext.accumulator(0)
-    FALLBACK_ACCUMULATORS["total"] = acc_total
-    FALLBACK_ACCUMULATORS["exact"] = acc_exact
+    acc_total, acc_exact = _session_accumulators(spark)
 
     out_schema = cand.schema
 
@@ -224,11 +236,16 @@ def point_in_region_join(points: DataFrame, regions: DataFrame,
 
 
 def last_fallback_rate() -> float | None:
-    """Exact-arithmetic fallback rate of the most recent
-    point_in_region_join action (None before any action)."""
-    total = FALLBACK_ACCUMULATORS.get("total")
-    exact = FALLBACK_ACCUMULATORS.get("exact")
-    if total is None or total.value == 0:
+    """Exact-arithmetic fallback rate accumulated over this session's
+    point_in_region_join actions (None before any action, and None once
+    the owning SparkContext has been stopped)."""
+    entry = FALLBACK_ACCUMULATORS.get("entry")
+    if entry is None:
+        return None
+    _, total, exact, sc = entry
+    if getattr(sc, "_jsc", None) is None or sc._jsc.sc().isStopped():
+        return None
+    if total.value == 0:
         return None
     return exact.value / total.value
 

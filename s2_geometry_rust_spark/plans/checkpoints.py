@@ -51,8 +51,15 @@ CHECKPOINT_SCHEMA = StructType(
 def write_stage_checkpoint(df: DataFrame, stage: str, unit_col: str,
                            cell_col: str, path: str, lineage: str = "") -> None:
     """Aggregate per-work-unit metrics of a finished stage and append
-    them to the checkpoint table."""
-    t0 = time.time()
+    them to the checkpoint table.
+
+    Latency protocol: per-unit rows carry latency_ms = NULL (they are
+    written by the same job whose duration is being measured — a
+    pre-action literal would always record ~0); after the write action
+    completes, one sentinel row (unit_id = -1, lineage suffixed
+    ``#stage_total``) is appended with the measured wall time of the
+    whole stage write."""
+    spark = df.sparkSession
     metrics = (
         df.groupBy(F.col(unit_col).alias("unit_id"))
         .agg(
@@ -70,13 +77,21 @@ def write_stage_checkpoint(df: DataFrame, stage: str, unit_col: str,
                 "cell_range_max"
             ),
             "row_count",
-            F.lit((time.time() - t0) * 1000.0).alias("latency_ms"),
+            F.lit(None).cast("double").alias("latency_ms"),
             F.lit(lineage).alias("lineage"),
             F.lit(time.time()).alias("ts"),
         )
     )
+    t0 = time.time()
     # Iceberg: metrics.writeTo("catalog.db.checkpoints").append()
     metrics.write.mode("append").parquet(path)
+    elapsed_ms = (time.time() - t0) * 1000.0
+    total = spark.createDataFrame(
+        [(stage, -1, None, None, None, elapsed_ms,
+          f"{lineage}#stage_total", time.time())],
+        CHECKPOINT_SCHEMA,
+    )
+    total.coalesce(1).write.mode("append").parquet(path)
 
 
 def completed_units(spark: SparkSession, stage: str, path: str) -> DataFrame:
@@ -86,7 +101,10 @@ def completed_units(spark: SparkSession, stage: str, path: str) -> DataFrame:
     except Exception:
         return spark.createDataFrame([], "unit_id long")
     return (
-        cp.filter(F.col("stage") == stage).select("unit_id").distinct()
+        cp.filter(F.col("stage") == stage)
+        .filter(~F.col("lineage").endswith("#stage_total"))
+        .select("unit_id")
+        .distinct()
     )
 
 

@@ -112,7 +112,7 @@ def _spans_for_batch(ids: np.ndarray, seed: int) -> list[list[tuple]]:
         for j in range(int(n_spans[r])):
             if j == int(geo_pos[r]):
                 kind = "geo"
-                text = f"POINT({lat[r]!r} {lng[r]!r})"
+                text = f"POINT({float(lat[r])!r} {float(lng[r])!r})"
                 media = ""
             elif kind_u[j][r] < 0.6:
                 kind = "text"
@@ -163,7 +163,8 @@ def interleave_flat_documents(docs: DataFrame, seed: int = 42) -> DataFrame:
             spans = [
                 [
                     ("text", texts[r], "", 0),
-                    ("geo", f"POINT({lat[r]!r} {lng[r]!r})", "", max(len(texts[r]), 1)),
+                    ("geo", f"POINT({float(lat[r])!r} {float(lng[r])!r})", "",
+                     max(len(texts[r]), 1)),
                 ]
                 for r in range(len(ids))
             ]

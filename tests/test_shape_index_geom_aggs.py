@@ -200,3 +200,39 @@ def test_polyline_intersection_join(spark):
     assert pairs == want
     assert ("equator_w", "meridian_0") in pairs
     assert not any("arctic_arc" in p and "equator_w" in p for p in pairs)
+
+
+def test_polyline_join_hemisphere_caps_not_dropped(spark):
+    """Candidate filter regression: when r_a + r_b >= pi the cosine
+    bound cos(r_a+r_b) is not monotone, so jointly-sphere-covering cap
+    pairs must be admitted unconditionally (an equator arc x a
+    270-degree meridian arc intersect but the naive filter rejects)."""
+    from s2_geometry_rust_spark.operators.polyline_join import (
+        polyline_intersection_join,
+    )
+
+    lines = {
+        # 270-degree meridian arc: cap radius > hemisphere
+        "long_meridian": [(-80.0, 0.0), (0.0, 0.0), (80.0, 0.0),
+                          (80.0, 180.0), (0.0, 180.0), (-80.0, 180.0)],
+        "equator": [(0.0, -90.0), (0.0, -30.0), (0.0, 30.0), (0.0, 90.0)],
+    }
+    df = spark.createDataFrame(
+        [(k, [(float(a), float(b)) for a, b in v]) for k, v in lines.items()],
+        "line_id string, vertices array<struct<lat:double,lng:double>>",
+    )
+    got = polyline_intersection_join(df, df).toPandas()
+    pairs = {tuple(sorted((r.a_id, r.b_id))) for r in got.itertuples()
+             if r.a_id != r.b_id}
+    # kernel ground truth says they intersect
+    from s2_geometry_rust_spark.kernels import latlng as lk2
+    from s2_geometry_rust_spark.kernels import polylines as pk2
+
+    def verts(v):
+        lat = lk2.degrees_to_radians(np.array([p[0] for p in v], float))
+        lng = lk2.degrees_to_radians(np.array([p[1] for p in v], float))
+        x, y, z = lk2.latlng_to_xyz(lat, lng)
+        return np.stack([x, y, z], axis=-1)
+
+    assert pk2.intersects(verts(lines["long_meridian"]), verts(lines["equator"]))
+    assert ("equator", "long_meridian") in pairs
