@@ -395,4 +395,7 @@ ORACLES = {
     "union_leaf_cells": oracle.union_leaf_cells_sql(),
     "raster_join": oracle.raster_join_sql(6),
     "events_hourly": oracle.events_hourly_sql(),
+    "fingerprints": oracle.fingerprints_sql(),
+    "simhash": oracle.simhash_sql(),
+    "near_dup_pairs": oracle.near_dup_pairs_sql(),
 }

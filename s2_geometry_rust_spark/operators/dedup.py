@@ -264,7 +264,9 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                         count=len(words),
                     )
                     bits = (hs[:, None] >> bitcols[None, :]) & np.uint64(1)
-                    votes = bits.sum(axis=0) * 2 - len(words)
+                    # signed: a uint64 vote count would wrap negative
+                    # margins to huge positives and set every bit
+                    votes = bits.sum(axis=0).astype(np.int64) * 2 - len(words)
                     out[r] = np.sum(
                         (votes > 0).astype(np.uint64) << bitcols
                     )

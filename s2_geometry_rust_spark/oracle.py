@@ -335,3 +335,161 @@ SELECT date_trunc('hour', ts) AS ts_hour, event_type,
 FROM events
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# hash-family oracles: fingerprints / simhash / minhash-LSH near-dup.
+# All integer arithmetic is carried in HUGEINT with explicit % 2^64 to
+# reproduce numpy's uint64 wraparound bit-for-bit; character codes come
+# from string_split(text, '') + unicode() (the corpora are ASCII, so
+# code points == UTF-8 bytes — asserted by the engine's test suite).
+# ---------------------------------------------------------------------------
+
+FNV_SEED = 1469598103934665603   # engine seed (operators/dedup.py, text.py)
+FNV_PRIME = 1099511628211
+SHINGLE_P = 0x100000001B3        # == FNV_PRIME; dedup.py _SHINGLE_P
+MERSENNE61 = (1 << 61) - 1
+
+
+def _u64_to_bigint(expr: str) -> str:
+    """Reinterpret a HUGEINT holding a u64 value as signed BIGINT."""
+    return (f"CASE WHEN {expr} >= {U63} THEN CAST({expr} - {U64} AS BIGINT) "
+            f"ELSE CAST({expr} AS BIGINT) END")
+
+
+def _fnv1a_sql(word_expr: str) -> str:
+    """FNV-1a over the characters of a word, h=(h^b)*prime mod 2^64
+    (mirror of operators/dedup.py:_fnv1a_bytes)."""
+    return (
+        f"list_reduce(list_prepend({FNV_SEED}::HUGEINT, "
+        f"list_transform(string_split({word_expr}, ''), c -> unicode(c)::HUGEINT)), "
+        f"(h, b) -> ((xor(h::UBIGINT, b::UBIGINT))::HUGEINT * {FNV_PRIME}) "
+        f"% {U64}::HUGEINT)"
+    )
+
+
+def fingerprints_sql() -> str:
+    """Rolling polynomial document hash, Horner form
+    h = ((seed*257 + b0)*257 + b1)... mod 2^64
+    (mirror of operators/text.py:fingerprints)."""
+    return f"""
+WITH fp AS (
+  SELECT doc_id,
+    list_reduce(list_prepend({FNV_SEED}::HUGEINT,
+      list_transform(string_split(text, ''), c -> unicode(c)::HUGEINT)),
+      (h, b) -> (h * 257 + b) % {U64}::HUGEINT) AS v
+  FROM documents
+)
+SELECT doc_id, {_u64_to_bigint('v')} AS fingerprint FROM fp
+"""
+
+
+def simhash_sql() -> str:
+    """64-bit SimHash: per-word FNV-1a, bit-majority vote
+    (mirror of operators/dedup.py:simhash_signatures)."""
+    bit_counts = ",\n         ".join(
+        f"sum(CAST((wh >> {j}) & 1 AS BIGINT)) AS c{j}" for j in range(64)
+    )
+    recombine = " + ".join(
+        f"CASE WHEN 2*c{j} > n THEN {1 << j}::HUGEINT ELSE 0::HUGEINT END"
+        for j in range(64)
+    )
+    return rf"""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> '')) AS word
+  FROM documents
+), h AS (
+  SELECT doc_id, ({_fnv1a_sql('word')})::UBIGINT AS wh FROM w
+), b AS (
+  SELECT doc_id, count(*) AS n,
+         {bit_counts}
+  FROM h GROUP BY doc_id
+), s AS (
+  SELECT doc_id, ({recombine}) AS hv FROM b
+)
+SELECT d.doc_id, coalesce({_u64_to_bigint('s.hv')}, 0) AS simhash
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
+def _shingle_sets_cte() -> str:
+    """CTE fragments ending in ``shd(doc_id, s)``: the distinct k=3 word
+    shingle hashes per document (mirror of dedup.py
+    _stable_shingle_hashes: per-word FNV-1a, rolling polynomial combine
+    over min(k, n_words) words, then unique)."""
+    P = SHINGLE_P
+    return rf"""
+words AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+), wh AS (
+  SELECT doc_id, list_transform(ws, w -> {_fnv1a_sql('w')}) AS hs, len(ws) AS n
+  FROM words
+), sh AS (
+  SELECT doc_id,
+    list_transform(range(1, n - least(3, n) + 2), i ->
+      CASE least(3, n)
+        WHEN 1 THEN hs[i]
+        WHEN 2 THEN (hs[i] * {P} + hs[i+1]) % {U64}::HUGEINT
+        ELSE (((hs[i] * {P} + hs[i+1]) % {U64}::HUGEINT) * {P} + hs[i+2])
+             % {U64}::HUGEINT
+      END) AS shs
+  FROM wh WHERE n > 0
+), shd AS (
+  SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest(shs) AS s FROM sh)
+)"""
+
+
+def _minhash_perm_values(n_perm: int = 128, seed: int = 42) -> str:
+    """The engine's universal-hash parameters (dedup.py:_minhash_matrix
+    draws a then b from numpy default_rng(seed)) as a VALUES list."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE61, size=n_perm, dtype=np.uint64)
+    b = rng.integers(0, MERSENNE61, size=n_perm, dtype=np.uint64)
+    return ", ".join(
+        f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)"
+        for i in range(n_perm)
+    )
+
+
+def near_dup_pairs_sql(threshold: float = 0.5, n_perm: int = 128,
+                       n_bands: int = 32) -> str:
+    """Full minhash-LSH near-dup pipeline (mirror of
+    dedup.py:near_dedup_minhash): 128 minhashes -> 32 bands x 4 rows ->
+    pairs sharing any band (bucket equality == band-slice equality,
+    modulo the engine's xxhash64 bucketing whose collisions are ~2^-64)
+    -> exact shingle-Jaccard filter."""
+    rows = n_perm // n_bands
+    return f"""
+WITH {_shingle_sets_cte()},
+perms(perm, a, b) AS (VALUES {_minhash_perm_values(n_perm)}),
+mins AS (
+  SELECT shd.doc_id, p.perm,
+         min(((p.a * shd.s + p.b) % {U64}::HUGEINT) % {MERSENNE61}) AS mv
+  FROM shd, perms p GROUP BY shd.doc_id, p.perm
+), sigs AS (
+  SELECT doc_id, list(mv ORDER BY perm) AS sig FROM mins GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, t.band,
+         sig[t.band*{rows}+1 : t.band*{rows}+{rows}] AS key
+  FROM sigs, range(0, {n_bands}) t(band)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+), sets AS (
+  SELECT doc_id, list(s) AS ss FROM shd GROUP BY doc_id
+), verified AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+      / greatest(len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)), 1)
+      AS jaccard
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.doc_a
+  JOIN sets sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold!r}
+"""
