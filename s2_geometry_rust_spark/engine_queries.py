@@ -307,34 +307,59 @@ def loop_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loop_stats(fixtures.loop_regions(spark))
 
 
+# Loop split for the edge-crossing contract query.  Shape ids follow
+# sorted(name) order in edges_from_loops: antarctic_80=0, arctic_80=1,
+# candy_cane=2, loop_a=3, loop_b=4, small_ne_cw=5.  The split below
+# exercises shared-vertex degenerate pairs (loop_a x loop_b) on the
+# *index* candidate path at face level — scale-shaped (equi-join on a
+# codegen cell key, no cross join) and fully SQL-oracled.
+EDGE_CROSS_LOOPS = ["antarctic_80", "arctic_80", "candy_cane",
+                    "loop_a", "loop_b", "small_ne_cw"]
+EDGE_CROSS_A_SIDS = [1, 2, 3]   # arctic_80, candy_cane, loop_a
+EDGE_CROSS_LEVEL = 0            # fixture edges only collide at face level
+
+
 def edge_crossings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edge-crossing join via the level-15 shape index
-    (mutable_shape_index.rs semantics + predicates.rs crossing_sign)."""
+    """Edge-crossing join via the shape-index candidate path
+    (mutable_shape_index.rs semantics + predicates.rs crossing_sign).
+    Fixture-scale edges share cells only at face level, so the index
+    level is 0 here; the operator defaults to the reference's 15."""
     from . import fixtures
     from .operators.shape_index import edge_crossing_join, edges_from_loops
 
-    names = ["candy_cane", "small_ne_cw", "arctic_80", "line_triangle",
-             "loop_a", "loop_b"]
-    edges = edges_from_loops(spark, {n: fixtures.LOOPS[n] for n in names})
-    a = edges.filter(F.col("shape_id") < 3)
-    b = edges.filter(F.col("shape_id") >= 3)
-    return edge_crossing_join(a, b, candidates_via_index=False)
+    edges = edges_from_loops(
+        spark, {n: fixtures.LOOPS[n] for n in EDGE_CROSS_LOOPS}
+    )
+    a = edges.filter(F.col("shape_id").isin(EDGE_CROSS_A_SIDS))
+    b = edges.filter(~F.col("shape_id").isin(EDGE_CROSS_A_SIDS))
+    return edge_crossing_join(
+        a, b, candidates_via_index=True, candidate_level=EDGE_CROSS_LEVEL
+    )
+
+
+# Contract polyline set: every crossing is transversal (no polyline
+# passes exactly through another's vertex), so every crossing_sign
+# determinant resolves in the triage tier and the DuckDB oracle can
+# reproduce the decision with plain f64 arithmetic.  Degenerate/vertex
+# cases stay covered by the kernel parity suite in pytest.
+POLYLINE_LINES = {
+    "equator_w": [(0.0, -30.0), (0.0, 0.0), (0.0, 30.0)],
+    "meridian_10": [(-20.0, 10.0), (20.0, 10.0)],
+    "meridian_90": [(-20.0, 90.0), (20.0, 90.0)],
+    "arctic_arc": [(80.0, -30.0), (80.0, 30.0)],
+    "mid_lat": [(30.0, -40.0), (35.0, 40.0)],
+    "diag": [(-25.0, -20.0), (25.0, 35.0)],
+}
 
 
 def polyline_crossings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polyline-intersection join (polyline.rs:316-338 semantics as a
-    distributed filter-and-refine join); kernel-parity in pytest."""
+    distributed filter-and-refine join)."""
     from .operators.polyline_join import polyline_intersection_join
 
-    lines = {
-        "equator_w": [(0.0, -30.0), (0.0, 0.0), (0.0, 30.0)],
-        "meridian_0": [(-20.0, 0.0), (20.0, 0.0)],
-        "meridian_90": [(-20.0, 90.0), (20.0, 90.0)],
-        "arctic_arc": [(80.0, -30.0), (80.0, 30.0)],
-        "mid_lat": [(30.0, -40.0), (35.0, 40.0)],
-    }
     df = spark.createDataFrame(
-        [(k, [(float(a), float(b)) for a, b in v]) for k, v in lines.items()],
+        [(k, [(float(a), float(b)) for a, b in v])
+         for k, v in POLYLINE_LINES.items()],
         "line_id string, vertices array<struct<lat:double,lng:double>>",
     )
     return polyline_intersection_join(df, df).filter(
@@ -398,4 +423,8 @@ ORACLES = {
     "fingerprints": oracle.fingerprints_sql(),
     "simhash": oracle.simhash_sql(),
     "near_dup_pairs": oracle.near_dup_pairs_sql(),
+    "knn_cell_ring": oracle.knn_cell_ring_sql(),
+    "ann_cosine": oracle.ann_cosine_sql(),
+    "edge_crossings": oracle.edge_crossings_sql(),
+    "polyline_crossings": oracle.polyline_crossings_sql(),
 }

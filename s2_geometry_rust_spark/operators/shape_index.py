@@ -127,14 +127,20 @@ _CROSS_SCHEMA_FIELDS = [
 
 
 def edge_crossing_join(edges_a: DataFrame, edges_b: DataFrame,
-                       candidates_via_index: bool = True) -> DataFrame:
+                       candidates_via_index: bool = True,
+                       candidate_level: int = INDEX_LEVEL) -> DataFrame:
     """Edge-crossing join (SURVEY.md §2.5): candidate pairs via shared
-    level-15 index cell, refined with the reference's crossing_sign
-    (predicates.rs:666-682, returns only +1/-1).
+    index cell at ``candidate_level`` (default 15 = reference parity,
+    mutable_shape_index.rs:169-193), refined with the reference's
+    crossing_sign (predicates.rs:666-682, returns only +1/-1).
 
+    The index path is the scale path: candidate generation is a pure
+    hash equi-join on a codegen bit-expression key — no cross join ever
+    touches the big sides.  Each edge owns exactly one v0-parent cell,
+    so the join emits each candidate pair once (no dedup needed).
     candidates_via_index=False: exact all-pairs (broadcast the smaller
-    side) — the oracle path for tests; the index path reproduces the
-    reference's unclipped level-15 candidate semantics."""
+    side) — kept ONLY as the pytest oracle for index-path recall; never
+    use it in production plans (O(n*m))."""
     a = edges_a.select(
         F.col("shape_id").alias("a_shape"), F.col("edge_id").alias("a_edge"),
         *[F.col(c).alias(f"a_{c}") for c in ("v0x", "v0y", "v0z", "v1x", "v1y", "v1z")],
@@ -146,11 +152,11 @@ def edge_crossing_join(edges_a: DataFrame, edges_b: DataFrame,
     if candidates_via_index:
         a = a.withColumn(
             "_cell", cell_parent(cell_id_from_xyz("a_v0x", "a_v0y", "a_v0z"),
-                                 INDEX_LEVEL)
+                                 candidate_level)
         )
         b = b.withColumn(
             "_cell", cell_parent(cell_id_from_xyz("b_v0x", "b_v0y", "b_v0z"),
-                                 INDEX_LEVEL)
+                                 candidate_level)
         )
         pairs = a.join(b, "_cell").drop("_cell")
     else:

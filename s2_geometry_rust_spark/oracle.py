@@ -493,3 +493,257 @@ mins AS (
 )
 SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold!r}
 """
+
+
+# ---------------------------------------------------------------------------
+# kNN oracles
+# ---------------------------------------------------------------------------
+
+def _parent_var_sql(col: str, lv_expr: str) -> str:
+    """parent-at-variable-level: lsb = 4^(30-lv) (a power of two, exact
+    in double for every level)."""
+    lsb = f"CAST(power(4, 30 - {lv_expr}) AS BIGINT)"
+    return f"(({col} & -{lsb}) | {lsb})"
+
+
+def knn_cell_ring_sql(k: int = 10, start_level: int = 4,
+                      margin_levels: int = 1, n_queries: int = 20) -> str:
+    """Mirror of operators/knn.py:knn_cell_ring over the derived-point
+    tables: (1) per-(level, cell) candidate density for levels
+    0..start_level; (2) per query the deepest level with >= k candidates
+    in the query's ancestor cell, minus the margin (floor 0, missing ->
+    0); (3) candidate join on ancestor equality at that level, exact
+    squared-chord top-k ordered (chord2, neighbor_id)."""
+    levels_values = ", ".join(f"({lv})" for lv in range(start_level + 1))
+    return (
+        f"WITH lut(idx, r) AS (VALUES {lookup_pos_sql_values()}),"
+        + _hilbert_chain(derived_points_sql("customer", "c_custkey"), "")
+        + ","
+        + _hilbert_chain(derived_points_sql("supplier", "s_suppkey"), "b_")
+        + f"""
+, q AS (
+  SELECT l.point_id AS query_id, l.cell_id, p.x AS qx, p.y AS qy, p.z AS qz
+  FROM b_leaf l JOIN b_pts p USING (point_id) WHERE l.point_id < {n_queries}
+), c AS (
+  SELECT l.point_id AS neighbor_id, l.cell_id, p.x AS cx, p.y AS cy, p.z AS cz
+  FROM leaf l JOIN pts p USING (point_id)
+), lvs(lv) AS (VALUES {levels_values}),
+density AS (
+  SELECT lvs.lv, {_parent_var_sql('c.cell_id', 'lvs.lv')} AS cell,
+         count(*) AS n
+  FROM c, lvs GROUP BY 1, 2
+),
+qa AS (
+  SELECT q.query_id, lvs.lv, {_parent_var_sql('q.cell_id', 'lvs.lv')} AS cell
+  FROM q, lvs
+),
+chosen0 AS (
+  SELECT qa.query_id, max(qa.lv) AS lv
+  FROM qa JOIN density d ON d.lv = qa.lv AND d.cell = qa.cell
+  WHERE d.n >= {k} GROUP BY qa.query_id
+),
+chosen AS (
+  SELECT q.query_id, q.cell_id, q.qx, q.qy, q.qz,
+         greatest(coalesce(c0.lv, 0) - {margin_levels}, 0) AS lv
+  FROM q LEFT JOIN chosen0 c0 USING (query_id)
+),
+joined AS (
+  SELECT ch.query_id, c.neighbor_id,
+         (ch.qx-c.cx)*(ch.qx-c.cx) + (ch.qy-c.cy)*(ch.qy-c.cy)
+           + (ch.qz-c.cz)*(ch.qz-c.cz) AS chord2
+  FROM chosen ch JOIN c
+    ON {_parent_var_sql('c.cell_id', 'ch.lv')} = {_parent_var_sql('ch.cell_id', 'ch.lv')}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY chord2, neighbor_id) AS rank
+  FROM joined
+)
+SELECT query_id, neighbor_id, rank, chord2 FROM ranked WHERE rank <= {k}
+"""
+    )
+
+
+def ann_cosine_sql(k: int = 10, n_queries: int = 20) -> str:
+    """Exact cosine top-k over the embeddings table (mirror of
+    operators/similarity.py:cosine_topk_bruteforce with exclude_self).
+    Only ids and ranks are compared: the engine normalizes then GEMMs in
+    float64 while SQL computes dot/(|q||c|), which agree to ~1 ulp —
+    rank order is stable for any non-pathological score gap."""
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (SELECT * FROM e WHERE vec_id < {n_queries}),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+           AS cos
+  FROM q CROSS JOIN e c WHERE q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# robust-predicate oracles: edge-crossing and polyline-intersection joins.
+#
+# Edge vertices are embedded as literal doubles (repr round-trips
+# exactly) produced by the same latlng->xyz conversion the contract
+# queries feed to Spark, so both engines see bit-identical inputs.  The
+# crossing decision is then recomputed independently: the triage
+# determinant (predicates.rs:147-157) in plain f64 — every arithmetic op
+# is exactly rounded, so DuckDB reproduces the sign bit-for-bit — plus
+# the exact-tier degenerate-triangle rule (predicates.rs:245-250) for
+# shared-vertex pairs.  The contract fixtures are chosen so no candidate
+# pair's determinant lands in the unresolved band with distinct
+# vertices (asserted by tests/test_oracle_fixture_margins.py), hence the
+# symbolic-perturbation tier is never needed in SQL.
+# ---------------------------------------------------------------------------
+
+TRIAGE_THR = 3.6548 * 2.220446049250313e-16   # kernels/predicates.py:26
+DEGENERATE = 2.220446049250313e-16 * 1e6      # kernels/predicates.py:27
+
+
+def _l2_sql(p, q) -> str:
+    return (f"(({p[0]}-{q[0]})*({p[0]}-{q[0]}) + ({p[1]}-{q[1]})*({p[1]}-{q[1]})"
+            f" + ({p[2]}-{q[2]})*({p[2]}-{q[2]}))")
+
+
+def _sign_sql(a, b, c) -> str:
+    """Tiered robust sign on literal-derived doubles: triage determinant
+    (a x b) . c with the engine's exact operation order, degenerate rule
+    for the shared-vertex zero-dets."""
+    det = (f"(({a[1]}*{b[2]} - {a[2]}*{b[1]})*{c[0]}"
+           f" + ({a[2]}*{b[0]} - {a[0]}*{b[2]})*{c[1]}"
+           f" + ({a[0]}*{b[1]} - {a[1]}*{b[0]})*{c[2]})")
+    return (f"CASE WHEN {det} > {TRIAGE_THR!r} THEN 1"
+            f" WHEN {det} < -{TRIAGE_THR!r} THEN -1"
+            f" WHEN {_l2_sql(a, b)} < {DEGENERATE!r}"
+            f" OR {_l2_sql(b, c)} < {DEGENERATE!r}"
+            f" OR {_l2_sql(a, c)} < {DEGENERATE!r} THEN 0"
+            f" ELSE NULL END")   # unresolved non-degenerate: excluded by fixture design
+
+
+def _crossing_sql(av0, av1, bv0, bv1) -> str:
+    """crossing_sign (predicates.rs:666-682): +1/-1 from the four signs
+    acb, bdc, cad, dba."""
+    acb = _sign_sql(av0, bv0, av1)
+    bdc = _sign_sql(av1, bv1, bv0)
+    cad = _sign_sql(bv0, av0, bv1)
+    dba = _sign_sql(bv1, av1, av0)
+    return (f"CASE WHEN ({acb}) * ({bdc}) > 0 AND ({cad}) * ({dba}) > 0 "
+            f"THEN 1 ELSE -1 END")
+
+
+def _loop_edge_rows(names: list[str]) -> list[tuple]:
+    """(shape_id, edge_id, v0xyz, v1xyz) rows with the same vertex math
+    as operators/shape_index.py:edges_from_loops."""
+    import numpy as np
+
+    from . import fixtures
+    from .kernels import latlng as lk
+
+    rows = []
+    for sid, (name, pts) in enumerate(sorted(
+            {n: fixtures.LOOPS[n] for n in names}.items())):
+        lat = lk.degrees_to_radians(np.array([p[0] for p in pts], np.float64))
+        lng = lk.degrees_to_radians(np.array([p[1] for p in pts], np.float64))
+        x, y, z = lk.latlng_to_xyz(lat, lng)
+        n = len(pts)
+        for e in range(n):
+            ne = (e + 1) % n
+            rows.append((sid, e,
+                         float(x[e]), float(y[e]), float(z[e]),
+                         float(x[ne]), float(y[ne]), float(z[ne])))
+    return rows
+
+
+def edge_crossings_sql(loop_names: list[str] | None = None,
+                       a_sids: list[int] | None = None,
+                       level: int = 0) -> str:
+    """Mirror of the edge_crossings contract query: candidate pairs via
+    shared v0-parent cell at ``level`` (the v0 leaf encoding runs through
+    the same pure-SQL Hilbert chain that oracles leaf_assign), refined
+    with crossing_sign."""
+    from .engine_queries import EDGE_CROSS_A_SIDS, EDGE_CROSS_LOOPS
+
+    loop_names = loop_names or EDGE_CROSS_LOOPS
+    a_sids = a_sids or EDGE_CROSS_A_SIDS
+    rows = _loop_edge_rows(loop_names)
+    vals = ", ".join(
+        f"({s}, {e}, {v0x!r}, {v0y!r}, {v0z!r}, {v1x!r}, {v1y!r}, {v1z!r})"
+        for (s, e, v0x, v0y, v0z, v1x, v1y, v1z) in rows
+    )
+    in_a = ", ".join(str(s) for s in a_sids)
+    # v0 points keyed shape*100+edge feed the Hilbert chain
+    pts = ("SELECT shape_id*100 + edge_id AS point_id, v0x AS x, v0y AS y, "
+           "v0z AS z FROM edges")
+    p = parent_sql("cell_id", level)
+    av0 = ("a.v0x", "a.v0y", "a.v0z")
+    av1 = ("a.v1x", "a.v1y", "a.v1z")
+    bv0 = ("b.v0x", "b.v0y", "b.v0z")
+    bv1 = ("b.v1x", "b.v1y", "b.v1z")
+    return (
+        f"WITH edges(shape_id, edge_id, v0x, v0y, v0z, v1x, v1y, v1z) AS "
+        f"(VALUES {vals}),\n"
+        f"lut(idx, r) AS (VALUES {lookup_pos_sql_values()}),"
+        + _hilbert_chain(pts, "")
+        + f"""
+, cells AS (
+  SELECT e.*, {p} AS cell
+  FROM edges e JOIN leaf l ON l.point_id = e.shape_id*100 + e.edge_id
+)
+SELECT a.shape_id AS a_shape, a.edge_id AS a_edge,
+       b.shape_id AS b_shape, b.edge_id AS b_edge,
+       {_crossing_sql(av0, av1, bv0, bv1)} AS crossing
+FROM cells a JOIN cells b ON a.cell = b.cell
+WHERE a.shape_id IN ({in_a}) AND b.shape_id NOT IN ({in_a})
+"""
+    )
+
+
+def polyline_crossings_sql() -> str:
+    """Mirror of the polyline_crossings contract query: pairs (a < b)
+    where any edge pair crosses (polyline.rs:316-338: crossing_sign > 0
+    only — vertex-crossing rules are out of scope by fixture design)."""
+    import numpy as np
+
+    from .engine_queries import POLYLINE_LINES
+    from .kernels import latlng as lk
+
+    rows = []
+    for name, pts in POLYLINE_LINES.items():
+        lat = lk.degrees_to_radians(np.array([p[0] for p in pts], np.float64))
+        lng = lk.degrees_to_radians(np.array([p[1] for p in pts], np.float64))
+        x, y, z = lk.latlng_to_xyz(lat, lng)
+        for e in range(len(pts) - 1):
+            rows.append((name, e,
+                         float(x[e]), float(y[e]), float(z[e]),
+                         float(x[e + 1]), float(y[e + 1]), float(z[e + 1])))
+    vals = ", ".join(
+        f"('{n}', {e}, {v0x!r}, {v0y!r}, {v0z!r}, {v1x!r}, {v1y!r}, {v1z!r})"
+        for (n, e, v0x, v0y, v0z, v1x, v1y, v1z) in rows
+    )
+    av0 = ("a.v0x", "a.v0y", "a.v0z")
+    av1 = ("a.v1x", "a.v1y", "a.v1z")
+    bv0 = ("b.v0x", "b.v0y", "b.v0z")
+    bv1 = ("b.v1x", "b.v1y", "b.v1z")
+    return f"""
+WITH ledges(line_id, edge_id, v0x, v0y, v0z, v1x, v1y, v1z) AS (VALUES {vals}),
+pair_edges AS (
+  SELECT a.line_id AS a_id, b.line_id AS b_id,
+         {_crossing_sql(av0, av1, bv0, bv1)} AS cs
+  FROM ledges a JOIN ledges b ON a.line_id < b.line_id
+),
+pairs AS (
+  SELECT a_id, b_id, max(cs) AS max_cs FROM pair_edges GROUP BY a_id, b_id
+)
+SELECT a_id, b_id, TRUE AS crossing FROM pairs WHERE max_cs > 0
+"""
