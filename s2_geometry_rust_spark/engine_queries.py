@@ -299,12 +299,27 @@ def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def loop_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Loop aggregates (area/curvature/centroid/bounds — loop.rs
-    formulas) over the fixture catalog; kernel-parity in pytest."""
+    """Loop aggregates (area/curvature/centroid — loop.rs:322-364
+    formulas) over the fixture catalog, emitted as nano-scaled integers:
+    the engine (numpy trig) and the DuckDB oracle (SQL trig) agree to
+    ~1 ulp, and rounding to 1e-9 absorbs that while still verifying 9
+    significant decimals of every statistic.  The full double-precision
+    surface (incl. rect bounds) stays pinned by the pytest parity suite."""
     from . import fixtures
     from .operators.geom_aggs import loop_stats
 
-    return loop_stats(fixtures.loop_regions(spark))
+    def nano(c: str) -> F.Column:
+        return F.round(F.col(c) * 1e9, 0).cast("long")
+
+    return loop_stats(fixtures.loop_regions(spark)).select(
+        "region_id",
+        "n_vertices",
+        nano("area").alias("area_nano"),
+        nano("curvature").alias("curvature_nano"),
+        nano("centroid_x").alias("cx_nano"),
+        nano("centroid_y").alias("cy_nano"),
+        nano("centroid_z").alias("cz_nano"),
+    )
 
 
 # Loop split for the edge-crossing contract query.  Shape ids follow
@@ -427,4 +442,6 @@ ORACLES = {
     "ann_cosine": oracle.ann_cosine_sql(),
     "edge_crossings": oracle.edge_crossings_sql(),
     "polyline_crossings": oracle.polyline_crossings_sql(),
+    "loop_stats": oracle.loop_stats_sql(),
+    "point_in_region": oracle.point_in_region_sql(),
 }

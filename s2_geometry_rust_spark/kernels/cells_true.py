@@ -70,14 +70,39 @@ def cell_uv_bounds(ids):
     return face, u_lo, u_hi, v_lo, v_hi
 
 
+def face_uv_to_xyz_inverse(face, u, v):
+    """The TRUE inverse of ``cellid.xyz_to_face_uv`` — the projection
+    ``from_point`` actually uses.
+
+    ``cellid.face_uv_to_xyz`` mirrors the reference's private variant
+    (cell_id.rs:562-572), which on face 5 sets x = +u while the forward
+    projection computes u = -x/(-z): the u axis is mirrored, so quads
+    built through it sit at the WRONG u range on face 5 and a covering
+    filter built from them silently drops true members (found by the
+    point_in_region DuckDB oracle).  This inverse flips that one sign
+    and round-trips bit-consistently on every face."""
+    face = np.asarray(face, dtype=np.int32)
+    u = np.asarray(u, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+    one = np.ones_like(u)
+    x = np.select([face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
+                  [one, -u, -v, -one, v, -u])
+    y = np.select([face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
+                  [u, one, -u, -v, -one, v])
+    z = np.select([face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
+                  [v, v, one, -u, u, -one])
+    inv_len = 1.0 / np.sqrt(x * x + y * y + z * z)
+    return x * inv_len, y * inv_len, z * inv_len
+
+
 def cell_vertices_xyz(ids) -> np.ndarray:
-    """(n, 4, 3) unit vertices in CCW UV order (lo,lo),(hi,lo),(hi,hi),(lo,hi)."""
+    """(n, 4, 3) unit vertices in UV-corner order (lo,lo),(hi,lo),(hi,hi),(lo,hi)."""
     face, u_lo, u_hi, v_lo, v_hi = cell_uv_bounds(ids)
     us = [u_lo, u_hi, u_hi, u_lo]
     vs = [v_lo, v_lo, v_hi, v_hi]
     out = np.empty((len(np.atleast_1d(face)), 4, 3))
     for k in range(4):
-        x, y, z = ci.face_uv_to_xyz(face, us[k], vs[k])
+        x, y, z = face_uv_to_xyz_inverse(face, us[k], vs[k])
         out[:, k, 0] = x
         out[:, k, 1] = y
         out[:, k, 2] = z
@@ -86,7 +111,9 @@ def cell_vertices_xyz(ids) -> np.ndarray:
 
 def cell_center_xyz(ids) -> np.ndarray:
     face, u_lo, u_hi, v_lo, v_hi = cell_uv_bounds(ids)
-    x, y, z = ci.face_uv_to_xyz(face, 0.5 * (u_lo + u_hi), 0.5 * (v_lo + v_hi))
+    x, y, z = face_uv_to_xyz_inverse(
+        face, 0.5 * (u_lo + u_hi), 0.5 * (v_lo + v_hi)
+    )
     return np.stack([np.atleast_1d(x), np.atleast_1d(y), np.atleast_1d(z)], axis=-1)
 
 

@@ -747,3 +747,231 @@ pairs AS (
 )
 SELECT a_id, b_id, TRUE AS crossing FROM pairs WHERE max_cs > 0
 """
+
+
+def loop_stats_sql() -> str:
+    """Mirror of the loop_stats contract query (loop.rs:322-364
+    semantics): per loop the signed-excess area
+    | |sum_i s_i * acos(v_i . v_{i+1})| - (n-2)*pi |, curvature
+    2*pi - area, and the normalized vertex-mean centroid — recomputed
+    from embedded vertex literals with SQL trig and compared at nano
+    precision.
+
+    The edge sign s_i = robust_sign(origin, v_i, v_{i+1}) always has a
+    triage determinant of exactly 0 (cross(0, v) = 0), so the reference
+    resolves it in the exact tier: the degenerate-triangle rule for
+    near-duplicate vertices (predicates.rs:245-250), else the XOR-hash
+    symbolic perturbation (predicates.rs:287-300) whose decision is the
+    parity of the XOR of the nine coordinate bit patterns.  Only the
+    least-significant mantissa bits affect that parity, so each vertex
+    row embeds its coordinates' LSBs (a property of the *input*
+    doubles) and the SQL computes the perturbation sign itself."""
+    import math
+
+    import numpy as np
+
+    from . import fixtures
+    from .kernels import latlng as lk
+
+    rows = []
+    for name, pts in fixtures.LOOPS.items():
+        lat = lk.degrees_to_radians(np.array([p[0] for p in pts], np.float64))
+        lng = lk.degrees_to_radians(np.array([p[1] for p in pts], np.float64))
+        x, y, z = lk.latlng_to_xyz(lat, lng)
+        n = len(pts)
+        bits = lambda v: int(np.float64(v).view(np.uint64)) & 1
+        for e in range(n):
+            ne = (e + 1) % n
+            rows.append((
+                name, e,
+                float(x[e]), float(y[e]), float(z[e]),
+                float(x[ne]), float(y[ne]), float(z[ne]),
+                bits(x[e]) ^ bits(y[e]) ^ bits(z[e])
+                ^ bits(x[ne]) ^ bits(y[ne]) ^ bits(z[ne]),
+            ))
+    vals = ", ".join(
+        f"('{n}', {e}, {x0!r}, {y0!r}, {z0!r}, {x1!r}, {y1!r}, {z1!r}, {par})"
+        for (n, e, x0, y0, z0, x1, y1, z1, par) in rows
+    )
+    v0 = ("x0", "y0", "z0")
+    v1 = ("x1", "y1", "z1")
+    sign = (f"CASE WHEN {_l2_sql(v0, v1)} < {DEGENERATE!r} THEN 0 "
+            f"WHEN lsb_parity = 0 THEN 1 ELSE -1 END")
+    dot = "(x0*x1 + y0*y1 + z0*z1)"
+    pi = repr(math.pi)
+    return f"""
+WITH ledges(region_id, vi, x0, y0, z0, x1, y1, z1, lsb_parity)
+  AS (VALUES {vals}),
+terms AS (
+  SELECT region_id,
+         ({sign}) * acos(LEAST(GREATEST({dot}, -1.0), 1.0)) AS term,
+         x0, y0, z0
+  FROM ledges
+),
+agg AS (
+  SELECT region_id, count(*) AS n, sum(term) AS s,
+         sum(x0) AS sx, sum(y0) AS sy, sum(z0) AS sz
+  FROM terms GROUP BY region_id
+),
+stats AS (
+  SELECT region_id, n,
+         abs(abs(s) - (n - 2.0) * {pi}) AS area,
+         (sx*sx + sy*sy + sz*sz) AS n2, sx, sy, sz
+  FROM agg
+)
+SELECT region_id, CAST(n AS INT) AS n_vertices,
+  CAST(round(area * 1e9, 0) AS BIGINT) AS area_nano,
+  CAST(round((2.0 * {pi} - area) * 1e9, 0) AS BIGINT) AS curvature_nano,
+  CAST(round(CASE WHEN n2 > 0.0 THEN sx * (1.0/sqrt(n2)) ELSE 0.0 END * 1e9, 0) AS BIGINT) AS cx_nano,
+  CAST(round(CASE WHEN n2 > 0.0 THEN sy * (1.0/sqrt(n2)) ELSE 0.0 END * 1e9, 0) AS BIGINT) AS cy_nano,
+  CAST(round(CASE WHEN n2 > 0.0 THEN sz * (1.0/sqrt(n2)) ELSE 0.0 END * 1e9, 0) AS BIGINT) AS cz_nano
+FROM stats
+"""
+
+
+# ---------------------------------------------------------------------------
+# point_in_region oracle: independent membership recomputation.
+#
+# The contract query synthesizes one geo point per document (splitmix64
+# counter-hash -> Box-Muller -> lat/lng, sources/interleaved.py), then
+# runs the covering filter-and-refine join.  Because the covering filter
+# is conservative-sound and the refine is exact, the output EQUALS plain
+# membership — which this oracle recomputes directly: the splitmix64 /
+# Box-Muller derivation in SQL (integer part bit-exact via HUGEINT
+# mod-2^64; trig agrees with numpy to ~1 ulp — membership flips require
+# a point within ~1e-15 of a region boundary, probability ~1e-13 for
+# this corpus), winding-number PIP against embedded loop vertices, and
+# squared-chord containment against embedded cap parameters.
+# ---------------------------------------------------------------------------
+
+_SM_GOLDEN = 0x9E3779B97F4A7C15
+_SM_M1 = 0xBF58476D1CE4E5B9
+_SM_M2 = 0x94D049BB133111EB
+
+
+def _mulmod64_sql(a_ubig: str, const: int) -> str:
+    """(a * const) mod 2^64 for a < 2^64 and a 64-bit constant, without
+    overflowing INT128: split const into 32-bit halves so every
+    intermediate stays below 2^97."""
+    ch, cl = const >> 32, const & 0xFFFFFFFF
+    return (f"CAST(((({a_ubig}::HUGEINT * {ch}) % 4294967296) * 4294967296"
+            f" + {a_ubig}::HUGEINT * {cl}) % {U64}::HUGEINT AS UBIGINT)")
+
+
+def _uniform_sql(id_expr: str, stream: int, seed: int = 42) -> str:
+    """splitmix64 counter-hash uniform [0,1) (sources/interleaved.py
+    _uniform/_splitmix64), u64 arithmetic via HUGEINT mod 2^64."""
+    u64h = f"{U64}::HUGEINT"
+    key = (f"CAST(({id_expr}::HUGEINT * {0x100000001B3} "
+           f"+ {stream * 0x1000193 + seed}) % {u64h} AS UBIGINT)")
+    a1 = f"CAST(({key}::HUGEINT + {_SM_GOLDEN}) % {u64h} AS UBIGINT)"
+    m1 = _mulmod64_sql(f"xor({a1}, {a1} >> 30)", _SM_M1)
+    m2 = _mulmod64_sql(f"xor({m1}, {m1} >> 27)", _SM_M2)
+    x3 = f"xor({m2}, {m2} >> 31)"
+    return f"(CAST(({x3} >> 11) AS DOUBLE) / 9007199254740992.0)"
+
+
+def _pip_sign_sql(p, v0, v1) -> str:
+    """Triage-only robust sign for PIP dets (p is never a loop vertex,
+    so the degenerate tier is unreachable; an unresolved det contributes
+    0 to the winding sum — within the oracle's stated tolerance)."""
+    det = (f"(({p[1]}*{v0[2]} - {p[2]}*{v0[1]})*{v1[0]}"
+           f" + ({p[2]}*{v0[0]} - {p[0]}*{v0[2]})*{v1[1]}"
+           f" + ({p[0]}*{v0[1]} - {p[1]}*{v0[0]})*{v1[2]})")
+    return (f"CASE WHEN {det} > {TRIAGE_THR!r} THEN 1"
+            f" WHEN {det} < -{TRIAGE_THR!r} THEN -1 ELSE 0 END")
+
+
+def point_in_region_sql(loop_names: list[str] | None = None,
+                        seed: int = 42) -> str:
+    import numpy as np
+
+    from . import fixtures
+    from .kernels import latlng as lk
+    from .kernels.caps import S2Cap
+
+    loop_names = loop_names or ["arctic_80", "antarctic_80", "candy_cane",
+                                "north_hemi"]
+    lrows = []
+    for name in loop_names:
+        pts = fixtures.LOOPS[name]
+        lat = lk.degrees_to_radians(np.array([p[0] for p in pts], np.float64))
+        lng = lk.degrees_to_radians(np.array([p[1] for p in pts], np.float64))
+        x, y, z = lk.latlng_to_xyz(lat, lng)
+        n = len(pts)
+        for e in range(n):
+            ne = (e + 1) % n
+            lrows.append((name, float(x[e]), float(y[e]), float(z[e]),
+                          float(x[ne]), float(y[ne]), float(z[ne])))
+    lvals = ", ".join(
+        f"('{n}', {x0!r}, {y0!r}, {z0!r}, {x1!r}, {y1!r}, {z1!r})"
+        for (n, x0, y0, z0, x1, y1, z1) in lrows
+    )
+    crows = []
+    for name, (clat, clng, rdeg) in fixtures.CAPS.items():
+        lat_r = float(lk.degrees_to_radians(clat))
+        lng_r = float(lk.degrees_to_radians(clng))
+        x, y, z = lk.latlng_to_xyz(np.float64(lat_r), np.float64(lng_r))
+        cap = S2Cap.from_center_degrees((float(x), float(y), float(z)), rdeg)
+        crows.append((name, cap.cx, cap.cy, cap.cz, cap.radius_l2))
+    cvals = ", ".join(
+        f"('{n}', {cx!r}, {cy!r}, {cz!r}, {r2!r})"
+        for (n, cx, cy, cz, r2) in crows
+    )
+    u0 = _uniform_sql("id", 100, seed)
+    u1 = _uniform_sql("id", 101, seed)
+    u2 = _uniform_sql("id", 102, seed)
+    u3 = _uniform_sql("id", 103, seed)
+    p = ("p.px", "p.py", "p.pz")
+    v0 = ("lv.x0", "lv.y0", "lv.z0")
+    v1 = ("lv.x1", "lv.y1", "lv.z1")
+    return f"""
+WITH ids AS (SELECT doc_id AS id FROM documents),
+u AS (
+  SELECT id,
+         GREATEST({u0}, 1e-300) AS u0, {u1} AS u1,
+         GREATEST({u2}, 1e-300) AS u2, {u3} AS u3
+  FROM ids
+), g AS (
+  SELECT id,
+         sqrt(-2.0 * ln(u0)) * cos(2.0 * pi() * u1) AS g0,
+         sqrt(-2.0 * ln(u0)) * sin(2.0 * pi() * u1) AS g1,
+         sqrt(-2.0 * ln(u2)) * cos(2.0 * pi() * u3) AS g2
+  FROM u
+), sph AS (
+  SELECT id, g0 / n AS x, g1 / n AS y, g2 / n AS z
+  FROM (SELECT id, g0, g1, g2,
+               CASE WHEN sqrt(g0*g0 + g1*g1 + g2*g2) = 0.0 THEN 1.0
+                    ELSE sqrt(g0*g0 + g1*g1 + g2*g2) END AS n
+        FROM g)
+), ll AS (
+  -- the engine round-trips through the POINT(lat lng) span text; the
+  -- parse is exact, so replicate lat/lng -> xyz re-derivation
+  SELECT id,
+         degrees(asin(LEAST(GREATEST(z, -1.0), 1.0))) AS lat,
+         degrees(atan2(y, x)) AS lng
+  FROM sph
+), pt AS (
+  SELECT id, cos(radians(lat)) * cos(radians(lng)) AS rx,
+             cos(radians(lat)) * sin(radians(lng)) AS ry,
+             sin(radians(lat)) AS rz
+  FROM ll
+), p AS (
+  SELECT id, rx / n AS px, ry / n AS py, rz / n AS pz
+  FROM (SELECT id, rx, ry, rz, sqrt(rx*rx + ry*ry + rz*rz) AS n FROM pt)
+), loopverts(region_id, x0, y0, z0, x1, y1, z1) AS (VALUES {lvals}),
+caps(region_id, cx, cy, cz, r2) AS (VALUES {cvals}),
+loop_members AS (
+  SELECT p.id, lv.region_id
+  FROM p, loopverts lv
+  GROUP BY p.id, lv.region_id, p.px, p.py, p.pz
+  HAVING sum({_pip_sign_sql(p, v0, v1)}) > 0
+), cap_members AS (
+  SELECT p.id, c.region_id
+  FROM p, caps c
+  WHERE LEAST((c.cx-p.px)*(c.cx-p.px) + (c.cy-p.py)*(c.cy-p.py)
+              + (c.cz-p.pz)*(c.cz-p.pz), 4.0) <= c.r2
+)
+SELECT printf('doc-%08d', id) AS doc_id, 1 AS span_idx, region_id
+FROM (SELECT * FROM loop_members UNION ALL SELECT * FROM cap_members)
+"""

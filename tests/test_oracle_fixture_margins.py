@@ -92,3 +92,29 @@ def test_polyline_crossings_fixture_dets_sql_expressible():
                         assert abs(det) > pred.TRIAGE_ERROR_THRESHOLD
                         n_crossing_checked += 1
     assert n_crossing_checked > 0
+
+
+def test_cells_true_vertices_round_trip_all_faces():
+    """face_uv_to_xyz_inverse must invert xyz_to_face_uv on EVERY face:
+    a point slightly inside each cell corner must map back into the
+    cell's id range (the face-5 u-mirror in the reference's private
+    face_uv_to_xyz silently broke this for coverings)."""
+    from s2_geometry_rust_spark.kernels import cells_true as ct
+
+    rng = np.random.default_rng(7)
+    # cells across all faces and several levels
+    pts = rng.normal(size=(200, 3))
+    pts /= np.linalg.norm(pts, axis=1)[:, None]
+    leafs = ck.from_point(pts[:, 0], pts[:, 1], pts[:, 2]).astype(np.uint64)
+    for lvl in (0, 1, 2, 5, 10):
+        cells = np.unique(ck.parent_at_level(leafs, lvl))
+        face, u_lo, u_hi, v_lo, v_hi = ct.cell_uv_bounds(cells)
+        for fu, fv in ((0.25, 0.25), (0.75, 0.25), (0.75, 0.75),
+                       (0.25, 0.75), (0.5, 0.5)):
+            uu = u_lo + fu * (u_hi - u_lo)
+            vv = v_lo + fv * (v_hi - v_lo)
+            x, y, z = ct.face_uv_to_xyz_inverse(face, uu, vv)
+            back = ck.parent_at_level(
+                ck.from_point(x, y, z).astype(np.uint64), lvl
+            )
+            np.testing.assert_array_equal(back, cells)
