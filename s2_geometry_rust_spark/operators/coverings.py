@@ -129,6 +129,63 @@ class TrueLoopRegion:
         return inside.any(axis=1) | straddle.any(axis=1)
 
 
+class TruePolylineRegion:
+    """Conservative polyline adapter for *join filters*: a covering built
+    from this never misses a cell that contains ANY point of the
+    polyline (polyline.rs:316-338 crossing semantics only ever test
+    points on the curve).
+
+    may_intersect(cell) := min angular distance from the cell's bounding
+    cap center to any edge arc <= cap radius + pad.  The cell cap covers
+    the whole true quad (cell_bounding_cap takes the max vertex angle
+    and cell quads are geodesically convex), so any curve point inside
+    the cell is within the cap, hence within cap-radius of its center —
+    the test can only over-admit, never miss."""
+
+    _PAD = 1e-12
+
+    def __init__(self, vertices: np.ndarray):
+        v = np.asarray(vertices, dtype=np.float64).reshape(-1, 3)
+        self.vertices = v
+        a, b = v[:-1], v[1:]
+        n = np.cross(a, b)
+        norm = np.linalg.norm(n, axis=1)
+        ok = norm > 1e-300
+        self._a, self._b = a, b
+        self._nhat = np.where(ok[:, None], n / np.where(ok, norm, 1.0)[:, None], 0.0)
+        self._ok = ok
+
+    def contains(self, x, y, z) -> bool:
+        return False  # no interior
+
+    def contains_points_batch(self, x, y, z) -> np.ndarray:
+        return np.zeros(np.shape(np.asarray(x)), dtype=bool)
+
+    def may_intersect_cell(self, cell) -> bool:
+        return bool(self.may_intersect_cells(
+            np.asarray([cell.id], np.uint64))[0])
+
+    def may_intersect_cells(self, ids: np.ndarray) -> np.ndarray:
+        if len(self._a) == 0:
+            return np.zeros(len(ids), dtype=bool)
+        centers = ct.cell_center_xyz(ids)               # (n,3)
+        verts = ct.cell_vertices_xyz(ids)               # (n,4,3)
+        dots = np.clip(np.einsum("nkd,nd->nk", verts, centers), -1.0, 1.0)
+        r_cell = np.arccos(dots).max(axis=1)            # (n,)
+        # angular distance centers x edges
+        s = centers @ self._nhat.T                      # (n,m) sin(dist to circle)
+        in1 = np.einsum("nd,md->nm", centers,
+                        np.cross(self._a, self._nhat)) <= 0.0
+        in2 = np.einsum("nd,md->nm", centers,
+                        np.cross(self._b, self._nhat)) >= 0.0
+        d_circ = np.arcsin(np.clip(np.abs(s), 0.0, 1.0))
+        d_a = np.arccos(np.clip(centers @ self._a.T, -1.0, 1.0))
+        d_b = np.arccos(np.clip(centers @ self._b.T, -1.0, 1.0))
+        d_end = np.minimum(d_a, d_b)
+        d = np.where(self._ok[None, :] & in1 & in2, d_circ, d_end)
+        return d.min(axis=1) <= r_cell + self._PAD
+
+
 class TrueCapRegion:
     """Conservative cap adapter: cell bounding-cap triangle inequality."""
 

@@ -236,3 +236,102 @@ def test_polyline_join_hemisphere_caps_not_dropped(spark):
 
     assert pk2.intersects(verts(lines["long_meridian"]), verts(lines["equator"]))
     assert ("equator", "long_meridian") in pairs
+
+
+def _random_lines(n, seed=11):
+    rng = np.random.default_rng(seed)
+    lines = []
+    for i in range(n):
+        lat0 = rng.uniform(-70, 70)
+        lng0 = rng.uniform(-180, 180)
+        pts = [(lat0, lng0)]
+        for _ in range(2):
+            lat0 = float(np.clip(lat0 + rng.uniform(-5, 5), -89, 89))
+            lng0 = float(lng0 + rng.uniform(-5, 5))
+            if lng0 > 180:
+                lng0 -= 360
+            pts.append((lat0, lng0))
+        lines.append((f"l{i:05d}", [(float(a), float(b)) for a, b in pts]))
+    return lines
+
+
+def test_polyline_join_covering_path_matches_allpairs(spark):
+    """Scale path vs reference-predicate all-pairs on random lines:
+
+    - no false positives: every covering-path pair is an all-pairs pair;
+    - no geometric misses: every all-pairs pair whose curves actually
+      pass near each other (or near the antipodal curve — the
+      predicate's antipodal invariance) is found by the covering path.
+    The all-pairs extras beyond that are the reference predicate's
+    spurious far-field positives (see polyline_join module docstring),
+    which the scale path drops by design.
+    """
+    from s2_geometry_rust_spark.kernels import latlng as lk2
+    from s2_geometry_rust_spark.operators.polyline_join import (
+        polyline_intersection_join,
+        polyline_intersection_join_allpairs,
+    )
+
+    lines = _random_lines(300)
+    df = spark.createDataFrame(
+        lines,
+        "line_id string, vertices array<struct<lat:double,lng:double>>",
+    )
+    got = polyline_intersection_join(df, df).filter(
+        F.col("a_id") < F.col("b_id")
+    ).toPandas()
+    want = polyline_intersection_join_allpairs(df, df).filter(
+        F.col("a_id") < F.col("b_id")
+    ).toPandas()
+    gp = set(map(tuple, got[["a_id", "b_id"]].itertuples(index=False)))
+    wp = set(map(tuple, want[["a_id", "b_id"]].itertuples(index=False)))
+    assert gp <= wp
+
+    def verts(v):
+        lat = lk2.degrees_to_radians(np.array([p[0] for p in v], float))
+        lng = lk2.degrees_to_radians(np.array([p[1] for p in v], float))
+        x, y, z = lk2.latlng_to_xyz(lat, lng)
+        return np.stack([x, y, z], axis=-1)
+
+    def samples(v, n=80):
+        out = []
+        for i in range(len(v) - 1):
+            a, b = v[i], v[i + 1]
+            ts = np.linspace(0, 1, n)
+            d = np.clip(a @ b, -1, 1)
+            ang = np.arccos(d)
+            if ang < 1e-12:
+                out.append(np.repeat(a[None, :], n, 0))
+                continue
+            s = np.sin(ang)
+            m = (np.sin((1 - ts)[:, None] * ang) * a[None, :]
+                 + np.sin(ts[:, None] * ang) * b[None, :]) / s
+            out.append(m / np.linalg.norm(m, axis=1)[:, None])
+        return np.concatenate(out)
+
+    L = dict(lines)
+    missed_geometric = []
+    for (a_id, b_id) in wp - gp:
+        sa = samples(verts(L[a_id]))
+        sb = samples(verts(L[b_id]))
+        dots = np.abs(sa @ sb.T)  # |dot| covers the antipodal curve too
+        min_ang = float(np.arccos(np.clip(dots.max(), -1, 1)))
+        if min_ang < 5e-3:  # curves actually pass near each other
+            missed_geometric.append((a_id, b_id, min_ang))
+    assert not missed_geometric, missed_geometric
+    assert len(gp) > 0
+
+
+def test_polyline_join_plan_has_no_nested_loop(spark):
+    from s2_geometry_rust_spark.operators.polyline_join import (
+        polyline_intersection_join,
+    )
+
+    df = spark.createDataFrame(
+        _random_lines(50),
+        "line_id string, vertices array<struct<lat:double,lng:double>>",
+    )
+    plan = polyline_intersection_join(df, df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
