@@ -121,17 +121,52 @@ def _literal_candidates(points: DataFrame,
     )
 
 
+DISTRIBUTED_REGION_THRESHOLD = 5000
+
+
 def point_in_region_join(points: DataFrame, regions: DataFrame,
                          cell_col: str = "cell_id", max_cells: int = 8,
                          refine: bool = True,
-                         broadcast: bool = True) -> DataFrame:
+                         broadcast: bool = True,
+                         distributed: bool | None = None) -> DataFrame:
     """points (must carry a leaf ``cell_col``) x regions -> matched pairs.
 
     Returns the points columns + ``region_id`` for every (point, region)
     whose covering contains the point, refined to exact containment when
     ``refine=True`` (filter-and-refine, SURVEY.md §2.5).
+
+    Physical strategy by region count:
+    - small region sets (the common case by contract): coverings are
+      built and memoized driver-side and compiled to literal-InSet
+      codegen filters (or one broadcast equi-join past ~1k cells) —
+      fastest, no extra jobs;
+    - large region sets (``distributed=True``, or auto past
+      DISTRIBUTED_REGION_THRESHOLD when ``distributed=None``, which
+      costs one count() job on the regions side): everything stays in
+      DataFrames — coverings via the distributed ``cover_regions``
+      operator, candidates via the ancestor-explode equi-join, and the
+      refine reads region geometry joined inline, so NO driver-side
+      collect of regions ever happens (see
+      ``point_in_region_join_distributed``).
     """
     spark = points.sparkSession
+    if distributed is None:
+        distributed = regions.limit(
+            DISTRIBUTED_REGION_THRESHOLD + 1
+        ).count() > DISTRIBUTED_REGION_THRESHOLD
+    if distributed:
+        # Covering budget floor: at high region cardinality a tight
+        # budget is the scale killer, not a saving — the level-
+        # synchronous coverer stops at FACE-level cells for regions
+        # straddling face corners (4 faces x 4 children > 8), and one
+        # face-level covering cell admits ~1/24 of every point in the
+        # corpus.  Measured on 10k caps x 100k points: max_cells=8 ->
+        # 31.2M candidates / 321s; max_cells=64 -> 434k candidates /
+        # 6.1s, identical output.
+        return point_in_region_join_distributed(
+            points, regions, cell_col=cell_col,
+            max_cells=max(max_cells, 64), refine=refine,
+        )
 
     # The regions side is the small side by contract; collect once and
     # build the conservative coverings driver-side — this avoids two
@@ -233,6 +268,106 @@ def point_in_region_join(points: DataFrame, regions: DataFrame,
         acc_exact.add(int(_pred.EXACT_FALLBACK_COUNT - e0))
 
     return cand.mapInPandas(refine_fn, out_schema)
+
+
+def point_in_region_join_distributed(points: DataFrame, regions: DataFrame,
+                                     cell_col: str = "cell_id",
+                                     max_cells: int = 64,
+                                     refine: bool = True) -> DataFrame:
+    """Fully-distributed filter-and-refine for LARGE region tables
+    (10^4+ regions): no driver-side collect of regions anywhere.
+
+    1. coverings via the distributed ``cover_regions`` operator
+       (conservative=True — sound join filters), embarrassingly
+       parallel on the regions side;
+    2. candidates via the ancestor-explode equi-join (the only data
+       that reaches the driver is the <= 31 distinct covering levels);
+    3. refine joins region geometry inline on region_id (AQE picks
+       broadcast vs shuffle by size) and evaluates the exact kernels
+       per (batch x region) group inside one mapInPandas.
+    """
+    from .coverings import cover_regions, region_from_row
+
+    spark = points.sparkSession
+    covs = cover_regions(regions, max_cells=max_cells, conservative=True)
+    levels = sorted(
+        r["level"] for r in covs.select("level").distinct().collect()
+    )
+    if not levels:
+        return points.limit(0).withColumn(
+            "region_id", F.lit(None).cast("string")
+        )
+    cand = _ancestor_candidates(
+        points, covs.select("region_id", "cell_id"), levels, cell_col,
+        broadcast=False,
+    )
+    if not refine:
+        return cand
+
+    acc_total, acc_exact = _session_accumulators(spark)
+    geom = regions.select(
+        "region_id", "kind", "p0", "p1", "p2", "p3", "vertices", "cell_ids"
+    )
+    joined = cand.join(geom, "region_id")
+    out_schema = cand.schema
+
+    def refine_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels import chord as _chord
+        from ..kernels import predicates as _pred
+
+        regions_cache: dict[str, object] = {}
+        out_cols = [f.name for f in out_schema.fields]
+        t0, e0 = _pred.TRIAGE_TOTAL_COUNT, _pred.EXACT_FALLBACK_COUNT
+        for b in batches:
+            if len(b) == 0:
+                yield b[out_cols] if len(b.columns) else b
+                continue
+            keep = np.zeros(len(b), dtype=bool)
+            lat_r = lk.degrees_to_radians(b["lat"].to_numpy(np.float64))
+            lng_r = lk.degrees_to_radians(b["lng"].to_numpy(np.float64))
+            x, y, z = lk.latlng_to_xyz(lat_r, lng_r)
+            for kind, kidx in b.groupby("kind").indices.items():
+                if kind == "cap":
+                    # one vectorized pass over EVERY cap row in the
+                    # batch — per-region grouping would pay pandas/
+                    # Python overhead per tiny group at high region
+                    # cardinality (the distance-join shape)
+                    sub = b.iloc[kidx]
+                    clat = lk.degrees_to_radians(
+                        sub["p0"].to_numpy(np.float64))
+                    clng = lk.degrees_to_radians(
+                        sub["p1"].to_numpy(np.float64))
+                    cx, cy, cz = lk.latlng_to_xyz(clat, clng)
+                    r_l2 = _chord.from_radians(
+                        lk.degrees_to_radians(sub["p2"].to_numpy(np.float64))
+                    )
+                    d2 = _chord.between_points(
+                        cx, cy, cz, x[kidx], y[kidx], z[kidx])
+                    keep[kidx] = d2 <= r_l2
+                    continue
+                if kind not in _REFINABLE:
+                    keep[kidx] = True
+                    continue
+                sub = b.iloc[kidx]
+                for rid, ridx_local in sub.groupby("region_id").indices.items():
+                    idx = kidx[ridx_local]
+                    if rid not in regions_cache:
+                        if len(regions_cache) > 65536:
+                            regions_cache.clear()
+                        regions_cache[rid] = region_from_row(
+                            sub.iloc[ridx_local[0]])
+                    reg = regions_cache[rid]
+                    if kind == "loop":
+                        keep[idx] = reg.loop.contains_points_batch(
+                            x[idx], y[idx], z[idx])
+                    else:  # rect
+                        keep[idx] = reg.rect.contains_latlng_batch(
+                            lat_r[idx], lng_r[idx])
+            yield b[keep][out_cols]
+        acc_total.add(int(_pred.TRIAGE_TOTAL_COUNT - t0))
+        acc_exact.add(int(_pred.EXACT_FALLBACK_COUNT - e0))
+
+    return joined.mapInPandas(refine_fn, out_schema)
 
 
 def last_fallback_rate() -> float | None:

@@ -136,6 +136,12 @@ def normalize_distributed(cells: DataFrame, max_rounds: int = 30) -> DataFrame:
     cur = cells.dropDuplicates(["union_id", "cell_id"])
     prev_n = -1
     for _ in range(max_rounds):
+        # Truncate lineage each round: the fixpoint otherwise stacks ~10
+        # window+join+union layers per iteration and the plan (and its
+        # re-execution cost under any recompute) grows without bound.
+        # localCheckpoint materializes the round's result and the
+        # count() below doubles as its action.
+        cur = cur.localCheckpoint(eager=False)
         n = cur.count()
         if n == prev_n:
             break

@@ -122,3 +122,44 @@ def test_exact_fallback_rate_under_one_percent(spark, regions, points):
     # BASELINE sanity target (src/lib.rs:18-20 tier claims): < 1% of
     # predicate evaluations take the exact-arithmetic path
     assert rate is not None and rate < 0.01, rate
+
+
+def test_point_in_region_join_distributed_path_matches(spark, regions, points):
+    """The distributed path (no driver-side region collect) must produce
+    exactly the ground-truth pairs on the fixture regions."""
+    joined = point_in_region_join(points, regions, max_cells=16,
+                                  distributed=True)
+    got = {
+        (r["doc_id"], r["region_id"])
+        for r in joined.select("doc_id", "region_id").collect()
+    }
+    want = _ground_truth_pairs(points.toPandas(), regions.collect())
+    assert got == want
+
+
+def test_point_in_region_join_auto_distributed_large_regions(spark, points):
+    """Synthetic large cap table: distributed=None auto-switches past the
+    threshold; result must equal exact containment."""
+    import s2_geometry_rust_spark.operators.spatial_join as sj
+
+    rng = np.random.default_rng(5)
+    n = 500
+    rows = []
+    for i in range(n):
+        lat = float(rng.uniform(-80, 80))
+        lng = float(rng.uniform(-180, 180))
+        rad = float(rng.uniform(0.5, 6.0))
+        rows.append((f"cap{i:05d}", "cap", lat, lng, rad, None, None, None))
+    regions = spark.createDataFrame(rows, fixtures.REGIONS_SCHEMA)
+    old = sj.DISTRIBUTED_REGION_THRESHOLD
+    sj.DISTRIBUTED_REGION_THRESHOLD = 100  # force the auto switch
+    try:
+        joined = point_in_region_join(points, regions, max_cells=8)
+        got = {
+            (r["doc_id"], r["region_id"])
+            for r in joined.select("doc_id", "region_id").collect()
+        }
+    finally:
+        sj.DISTRIBUTED_REGION_THRESHOLD = old
+    want = _ground_truth_pairs(points.toPandas(), regions.collect())
+    assert got == want and len(want) > 50
