@@ -9,6 +9,8 @@ because the coverer's covering sets can depend on them.
 from __future__ import annotations
 
 import math
+
+import numpy as np
 from dataclasses import dataclass
 
 
@@ -21,6 +23,30 @@ from .rects import S2LatLngRect
 
 PI = math.pi
 PI_2 = math.pi / 2.0
+_EPSILON = float(np.finfo(np.float64).eps)
+
+
+def _interpolate(a: np.ndarray, b: np.ndarray, t: float) -> np.ndarray:
+    """S2Point::interpolate (point.rs:148-176): slerp with the
+    reference's EPSILON shortcuts at t≈0/1, tiny angles, and the linear
+    fallback for antipodal points."""
+    if abs(t) < _EPSILON:
+        return a.copy()
+    if abs(t - 1.0) < _EPSILON:
+        return b.copy()
+    dot = float(np.clip(a @ b, -1.0, 1.0))
+    angle = math.acos(dot)
+    if abs(angle) < _EPSILON:
+        return a.copy()
+    sin_angle = math.sin(angle)
+    if abs(sin_angle) < _EPSILON:
+        out = a * (1.0 - t) + b * t
+        n = np.linalg.norm(out)
+        return out / n if n > 0 else a.copy()
+    out = a * (math.sin((1.0 - t) * angle) / sin_angle) + b * (
+        math.sin(t * angle) / sin_angle
+    )
+    return out / np.linalg.norm(out)
 
 
 @dataclass
@@ -34,7 +60,14 @@ class S2Cap:
 
     @staticmethod
     def from_center_angle(center_xyz, radius_radians: float) -> "S2Cap":
-        r = min(radius_radians, PI)
+        # Rust f64::min returns the non-NaN operand, so a NaN radius
+        # (e.g. S2Cell::get_cap_bound's unclamped asin for coarse cells,
+        # cell.rs:485) saturates to PI = a full cap; Python's min would
+        # propagate the NaN instead.
+        if radius_radians != radius_radians:  # NaN
+            r = PI
+        else:
+            r = min(radius_radians, PI)
         return S2Cap(center_xyz[0], center_xyz[1], center_xyz[2],
                      float(chord.from_radians(r)))
 
@@ -119,6 +152,69 @@ class S2Cap:
         else:
             d = float(chord.between_points(self.cx, self.cy, self.cz, x, y, z))
             self.radius_l2 = max(self.radius_l2, d)
+
+    def interior_intersects(self, other: "S2Cap") -> bool:
+        """cap.rs:272-279: open-interior overlap."""
+        if self.radius_l2 <= 0.0 or other.is_empty():
+            return False
+        d = float(chord.between_points(self.cx, self.cy, self.cz,
+                                       other.cx, other.cy, other.cz))
+        return float(chord.add(self.radius_l2, other.radius_l2)) > d
+
+    def union(self, other: "S2Cap") -> "S2Cap":
+        """Smallest-cap union (cap.rs:327-401 incl. its weighted-average
+        overlap branch — NOT the canonical optimal construction)."""
+        if self.is_full() or other.is_empty():
+            return S2Cap(self.cx, self.cy, self.cz, self.radius_l2)
+        if other.is_full() or self.is_empty():
+            return S2Cap(other.cx, other.cy, other.cz, other.radius_l2)
+        d_l2 = float(chord.between_points(self.cx, self.cy, self.cz,
+                                          other.cx, other.cy, other.cz))
+        if self.radius_l2 >= float(chord.add(d_l2, other.radius_l2)):
+            return S2Cap(self.cx, self.cy, self.cz, self.radius_l2)
+        if other.radius_l2 >= float(chord.add(d_l2, self.radius_l2)):
+            return S2Cap(other.cx, other.cy, other.cz, other.radius_l2)
+        self_ang = self.get_radius_radians()
+        other_ang = other.get_radius_radians()
+        dist_ang = float(chord.to_radians(d_l2))
+        c0 = np.array([self.cx, self.cy, self.cz])
+        c1 = np.array([other.cx, other.cy, other.cz])
+        if self_ang + other_ang >= dist_ang:
+            # overlap: weighted-average center (reference quirk)
+            total = self_ang + other_ang
+            w = self_ang / total if total > 0.0 else 0.5
+            center = _interpolate(c0, c1, 1.0 - w)
+        else:
+            # disjoint: optimal center on the connecting geodesic
+            total_span = dist_ang + self_ang + other_ang
+            if total_span / 2.0 >= PI:
+                return S2Cap.full()
+            off = (dist_ang + self_ang - other_ang) / 2.0
+            t = off / dist_ang if dist_ang != 0.0 else 0.0
+            center = _interpolate(c0, c1, float(np.clip(t, 0.0, 1.0)))
+        r_self = chord.add(
+            chord.between_points(center[0], center[1], center[2],
+                                 self.cx, self.cy, self.cz),
+            self.radius_l2,
+        )
+        r_other = chord.add(
+            chord.between_points(center[0], center[1], center[2],
+                                 other.cx, other.cy, other.cz),
+            other.radius_l2,
+        )
+        return S2Cap(float(center[0]), float(center[1]), float(center[2]),
+                     float(max(float(r_self), float(r_other))))
+
+    def add_cap(self, other: "S2Cap") -> None:
+        """Grow to include the other cap (cap.rs:303-311: empty adopts
+        other; otherwise delegates to union)."""
+        if self.is_empty():
+            self.cx, self.cy, self.cz = other.cx, other.cy, other.cz
+            self.radius_l2 = other.radius_l2
+        elif not other.is_empty():
+            u = self.union(other)
+            self.cx, self.cy, self.cz = u.cx, u.cy, u.cz
+            self.radius_l2 = u.radius_l2
 
     def expanded(self, distance_radians: float) -> "S2Cap":
         if self.is_empty():

@@ -93,6 +93,63 @@ class S2LatLngRect:
         self.lat.add_point(lat)
         self.lng.add_point(lng)
 
+    # -- geodesic-edge boundary predicates (latlng_rect.rs:342-371,
+    #    515-559 — the reference's SIMPLIFIED linear-interpolation
+    #    variants, reproduced verbatim including the 1e-10 degenerate
+    #    guard and the non-wrapping lng interpolation) ------------------
+
+    @staticmethod
+    def intersects_lng_edge(a_xyz, b_xyz, lat: "R1Interval",
+                            lng: float) -> bool:
+        """Edge AB vs the meridian segment at ``lng`` within ``lat``
+        (latlng_rect.rs:515-535)."""
+        lat_a = float(ll.xyz_to_lat(*a_xyz))
+        lat_b = float(ll.xyz_to_lat(*b_xyz))
+        lng_a = float(ll.xyz_to_lng(*a_xyz))
+        lng_b = float(ll.xyz_to_lng(*b_xyz))
+        if (lng_a <= lng <= lng_b) or (lng_a >= lng >= lng_b):
+            if abs(lng_b - lng_a) < 1e-10:
+                t = 0.5
+            else:
+                t = (lng - lng_a) / (lng_b - lng_a)
+            return lat.contains(lat_a + t * (lat_b - lat_a))
+        return False
+
+    @staticmethod
+    def intersects_lat_edge(a_xyz, b_xyz, lat: float,
+                            lng: "S1Interval") -> bool:
+        """Edge AB vs the parallel segment at ``lat`` within ``lng``
+        (latlng_rect.rs:538-558)."""
+        lat_a = float(ll.xyz_to_lat(*a_xyz))
+        lat_b = float(ll.xyz_to_lat(*b_xyz))
+        lng_a = float(ll.xyz_to_lng(*a_xyz))
+        lng_b = float(ll.xyz_to_lng(*b_xyz))
+        if (lat_a <= lat <= lat_b) or (lat_a >= lat >= lat_b):
+            if abs(lat_b - lat_a) < 1e-10:
+                t = 0.5
+            else:
+                t = (lat - lat_a) / (lat_b - lat_a)
+            return lng.contains_point(lng_a + t * (lng_b - lng_a))
+        return False
+
+    def boundary_intersects(self, a_xyz, b_xyz) -> bool:
+        """Does edge AB cross this rect's boundary
+        (latlng_rect.rs:342-371)."""
+        if self.is_empty():
+            return False
+        if not self.lng.is_full():
+            if self.intersects_lng_edge(a_xyz, b_xyz, self.lat, self.lng.lo):
+                return True
+            if self.intersects_lng_edge(a_xyz, b_xyz, self.lat, self.lng.hi):
+                return True
+        if self.lat.lo != -PI_2 and self.intersects_lat_edge(
+                a_xyz, b_xyz, self.lat.lo, self.lng):
+            return True
+        if self.lat.hi != PI_2 and self.intersects_lat_edge(
+                a_xyz, b_xyz, self.lat.hi, self.lng):
+            return True
+        return False
+
     def expanded(self, lat_margin: float, lng_margin: float) -> "S2LatLngRect":
         """latlng_rect.rs:388-406."""
         if self.is_empty():

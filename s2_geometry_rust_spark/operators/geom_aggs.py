@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -128,3 +129,94 @@ def union_leaf_cells_covered(cells: DataFrame) -> DataFrame:
             F.count("*").alias("n_cells"),
         )
     )
+
+
+UNION_BOUNDS_SCHEMA = StructType(
+    [
+        StructField("union_id", LongType()),
+        StructField("n_cells", IntegerType()),
+        StructField("average_area", DoubleType()),
+        StructField("approx_area", DoubleType()),
+        StructField("exact_area", DoubleType()),
+        StructField("cap_cx", DoubleType()),
+        StructField("cap_cy", DoubleType()),
+        StructField("cap_cz", DoubleType()),
+        StructField("cap_radius_l2", DoubleType()),
+        StructField("rect_lat_lo", DoubleType()),
+        StructField("rect_lat_hi", DoubleType()),
+        StructField("rect_lng_lo", DoubleType()),
+        StructField("rect_lng_hi", DoubleType()),
+    ]
+)
+
+
+def union_bounds(cells: DataFrame) -> DataFrame:
+    """Per-union bounding cap / bounding rect / area aggregates
+    (cell_union.rs:480-540): average_area = avg-leaf-area x
+    leaf_cells_covered, approx/exact areas as sorted per-cell sums, cap
+    bound = area-weighted approximate centroid then an add_cap fold over
+    per-cell cap bounds, rect bound = a union fold over per-cell rect
+    bounds.  The folds run in normalized (sorted-unsigned) cell order —
+    the reference iterates its normalized cell_ids vector, and neither
+    S2Cap::add_cap nor S1Interval::union is order-independent.
+
+    Grouped applyInPandas: unions are small by construction (a covering
+    is <= max_cells), so the per-union kernel is exact parity; the only
+    shuffle is the groupBy on union_id."""
+    from ..kernels import cellid as ci
+    from ..kernels.caps import S2Cap
+    from ..kernels.cells import S2Cell
+    from ..kernels.rects import S2LatLngRect
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        uid = pdf["union_id"].iloc[0]
+        ids = np.sort(pdf["cell_id"].to_numpy(np.int64).view(np.uint64))
+        cells_k = [S2Cell(int(c)) for c in ids]
+        levels = ci.level(ids)
+        leaves = float(np.sum(1 << (2 * (30 - levels.astype(np.int64)))))
+        average = S2Cell.average_area_at_level(30) * leaves
+        approx = 0.0
+        exact = 0.0
+        for c in cells_k:
+            approx += c.approx_area()
+        for c in cells_k:
+            exact += c.exact_area()
+        # cap bound (cell_union.rs:504-531)
+        centroid = np.zeros(3)
+        px, py, pz = ci.to_point_raw(ids)
+        for k, c in enumerate(cells_k):
+            area = S2Cell.average_area_at_level(c.level)
+            centroid += area * np.array([px[k], py[k], pz[k]])
+        if not np.any(centroid != 0.0):
+            centroid = np.array([1.0, 0.0, 0.0])
+        else:
+            centroid = centroid / np.linalg.norm(centroid)
+        cap = S2Cap.from_point(
+            (float(centroid[0]), float(centroid[1]), float(centroid[2]))
+        )
+        for c in cells_k:
+            (ccx, ccy, ccz), radius = c.get_cap_bound()
+            cap.add_cap(S2Cap.from_center_angle((ccx, ccy, ccz), radius))
+        # rect bound (cell_union.rs:534-540)
+        rect = S2LatLngRect.empty()
+        for c in cells_k:
+            rect = rect.union(c.get_rect_bound())
+        return pd.DataFrame(
+            {
+                "union_id": [uid],
+                "n_cells": [len(ids)],
+                "average_area": [average],
+                "approx_area": [approx],
+                "exact_area": [exact],
+                "cap_cx": [cap.cx],
+                "cap_cy": [cap.cy],
+                "cap_cz": [cap.cz],
+                "cap_radius_l2": [cap.radius_l2],
+                "rect_lat_lo": [rect.lat.lo],
+                "rect_lat_hi": [rect.lat.hi],
+                "rect_lng_lo": [rect.lng.lo],
+                "rect_lng_hi": [rect.lng.hi],
+            }
+        )
+
+    return cells.groupBy("union_id").applyInPandas(fn, UNION_BOUNDS_SCHEMA)

@@ -184,3 +184,109 @@ def edge_crossing_join(edges_a: DataFrame, edges_b: DataFrame,
             )
 
     return pairs.mapInPandas(refine, schema)
+
+
+CHAIN_CROSS_SCHEMA = StructType(
+    [
+        StructField("line_id", LongType()),
+        StructField("shape_id", LongType()),
+        StructField("n_crossing_edges", IntegerType()),
+        StructField("n_vertex_touches", IntegerType()),
+    ]
+)
+
+
+def polyline_edge_crossings(polylines: DataFrame, edges: DataFrame,
+                            max_cells: int = 16) -> DataFrame:
+    """Chain-crossing join: polylines vs indexed shape edges using the
+    S2EdgeCrosser chain state (edge_crosser.rs:106-170 semantics via
+    kernels.edge_crosser.crossing_signs_chain — each chain vertex is
+    tested ONCE per fixed edge, not once per chain edge pair).
+
+    polylines: (line_id long, vertices array<struct<lat,lng>> degrees).
+    edges: EDGES_SCHEMA shape-edge table.
+
+    Candidates come from the shape index (v0-parent cells at the
+    reference's pinned level 15, ancestors included so coarse polyline
+    covering cells match), so the join is hash-equi on cell ids —
+    scale-shaped like every other join here.  Refine groups by
+    (line_id, shape_id): one applyInPandas group walks the polyline
+    chain once per candidate shape edge, counting proper crossings (+1)
+    and shared-vertex touches (0) per the crosser's sign contract.
+
+    Output: (line_id, shape_id, n_crossing_edges, n_vertex_touches).
+    """
+    from ..functions import unsigned_sort_key  # noqa: F401  (doc pointer)
+    from .polyline_join import _ancestors_and_self, polyline_coverings
+
+    lines_str = polylines.select(
+        F.col("line_id").cast("long").alias("line_id"), "vertices"
+    )
+    cov = polyline_coverings(
+        lines_str.select(F.col("line_id").cast("string").alias("line_id"),
+                         "vertices"),
+        max_cells=max_cells,
+    ).select(F.col("line_id").cast("long").alias("line_id"), "cell_id")
+    idx = edges.withColumn(
+        "_icell",
+        cell_parent(cell_id_from_xyz("v0x", "v0y", "v0z"), INDEX_LEVEL),
+    ).select("shape_id", "_icell").distinct()
+    # overlap in id space: ancestor-or-equal either direction
+    cov_anc = cov.select(
+        "line_id", F.explode(_ancestors_and_self("cell_id")).alias("_c")
+    )
+    idx_anc = idx.select(
+        "shape_id", F.explode(_ancestors_and_self("_icell")).alias("_c")
+    )
+    cand = (
+        cov.select("line_id", F.col("cell_id").alias("_c"))
+        .join(idx_anc, "_c")
+        .select("line_id", "shape_id")
+        .unionByName(
+            cov_anc.join(
+                idx.select("shape_id", F.col("_icell").alias("_c")), "_c"
+            ).select("line_id", "shape_id")
+        )
+        .dropDuplicates(["line_id", "shape_id"])
+    )
+
+    pair_edges = cand.join(edges, "shape_id").join(lines_str, "line_id")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..kernels import edge_crosser as ec
+        from ..kernels import latlng as lk2
+
+        line_id = pdf["line_id"].iloc[0]
+        shape_id = pdf["shape_id"].iloc[0]
+        verts = pdf["vertices"].iloc[0]
+        lat = lk2.degrees_to_radians(
+            np.array([v["lat"] for v in verts], np.float64))
+        lng = lk2.degrees_to_radians(
+            np.array([v["lng"] for v in verts], np.float64))
+        x, y, z = lk2.latlng_to_xyz(lat, lng)
+        chain = np.stack([x, y, z], axis=-1)
+        n_cross = 0
+        n_touch = 0
+        if len(chain) >= 2:
+            for _, e in pdf.iterrows():
+                signs = ec.crossing_signs_chain(
+                    np.array([e["v0x"], e["v0y"], e["v0z"]]),
+                    np.array([e["v1x"], e["v1y"], e["v1z"]]),
+                    chain,
+                )
+                if np.any(signs > 0):
+                    n_cross += 1
+                if np.any(signs == 0):
+                    n_touch += 1
+        return pd.DataFrame(
+            {
+                "line_id": [line_id],
+                "shape_id": [shape_id],
+                "n_crossing_edges": [n_cross],
+                "n_vertex_touches": [n_touch],
+            }
+        )
+
+    return pair_edges.groupBy("line_id", "shape_id").applyInPandas(
+        fn, CHAIN_CROSS_SCHEMA
+    )
