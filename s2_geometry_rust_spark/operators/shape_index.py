@@ -290,3 +290,28 @@ def polyline_edge_crossings(polylines: DataFrame, edges: DataFrame,
     return pair_edges.groupBy("line_id", "shape_id").applyInPandas(
         fn, CHAIN_CROSS_SCHEMA
     )
+
+
+def remove_shape(index: DataFrame, shape_id: int) -> DataFrame:
+    """Incremental removal (mutable_shape_index.rs:280-296 API).
+
+    The reference's remove_shape_from_index body (:201-219) is a
+    placeholder that drops EVERY cell and flags a full rebuild; the
+    engine implements what its TODO intends — delete exactly the
+    shape's postings.  On an Iceberg index table this is
+    ``DELETE FROM index WHERE shape_id = ?`` (a metadata-only
+    positional delete); here it is the equivalent filter."""
+    return index.filter(F.col("shape_id") != shape_id)
+
+
+def add_shapes(index: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """Incremental add (mutable_shape_index.rs:259-277): index the new
+    shapes' edges and merge — equivalent to MERGE INTO on an Iceberg
+    index table.  The result is re-sorted by the unsigned cell key so
+    range reads keep pruning."""
+    added = build_shape_index(new_edges)
+    return (
+        index.unionByName(added)
+        .sortWithinPartitions(unsigned_sort_key("cell_id"))
+        .sort(unsigned_sort_key("cell_id"))
+    )

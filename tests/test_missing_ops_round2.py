@@ -238,3 +238,29 @@ def test_polyline_edge_crossings_operator(spark):
     # and reported pairs must carry kernel-exact counts
     for key, val in got_idx.items():
         assert expected.get(key, (0, 0)) == val or val == (0, 0), key
+
+
+def test_shape_index_incremental_add_remove(spark):
+    from s2_geometry_rust_spark import fixtures
+    from s2_geometry_rust_spark.operators.shape_index import (
+        add_shapes,
+        build_shape_index,
+        edges_from_loops,
+        remove_shape,
+    )
+
+    names = ["loop_a", "loop_b", "arctic_80"]
+    edges = edges_from_loops(spark, {n: fixtures.LOOPS[n] for n in names})
+    full = build_shape_index(edges)
+
+    # remove shape 1, then add it back incrementally: equals full rebuild
+    without = remove_shape(full, 1)
+    assert without.filter("shape_id = 1").count() == 0
+    assert without.count() == full.filter("shape_id != 1").count()
+    # removing again is a no-op (reference returns None; engine: same df)
+    assert remove_shape(without, 1).count() == without.count()
+
+    re_added = add_shapes(without, edges.filter("shape_id = 1"))
+    a = sorted(map(tuple, re_added.collect()))
+    b = sorted(map(tuple, full.collect()))
+    assert a == b
