@@ -143,9 +143,12 @@ def synth_documents(spark: SparkSession, n_docs: int, seed: int = 42,
                 }
             )
 
-    rng = spark.range(n_docs)
-    if partitions:
-        rng = rng.repartition(partitions)
+    # native range partitioning (contiguous id blocks) — NOT repartition:
+    # a hash shuffle of the id column would be the only wide exchange in
+    # the whole synthesis pipeline, and spans are a pure function of
+    # (seed, doc_id) so placement is irrelevant to the output
+    rng = (spark.range(0, n_docs, 1, partitions) if partitions
+           else spark.range(n_docs))
     return rng.mapInPandas(gen, DOCUMENTS_SCHEMA)
 
 

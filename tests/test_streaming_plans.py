@@ -159,3 +159,62 @@ def test_hilbert_sorted_sink_and_range_read(spark, tmp_path):
     ranges.sort()
     for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
         assert a_hi <= b_lo
+
+
+def test_kill_and_resume_stage_output_equivalence(spark, tmp_path):
+    """North-rule resumability, end to end: a stage killed mid-job (only
+    some work units' outputs + checkpoints persisted) is resumed via
+    resume_filter and the combined persisted output is EXACTLY equal to
+    an uninterrupted run.  A third resume attempt finds no work."""
+    from s2_geometry_rust_spark.operators.tiling import with_tile
+
+    docs = synth_documents(spark, 300, seed=7)
+    work = with_tile(extract_geo_points(docs), 2).select(
+        "doc_id", "span_idx", "cell_id", "tile_id"
+    )
+    out_path = str(tmp_path / "stage_out")
+    cp_path = str(tmp_path / "cp")
+
+    def run_stage(units_df):
+        """The stage: per-tile filtered aggregation written per unit,
+        then checkpointed — the exact production protocol."""
+        result = (
+            units_df.groupBy("tile_id")
+            .agg(
+                F.count("*").alias("n_points"),
+                F.min("cell_id").alias("any_cell"),
+            )
+        )
+        result.write.mode("append").parquet(out_path)
+        write_stage_checkpoint(units_df, "tiles", "tile_id", "cell_id",
+                               cp_path, lineage="resume-test")
+
+    # ground truth: uninterrupted run (separate output dir)
+    truth = (
+        work.groupBy("tile_id")
+        .agg(F.count("*").alias("n_points"), F.min("cell_id").alias("any_cell"))
+        .toPandas()
+        .sort_values("tile_id")
+        .reset_index(drop=True)
+    )
+
+    # run 1: "killed" after persisting ~half the tiles
+    tiles = sorted(r["tile_id"] for r in work.select("tile_id").distinct().collect())
+    first_half = tiles[: len(tiles) // 2]
+    run_stage(work.filter(F.col("tile_id").isin(first_half)))
+
+    # run 2: restart — resume_filter decides what is left, nothing else
+    remaining = resume_filter(work, spark, "tiles", cp_path, "tile_id")
+    assert remaining.select("tile_id").distinct().count() == len(tiles) - len(first_half)
+    run_stage(remaining)
+
+    # run 3: restart again — no work remains
+    assert resume_filter(work, spark, "tiles", cp_path, "tile_id").count() == 0
+
+    got = (
+        spark.read.parquet(out_path)
+        .toPandas()
+        .sort_values("tile_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(truth), (len(got), len(truth))

@@ -1,0 +1,89 @@
+"""One leg of the two-cluster-size scaling measurement: run the
+headline spatial pipeline at local[N] and print one JSON line
+{"cpus": N, "best_sec": t, "docs": D, "cores_used": c}.
+
+``cores_used`` is the measured CPU consumption (process tree: this
+python driver, the JVM, and every Python worker) divided by wall time
+during the best trial.  It is reported because single-JVM local mode
+carries a FIXED pool of JVM service threads (GC, scheduler, Arrow IPC,
+codegen) that does not scale with N: measured on this box, "local[2]"
+consumes ~5.8 cores and "local[8]" ~11.9 — a 2.05x resource ratio for
+a nominal 4x.  On a real cluster every executor is its own JVM, so
+service threads scale WITH the executor count; dividing throughput by
+measured cores is therefore the faithful sandbox emulation of N vs 4N
+executors, and bench.py reports both the nominal-N and the
+core-normalized efficiency.
+
+Each leg runs in its own subprocess so SparkContexts are fully isolated
+(no cross-session accumulator teardown races in recorded stderr).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_CLK = os.sysconf("SC_CLK_TCK")
+
+
+def _proc_tree_cpu(root: int) -> float:
+    """Total utime+stime seconds of root and all live descendants."""
+    ppid_of = {}
+    stat_of = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                raw = f.read()
+        except OSError:
+            continue
+        # comm may contain spaces/parens: split after the last ')'
+        rest = raw[raw.rindex(")") + 2:].split()
+        ppid_of[int(pid)] = int(rest[1])
+        stat_of[int(pid)] = (int(rest[11]) + int(rest[12])) / _CLK
+    total = 0.0
+    members = {root}
+    changed = True
+    while changed:
+        changed = False
+        for pid, ppid in ppid_of.items():
+            if ppid in members and pid not in members:
+                members.add(pid)
+                changed = True
+    for pid in members:
+        total += stat_of.get(pid, 0.0)
+    return total
+
+
+def main(cpus: int, n_docs: int, partitions: int) -> None:
+    from bench import spatial_pipeline_count
+    from s2_geometry_rust_spark.session import get_spark
+
+    spark = get_spark(f"scaling-{cpus}", cpus=cpus,
+                      shuffle_partitions=max(cpus * 2, 8))
+    spark.sparkContext.setLogLevel("OFF")
+    me = os.getpid()
+    # warm Python worker pool + JIT
+    spatial_pipeline_count(spark, 5000)
+    best = None
+    best_cores = None
+    for _ in range(3):
+        c0 = _proc_tree_cpu(me)
+        t0 = time.time()
+        spatial_pipeline_count(spark, n_docs)
+        dt = time.time() - t0
+        cores = (_proc_tree_cpu(me) - c0) / dt
+        if best is None or dt < best:
+            best, best_cores = dt, cores
+    spark.stop()
+    print(json.dumps({"cpus": cpus, "best_sec": best, "docs": n_docs,
+                      "cores_used": round(best_cores, 2)}))
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]))
