@@ -382,6 +382,16 @@ def polyline_crossings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup threshold join (the oracle
+    baseline; cosine_threshold_pairs_lsh is the bucketed scale path,
+    recall-tested in pytest, and ivf_topk the ANN scale path)."""
+    from .operators.similarity import cosine_threshold_pairs_exact
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_threshold_pairs_exact(emb, 0.4)
+
+
 def ann_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import cosine_topk_bruteforce
 
@@ -415,6 +425,7 @@ QUERIES = {
     "knn_cell_ring": knn_cell_ring_q,
     "near_dup_pairs": near_dup_pairs_q,
     "ann_cosine": ann_cosine_q,
+    "emb_near_dup": emb_near_dup_q,
     "loop_stats": loop_stats_q,
     "edge_crossings": edge_crossings_q,
     "polyline_crossings": polyline_crossings_q,
@@ -444,4 +455,5 @@ ORACLES = {
     "polyline_crossings": oracle.polyline_crossings_sql(),
     "loop_stats": oracle.loop_stats_sql(),
     "point_in_region": oracle.point_in_region_sql(),
+    "emb_near_dup": oracle.emb_near_dup_sql(0.4),
 }

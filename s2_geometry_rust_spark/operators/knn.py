@@ -137,7 +137,12 @@ def knn_cell_ring(queries: DataFrame, candidates: DataFrame, k: int,
         *[F.col(c_).alias(f"_c{c2}") for c_, c2 in zip(cand_xyz, "xyz")],
     )
 
-    # 1. per-(level, cell) candidate density — one pass, map-side combine
+    # 1. per-(level, cell) candidate density — one pass, map-side combine.
+    # Only cells with n >= k can ever be chosen, so the filter keeps the
+    # density table tiny (deep levels contribute almost nothing once the
+    # per-cell count drops below k); with that bound it is always safe
+    # to broadcast into the per-query level-choice join — no shuffle of
+    # the query side, no risk of a large build side at deep levels.
     anc = F.explode(
         F.array(
             *[
@@ -153,6 +158,7 @@ def knn_cell_ring(queries: DataFrame, candidates: DataFrame, k: int,
         .select(F.col("_a.lv").alias("lv"), F.col("_a.cell").alias("cell"))
         .groupBy("lv", "cell")
         .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= k)
     )
 
     # 2. deepest level with n >= k per query (the widening stop level);
@@ -171,9 +177,14 @@ def knn_cell_ring(queries: DataFrame, candidates: DataFrame, k: int,
             )
         ).alias("_a"),
     ).select("query_id", F.col("_a.lv").alias("lv"), F.col("_a.cell").alias("cell"))
+    # density rows are bounded by the cell-id space, not the data:
+    # sum over levels 0..start_level of 6*4^lv  (~524k at start_level 8)
+    # and further cut by the n >= k filter — safe to broadcast for
+    # start_level <= 8; deeper hierarchies fall back to a hash join
+    # (AQE may still choose broadcast from runtime size).
+    d = F.broadcast(density) if start_level <= 8 else density
     chosen = (
-        qa.join(density, ["lv", "cell"])
-        .filter(F.col("n") >= k)
+        qa.join(d, ["lv", "cell"])
         .groupBy("query_id")
         .agg(F.max("lv").alias("lv"))
     )

@@ -975,3 +975,26 @@ loop_members AS (
 SELECT printf('doc-%08d', id) AS doc_id, 1 AS span_idx, region_id
 FROM (SELECT * FROM loop_members UNION ALL SELECT * FROM cap_members)
 """
+
+
+def emb_near_dup_sql(threshold: float = 0.4) -> str:
+    """Exact embedding near-dup pairs (mirror of
+    operators/similarity.py:cosine_threshold_pairs_exact).  The engine
+    GEMMs unit vectors while SQL divides the raw dot by the norm
+    product — they agree to ~1 ulp, and the fixture threshold sits
+    >=1e-4 from every pair's cosine, so nano-scaled comparison is
+    exact."""
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, CAST(round(cos * 1e9, 0) AS BIGINT) AS cos_nano
+FROM pairs WHERE cos >= {threshold!r}
+"""
