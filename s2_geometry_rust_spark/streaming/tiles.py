@@ -43,3 +43,23 @@ def streaming_tile_counts(doc_stream: DataFrame, level: int = 8,
         s.groupBy(F.window(ts_col, window), "tile_id")
         .agg(F.count("*").alias("n_points"))
     )
+
+
+def streaming_tile_assign(doc_stream: DataFrame, level: int = 8) -> DataFrame:
+    """Stateless streaming tile assignment (one row per geo span):
+    extraction -> leaf encode -> parent-at-level, identical operator
+    chain to the batch tiler but with no aggregation, so it can run in
+    append mode into an exactly-once file/Iceberg sink.  This is the
+    production shape for a live ingest feed: the windowed aggregate
+    (streaming_tile_counts) reads FROM this sink incrementally."""
+    s = doc_stream.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "span")
+    )
+    s = s.filter(F.col("span.kind") == "geo").select(
+        "doc_id",
+        "span_idx",
+        F.regexp_extract("span.text", _POINT_RE, 1).cast("double").alias("lat"),
+        F.regexp_extract("span.text", _POINT_RE, 2).cast("double").alias("lng"),
+    )
+    s = s.withColumn("cell_id", cell_id_from_latlng_deg("lat", "lng"))
+    return s.withColumn("tile_id", cell_parent("cell_id", level))

@@ -218,3 +218,63 @@ def test_kill_and_resume_stage_output_equivalence(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert got.equals(truth), (len(got), len(truth))
+
+
+def test_streaming_file_sink_checkpoint_resume(spark, tmp_path):
+    """File-sink exactly-once resume: a streaming query killed between
+    input batches restarts from its checkpoint and processes ONLY the
+    new files — the sink ends bit-equal to the batch transform of all
+    input, no duplicates (memory sinks cannot recover checkpoints;
+    file/Iceberg sinks are the production path)."""
+    from s2_geometry_rust_spark.streaming.tiles import streaming_tile_assign
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    cp = str(tmp_path / "cp")
+
+    batch1 = synth_documents(spark, 100, seed=42)
+    batch1.write.mode("append").parquet(src)
+    schema = batch1.schema
+
+    def run_until_drained():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_tile_assign(stream, level=6)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run_until_drained()          # run 1: processes batch1, then "dies"
+    n1 = spark.read.parquet(sink).count()
+    assert n1 > 0
+
+    # new data arrives while the job is down
+    batch2 = synth_documents(spark, 80, seed=99)
+    batch2.write.mode("append").parquet(src)
+
+    run_until_drained()          # run 2: resume from checkpoint
+
+    got = (
+        spark.read.parquet(sink)
+        .select("doc_id", "span_idx", "tile_id")
+        .toPandas()
+        .sort_values(["doc_id", "span_idx"])
+        .reset_index(drop=True)
+    )
+    # ground truth: the same operator chain in batch over ALL input
+    from s2_geometry_rust_spark.sources import extract_geo_points
+    from s2_geometry_rust_spark.operators.tiling import with_tile
+
+    want = (
+        with_tile(extract_geo_points(spark.read.parquet(src)), 6)
+        .select("doc_id", "span_idx", "tile_id")
+        .toPandas()
+        .sort_values(["doc_id", "span_idx"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want), (len(got), len(want))
