@@ -240,6 +240,38 @@ def point_in_region_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def covering_cells_cons_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conservative (join-filter-sound) cap coverings over caps derived
+    from the supplier table — the bounded level-synchronous coverer
+    (operators/coverings.py:conservative_covering + TrueCapRegion) whose
+    DuckDB oracle re-executes the whole algorithm in SQL: inverse
+    Hilbert via the embedded LOOKUP_IJ table, true cell-quad geometry,
+    frontier expansion with the budget stop, and the normalize
+    sibling-collapse.  (covering_cells, the best-first reference-parity
+    coverer, stays rows-only: its priority-queue order is inherently
+    procedural.)"""
+    from . import fixtures
+    from .operators.coverings import cover_regions
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    k = F.col("s_suppkey")
+    regions = sup.filter(k < 16).select(
+        F.format_string("cap-%03d", k.cast("int")).alias("region_id"),
+        F.lit("cap").alias("kind"),
+        ((k * 37 % 181).cast("double") - 90.0 + 0.25).alias("p0"),
+        ((k * 73 % 361).cast("double") - 180.0 + 0.25).alias("p1"),
+        (k % 5 + 1).cast("double").alias("p2"),
+        F.lit(None).cast("double").alias("p3"),
+        F.lit(None).cast(
+            "array<struct<lat:double,lng:double>>"
+        ).alias("vertices"),
+        F.lit(None).cast("array<bigint>").alias("cell_ids"),
+    )
+    return cover_regions(regions, max_cells=64, conservative=True).select(
+        "region_id", "cell_id", "level"
+    )
+
+
 def knn_cell_ring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import cell_id_from_xyz
     from .operators.knn import knn_cell_ring
@@ -421,6 +453,7 @@ QUERIES = {
     "simhash": simhash_q,
     # rows-only (geometry/approx operators with no SQL equivalent)
     "covering_cells": covering_cells_q,
+    "covering_cells_cons": covering_cells_cons_q,
     "point_in_region": point_in_region_q,
     "knn_cell_ring": knn_cell_ring_q,
     "near_dup_pairs": near_dup_pairs_q,
@@ -456,4 +489,5 @@ ORACLES = {
     "loop_stats": oracle.loop_stats_sql(),
     "point_in_region": oracle.point_in_region_sql(),
     "emb_near_dup": oracle.emb_near_dup_sql(0.4),
+    "covering_cells_cons": oracle.conservative_cap_covering_sql(),
 }

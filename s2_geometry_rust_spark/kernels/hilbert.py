@@ -75,3 +75,10 @@ def lookup_pos_sql_values() -> str:
     the cell-id math itself can be verified by an independent engine.
     """
     return ", ".join(f"({i}, {int(v)})" for i, v in enumerate(LOOKUP_POS))
+
+
+def lookup_ij_sql_values() -> str:
+    """The LOOKUP_IJ (inverse) table as a SQL VALUES list ``(idx, val)``
+    — lets oracle SQL run the exact Hilbert inverse (cell id -> face,i,j)
+    and therefore recompute true cell geometry independently."""
+    return ", ".join(f"({i}, {int(v)})" for i, v in enumerate(LOOKUP_IJ))

@@ -998,3 +998,290 @@ WITH e AS (
 SELECT vec_a, vec_b, CAST(round(cos * 1e9, 0) AS BIGINT) AS cos_nano
 FROM pairs WHERE cos >= {threshold!r}
 """
+
+
+# ---------------------------------------------------------------------------
+# conservative cap-covering oracle: the bounded level-synchronous coverer
+# (operators/coverings.py:conservative_covering + TrueCapRegion)
+# re-executed in pure SQL.  Each round of the frontier expansion is
+# unrolled as a CTE chain; cell geometry (true quads) is recomputed from
+# first principles via the embedded inverse-Hilbert LOOKUP_IJ table, the
+# linear ST map, and the face-projection inverse (incl. the face-5 u
+# sign that the reference's private variant mirrors incorrectly).
+# ---------------------------------------------------------------------------
+
+DEG_TO_RAD = 0.017453292519943295  # float64 pi/180, kernels/latlng.py
+
+
+def _face_xyz_exprs(face: str, u: str, v: str) -> tuple[str, str, str]:
+    """face_uv_to_xyz_inverse (kernels/cells_true.py) as SQL CASE."""
+    x = (f"CASE {face} WHEN 0 THEN 1.0 WHEN 1 THEN -({u}) WHEN 2 THEN -({v})"
+         f" WHEN 3 THEN -1.0 WHEN 4 THEN ({v}) ELSE -({u}) END")
+    y = (f"CASE {face} WHEN 0 THEN ({u}) WHEN 1 THEN 1.0 WHEN 2 THEN -({u})"
+         f" WHEN 3 THEN -({v}) WHEN 4 THEN -1.0 ELSE ({v}) END")
+    z = (f"CASE {face} WHEN 0 THEN ({v}) WHEN 1 THEN ({v}) WHEN 2 THEN 1.0"
+         f" WHEN 3 THEN -({u}) WHEN 4 THEN ({u}) ELSE -1.0 END")
+    return x, y, z
+
+
+_CAP_CARRY = "region_id, ccx, ccy, ccz, crad, cl2"
+
+
+def _geom_chain_sql(src: str, out: str) -> str:
+    """CTE fragments from ``src(region_id, cap params, cell_id)`` to
+    ``out(...same..., lv, may_int BOOLEAN, contained BOOLEAN)``."""
+    q = out
+    # inverse Hilbert: range_min leaf -> (face, i, j), 8 lookup steps
+    steps = []
+    prev = f"{q}_h0"
+    for k in range(7, -1, -1):
+        nm = f"{q}_h{8 - k}"
+        steps.append(
+            f"{nm} AS (SELECT s.* EXCLUDE (i, j, bits), "
+            f"s.i | ((l.r::UBIGINT >> 8) << {k * 4}) AS i, "
+            f"s.j | (((l.r::UBIGINT >> 4) & 15) << {k * 4}) AS j, "
+            f"(l.r::UBIGINT & 3) AS bits "
+            f"FROM {prev} s JOIN lut2 l ON l.idx = CAST("
+            f"(((s.hil >> {k * 8}) & 255) << 2) | s.bits AS BIGINT))"
+        )
+        prev = nm
+    hsteps = ",\n".join(steps)
+    corners = [("u_lo", "v_lo"), ("u_hi", "v_lo"), ("u_hi", "v_hi"),
+               ("u_lo", "v_hi")]
+    raw_cols = []
+    for kx, (uu, vv) in enumerate(corners):
+        ex, ey, ez = _face_xyz_exprs("face", uu, vv)
+        raw_cols += [f"{ex} AS rx{kx}", f"{ey} AS ry{kx}", f"{ez} AS rz{kx}"]
+    ecx, ecy, ecz = _face_xyz_exprs("face", "u_m", "v_m")
+    raw_cols += [f"{ecx} AS rcx", f"{ecy} AS rcy", f"{ecz} AS rcz"]
+    raws = ", ".join(raw_cols)
+    norm_cols = []
+    for kx in range(4):
+        n = f"sqrt(rx{kx}*rx{kx} + ry{kx}*ry{kx} + rz{kx}*rz{kx})"
+        norm_cols += [f"rx{kx}/{n} AS px{kx}", f"ry{kx}/{n} AS py{kx}",
+                      f"rz{kx}/{n} AS pz{kx}"]
+    nc = "sqrt(rcx*rcx + rcy*rcy + rcz*rcz)"
+    norm_cols += [f"rcx/{nc} AS pcx", f"rcy/{nc} AS pcy", f"rcz/{nc} AS pcz"]
+    norms = ", ".join(norm_cols)
+    rcell = "GREATEST(" + ", ".join(
+        f"acos(LEAST(GREATEST(px{k}*pcx + py{k}*pcy + pz{k}*pcz, -1.0), 1.0))"
+        for k in range(4)
+    ) + ")"
+    contained = " AND ".join(
+        f"LEAST((ccx - px{k})*(ccx - px{k}) + (ccy - py{k})*(ccy - py{k})"
+        f" + (ccz - pz{k})*(ccz - pz{k}), 4.0) <= cl2"
+        for k in range(4)
+    )
+    return f"""
+{q}_a AS (
+  SELECT {_CAP_CARRY}, cell_id,
+         (cell_id & -cell_id) AS lsbv,
+         cell_id - ((cell_id & -cell_id) - 1) AS leaf
+  FROM {src}
+),
+{q}_b AS (
+  SELECT *, CAST(CASE WHEN leaf < 0 THEN leaf::HUGEINT + {U64}
+                      ELSE leaf::HUGEINT END AS UBIGINT) AS leafu
+  FROM {q}_a
+),
+{q}_h0 AS (
+  SELECT *, CAST(leafu >> 61 AS BIGINT) AS face,
+         (leafu >> 1) - ((leafu >> 61) << 60) AS hil,
+         (leafu >> 61) & 1 AS bits,
+         0::UBIGINT AS i, 0::UBIGINT AS j
+  FROM {q}_b
+),
+{hsteps},
+{q}_g AS (
+  SELECT s.*, t.lv, t.sz,
+         s.i - (s.i % t.sz) AS i0, s.j - (s.j % t.sz) AS j0
+  FROM {q}_h8 s JOIN lvtab t ON t.lsbv = s.lsbv
+),
+{q}_uv AS (
+  SELECT *,
+    (CAST(i0 AS DOUBLE) / 1073741824.0) * 2.0 - 1.0 AS u_lo,
+    (CAST(i0 + sz AS DOUBLE) / 1073741824.0) * 2.0 - 1.0 AS u_hi,
+    (CAST(j0 AS DOUBLE) / 1073741824.0) * 2.0 - 1.0 AS v_lo,
+    (CAST(j0 + sz AS DOUBLE) / 1073741824.0) * 2.0 - 1.0 AS v_hi
+  FROM {q}_g
+),
+{q}_m AS (SELECT *, 0.5 * (u_lo + u_hi) AS u_m, 0.5 * (v_lo + v_hi) AS v_m
+          FROM {q}_uv),
+{q}_raw AS (SELECT {_CAP_CARRY}, cell_id, lv, face, {raws} FROM {q}_m),
+{q}_pts AS (SELECT {_CAP_CARRY}, cell_id, lv, {norms} FROM {q}_raw),
+{q} AS (
+  SELECT {_CAP_CARRY}, cell_id, lv,
+    acos(LEAST(GREATEST(pcx*ccx + pcy*ccy + pcz*ccz, -1.0), 1.0))
+      <= crad + {rcell} + 1e-12 AS may_int,
+    ({contained}) AS contained
+  FROM {q}_pts
+)"""
+
+
+def conservative_cap_covering_sql(max_cells: int = 64, depth: int = 10,
+                                  n_caps: int = 16,
+                                  table: str = "supplier",
+                                  key: str = "s_suppkey") -> str:
+    """Mirror of cover_regions(conservative=True) over derived caps:
+    level-synchronous expansion from the 6 face cells, keeping
+    may-intersecting children, terminal (fully contained) cells frozen,
+    stop when the budget would be exceeded, then the normalize
+    sibling-collapse."""
+    from .kernels.hilbert import lookup_ij_sql_values
+
+    face_ids = ", ".join(
+        f"({int(__import__('numpy').int64(__import__('numpy').uint64(f) << __import__('numpy').uint64(61) | __import__('numpy').uint64(1 << 60)))})"
+        for f in range(6)
+    )
+    lv_rows = ", ".join(
+        f"({1 << (2 * (30 - lv))}, {lv}, {1 << (30 - lv)}::UBIGINT)"
+        for lv in range(0, 31)
+    )
+    # rounds
+    chains = [_geom_chain_sql("seed0", "g0")]
+    rounds_sql = ["f0 AS MATERIALIZED (SELECT * FROM g0 WHERE may_int)"]
+    stats = [
+        "SELECT region_id, 0 AS k, 0::BIGINT AS tnew, count(*) AS fcnt "
+        "FROM f0 GROUP BY region_id"
+    ]
+    for k in range(1, depth + 1):
+        rounds_sql.append(
+            f"ch{k} AS (SELECT {_CAP_CARRY}, "
+            f"cell_id + o.off * ((cell_id & -cell_id) // 4) AS cell_id "
+            f"FROM f{k - 1}, (VALUES (-3), (-1), (1), (3)) o(off))"
+        )
+        chains.append(_geom_chain_sql(f"ch{k}", f"g{k}"))
+        rounds_sql.append(
+            f"k{k} AS MATERIALIZED (SELECT * FROM g{k} WHERE may_int)"
+        )
+        rounds_sql.append(
+            f"t{k} AS MATERIALIZED (SELECT * FROM k{k} WHERE contained)"
+        )
+        rounds_sql.append(
+            f"f{k} AS MATERIALIZED (SELECT * FROM k{k} WHERE NOT contained)"
+        )
+        stats.append(
+            f"SELECT r.region_id, {k} AS k, coalesce(tc.c, 0) AS tnew, "
+            f"coalesce(fc.c, 0) AS fcnt "
+            f"FROM regionlist r "
+            f"LEFT JOIN (SELECT region_id, count(*) AS c FROM t{k} "
+            f"GROUP BY region_id) tc ON tc.region_id = r.region_id "
+            f"LEFT JOIN (SELECT region_id, count(*) AS c FROM f{k} "
+            f"GROUP BY region_id) fc ON fc.region_id = r.region_id"
+        )
+    # stop level per region: smallest k with budget exceeded / no kept
+    # children next round / empty frontier, else depth
+    stop_sql = f"""
+stats AS ({' UNION ALL '.join(stats)}),
+stats2 AS (
+  SELECT region_id, k, fcnt,
+         sum(tnew) OVER (PARTITION BY region_id ORDER BY k) AS tcum
+  FROM stats
+),
+keptnext AS (
+  {' UNION ALL '.join(
+      f"SELECT region_id, {k} AS k, count(*) AS kn FROM k{k + 1} GROUP BY region_id"
+      for k in range(0, depth)
+  )}
+),
+stopc AS (
+  SELECT s.region_id, s.k, s.fcnt, s.tcum,
+         coalesce(kn.kn, 0) AS kn
+  FROM stats2 s LEFT JOIN keptnext kn
+    ON kn.region_id = s.region_id AND kn.k = s.k
+),
+stoplv AS (
+  SELECT region_id,
+         coalesce(min(CASE WHEN fcnt = 0 OR tcum + 4 * fcnt > {max_cells}
+                           OR kn = 0 THEN k END), {depth}) AS L
+  FROM stopc GROUP BY region_id
+)"""
+    # final cells = terminals with k <= L plus frontier at L
+    finals = ["SELECT f0.region_id, f0.cell_id, f0.lv FROM f0 "
+              "JOIN stoplv s ON s.region_id = f0.region_id AND s.L = 0"]
+    for k in range(1, depth + 1):
+        finals.append(
+            f"SELECT t{k}.region_id, t{k}.cell_id, t{k}.lv FROM t{k} "
+            f"JOIN stoplv s ON s.region_id = t{k}.region_id AND s.L >= {k}"
+        )
+        finals.append(
+            f"SELECT f{k}.region_id, f{k}.cell_id, f{k}.lv FROM f{k} "
+            f"JOIN stoplv s ON s.region_id = f{k}.region_id AND s.L = {k}"
+        )
+    finals_sql = ("cells0 AS MATERIALIZED ("
+                  + " UNION ALL ".join(finals) + ")")
+    # normalize: collapse complete sibling quads (cascade)
+    collapse = []
+    prev = "cells0"
+    for r in range(12):
+        nm = f"cells{r + 1}"
+        collapse.append(f"""
+{nm}_p AS MATERIALIZED (
+  SELECT *, (cell_id & -((cell_id & -cell_id) * 4))
+            | ((cell_id & -cell_id) * 4) AS parent
+  FROM {prev}
+),
+{nm}_full AS MATERIALIZED (
+  SELECT region_id, parent FROM {nm}_p
+  GROUP BY region_id, parent HAVING count(*) = 4
+),
+{nm} AS (
+  SELECT p.region_id, p.cell_id, p.lv FROM {nm}_p p
+  LEFT JOIN {nm}_full q
+    ON q.region_id = p.region_id AND q.parent = p.parent
+  WHERE q.parent IS NULL
+  UNION ALL
+  SELECT region_id, parent AS cell_id,
+         (SELECT lv FROM lvtab WHERE lsbv = (parent & -parent)) - 0 AS lv
+  FROM {nm}_full
+)""")
+        prev = nm
+    collapse_sql = ",".join(collapse)
+    caps_sql = f"""
+caps AS MATERIALIZED (
+  SELECT printf('cap-%03d', {key}) AS region_id,
+         (({key}*37) % 181)::DOUBLE - 90.0 + 0.25 AS lat,
+         (({key}*73) % 361)::DOUBLE - 180.0 + 0.25 AS lng,
+         ({key} % 5 + 1)::DOUBLE AS rdeg
+  FROM {table} WHERE {key} < {n_caps}
+),
+capsx AS (
+  SELECT region_id,
+         cos(lat * {DEG_TO_RAD!r}) * cos(lng * {DEG_TO_RAD!r}) AS x,
+         cos(lat * {DEG_TO_RAD!r}) * sin(lng * {DEG_TO_RAD!r}) AS y,
+         sin(lat * {DEG_TO_RAD!r}) AS z,
+         (2.0 * sin(0.5 * (rdeg * {DEG_TO_RAD!r})))
+           * (2.0 * sin(0.5 * (rdeg * {DEG_TO_RAD!r}))) AS cl2
+  FROM caps
+),
+capsn AS (
+  SELECT region_id,
+         x / sqrt(x*x + y*y + z*z) AS ccx,
+         y / sqrt(x*x + y*y + z*z) AS ccy,
+         z / sqrt(x*x + y*y + z*z) AS ccz,
+         2.0 * asin(0.5 * sqrt(GREATEST(cl2, 0.0))) AS crad,
+         cl2
+  FROM capsx
+),
+regionlist AS MATERIALIZED (SELECT DISTINCT region_id FROM caps),
+seed0 AS (
+  SELECT {_CAP_CARRY}, fc.cell_id
+  FROM capsn, (VALUES {face_ids}) fc(cell_id)
+)"""
+    return (
+        f"WITH lut2(idx, r) AS MATERIALIZED (VALUES {lookup_ij_sql_values()}),\n"
+        f"lvtab(lsbv, lv, sz) AS MATERIALIZED (VALUES {lv_rows}),\n"
+        + caps_sql + ",\n"
+        + ",\n".join(chains[:1]) + ",\n"
+        + rounds_sql[0] + ",\n"
+        + ",\n".join(
+            part for k in range(1, depth + 1)
+            for part in (rounds_sql[4 * k - 3], chains[k],
+                         rounds_sql[4 * k - 2], rounds_sql[4 * k - 1],
+                         rounds_sql[4 * k])
+        ) + ",\n"
+        + stop_sql.lstrip(",\n ") + ",\n"
+        + finals_sql + ",\n"
+        + collapse_sql.lstrip(",\n ")
+        + f"\nSELECT region_id, cell_id, lv AS level FROM cells12"
+    )
