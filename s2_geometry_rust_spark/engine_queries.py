@@ -153,6 +153,13 @@ def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_token_count(docs).select("doc_id", "n_tokens")
 
 
+def bpe_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import with_bpe_token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_bpe_token_count(docs).select("doc_id", "n_bpe_tokens")
+
+
 def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import with_quality_score
 
@@ -444,6 +451,7 @@ QUERIES = {
     "knn_brute": knn_brute,
     "dedup_exact": dedup_exact_q,
     "token_counts": token_counts_q,
+    "bpe_token_counts": bpe_token_counts_q,
     "text_quality": text_quality_q,
     "lang_id": lang_id_q,
     "union_leaf_cells": union_leaf_cells_q,
@@ -474,6 +482,7 @@ ORACLES = {
     "knn_brute": oracle.knn_sql(10),
     "dedup_exact": oracle.dedup_exact_sql(),
     "token_counts": oracle.token_counts_sql(),
+    "bpe_token_counts": oracle.bpe_token_counts_sql(),
     "text_quality": oracle.text_quality_sql(),
     "lang_id": oracle.lang_id_sql(),
     "union_leaf_cells": oracle.union_leaf_cells_sql(),

@@ -125,3 +125,24 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id",
             )
 
     return docs.select(id_col, text_col).mapInPandas(fp, _FP_SCHEMA)
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to RE2-compatible
+# constructs (no lookahead) so the same pattern runs in Java regex
+# (Spark codegen) and RE2 (DuckDB oracle) with identical leftmost-first
+# alternation semantics.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def with_bpe_token_count(docs: DataFrame, text_col: str = "text",
+                         out_col: str = "n_bpe_tokens") -> DataFrame:
+    """Subword-style token counting: the GPT-2 pre-tokenization regex
+    (contractions / letter runs / digit runs / punctuation runs /
+    whitespace, each optionally space-prefixed) — a good proxy for BPE
+    token budgets without a merges table.  Pure JVM codegen."""
+    return docs.withColumn(
+        out_col,
+        F.size(F.expr(
+            f'regexp_extract_all({text_col}, "{BPE_PATTERN}", 0)'
+        )),
+    )

@@ -1285,3 +1285,12 @@ seed0 AS (
         + collapse_sql.lstrip(",\n ")
         + f"\nSELECT region_id, cell_id, lv AS level FROM cells12"
     )
+
+
+def bpe_token_counts_sql() -> str:
+    """Mirror of operators/text.py:with_bpe_token_count (RE2 and Java
+    regex agree on this lookahead-free pattern)."""
+    from .operators.text import BPE_PATTERN
+
+    return (f"SELECT doc_id, len(regexp_extract_all(text, "
+            f"$${BPE_PATTERN}$$)) AS n_bpe_tokens FROM documents")
