@@ -441,6 +441,21 @@ def ann_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the deterministic first-ids quantizer so the whole
+    pipeline (assign -> probe -> bucket join -> exact re-rank) verifies
+    against the pure-SQL oracle; the kmeans-trained path is the
+    production default, recall-tested in pytest."""
+    from .operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(queries, emb, 10, n_centroids=16, n_probe=4,
+                    init="first_ids").select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -466,6 +481,7 @@ QUERIES = {
     "knn_cell_ring": knn_cell_ring_q,
     "near_dup_pairs": near_dup_pairs_q,
     "ann_cosine": ann_cosine_q,
+    "ann_ivf": ann_ivf_q,
     "emb_near_dup": emb_near_dup_q,
     "loop_stats": loop_stats_q,
     "edge_crossings": edge_crossings_q,
@@ -493,6 +509,7 @@ ORACLES = {
     "near_dup_pairs": oracle.near_dup_pairs_sql(),
     "knn_cell_ring": oracle.knn_cell_ring_sql(),
     "ann_cosine": oracle.ann_cosine_sql(),
+    "ann_ivf": oracle.ann_ivf_sql(),
     "edge_crossings": oracle.edge_crossings_sql(),
     "polyline_crossings": oracle.polyline_crossings_sql(),
     "loop_stats": oracle.loop_stats_sql(),

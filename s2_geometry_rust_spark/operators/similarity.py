@@ -275,8 +275,8 @@ def _spherical_kmeans(mat: np.ndarray, n_centroids: int, seed: int,
 def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
              n_centroids: int = 64, n_probe: int = 8, seed: int = 42,
              train_sample: int = 20000,
-             id_col: str = "vec_id", vec_col: str = "embedding"
-             ) -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             init: str = "kmeans") -> DataFrame:
     """IVF approximate nearest neighbors: spherical-kmeans coarse
     quantizer, inverted lists as a bucket column, queries probe their
     n_probe nearest centroids, exact cosine re-rank inside the probed
@@ -287,15 +287,28 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
     the only shuffle is the bucket equi-join whose build side per
     bucket is n_candidates/n_centroids on average — tune n_centroids ~
     sqrt(n) to bound list length.  Recall grows with n_probe
-    (pytest-checked vs the brute-force baseline)."""
+    (pytest-checked vs the brute-force baseline).
+
+    init="kmeans" (default) trains the quantizer with seeded Lloyd
+    rounds; init="first_ids" pins the centroids to the normalized
+    vectors of ``id_col < n_centroids`` — a deterministic rule an
+    independent engine can replay exactly, used by the ann_ivf contract
+    query so the whole IVF pipeline (assign -> probe -> re-rank) is
+    verifiable against a pure-SQL oracle."""
     spark = queries.sparkSession
     frac_df = candidates.select(id_col, vec_col)
-    sample_rows = frac_df.limit(train_sample).collect()
+    if init == "first_ids":
+        sample_rows = (frac_df.filter(F.col(id_col) < n_centroids)
+                       .orderBy(id_col).collect())
+    else:
+        sample_rows = frac_df.limit(train_sample).collect()
     mat = np.array([r[1] for r in sample_rows], dtype=np.float64)
     nrm = np.linalg.norm(mat, axis=1)
     nrm[nrm == 0] = 1.0
     mat /= nrm[:, None]
-    centers = _spherical_kmeans(mat, n_centroids, seed)
+    centers = mat if init == "first_ids" else _spherical_kmeans(
+        mat, n_centroids, seed
+    )
     bc = spark.sparkContext.broadcast(centers)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

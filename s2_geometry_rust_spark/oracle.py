@@ -1294,3 +1294,60 @@ def bpe_token_counts_sql() -> str:
 
     return (f"SELECT doc_id, len(regexp_extract_all(text, "
             f"$${BPE_PATTERN}$$)) AS n_bpe_tokens FROM documents")
+
+
+def ann_ivf_sql(k: int = 10, n_queries: int = 20, n_centroids: int = 16,
+                n_probe: int = 4) -> str:
+    """IVF ANN oracle (mirror of operators/similarity.py:ivf_topk with
+    init="first_ids"): centroids are the normalized vectors of
+    vec_id < n_centroids, every vector joins the inverted list of its
+    highest-cosine centroid (ties -> lowest centroid id, matching
+    numpy argmax), queries probe their n_probe nearest centroids and
+    re-rank the probed lists exactly.  Only ids and ranks are compared;
+    tests/test_oracle_fixture_margins.py pins >=1e-9 gaps on every
+    assignment, probe-boundary and rank decision so the ~1-ulp
+    normalize-then-GEMM vs dot/(|a||b|) difference can never flip a
+    decision."""
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+), c AS (
+  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+  WHERE vec_id < {n_centroids}
+), sims AS (
+  SELECT n.vec_id, c.cid,
+         list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) AS sim
+  FROM n CROSS JOIN c
+), assigned AS (
+  SELECT vec_id, cid AS bucket FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cid) AS rn
+    FROM sims) WHERE rn = 1
+), probed AS (
+  SELECT vec_id AS query_id, cid AS bucket FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cid) AS rn
+    FROM sims WHERE vec_id < {n_queries}) WHERE rn <= {n_probe}
+), cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probed p JOIN assigned a ON p.bucket = a.bucket
+  WHERE p.query_id <> a.vec_id
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(q.v, t.v) / (q.nrm * t.nrm) AS cos
+  FROM cand
+  JOIN n q ON q.vec_id = cand.query_id
+  JOIN n t ON t.vec_id = cand.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+"""

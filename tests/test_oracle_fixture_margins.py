@@ -118,3 +118,42 @@ def test_cells_true_vertices_round_trip_all_faces():
                 ck.from_point(x, y, z).astype(np.uint64), lvl
             )
             np.testing.assert_array_equal(back, cells)
+
+
+def test_ann_ivf_fixture_margins():
+    """The ann_ivf oracle compares ids/ranks only; the engine computes
+    cosines via normalize-then-GEMM while SQL divides the raw dot by the
+    norm product (~1 ulp apart).  Pin >=1e-9 gaps on every decision the
+    query makes at sf0.01: centroid assignment (top-1 vs top-2), probe
+    boundary (n_probe-th vs next), and the top-k rank boundary."""
+    import duckdb
+
+    n_centroids, n_probe, n_queries, k = 16, 4, 20, 10
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM "
+        "'/root/testdata/sf0.01/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1)[:, None]
+    centers = mat[ids < n_centroids]
+    sims = mat @ centers.T
+
+    top2 = np.sort(sims, axis=1)[:, -2:]
+    assert (top2[:, 1] - top2[:, 0] > 1e-9).all(), "assignment margin"
+
+    qsims = sims[ids < n_queries]
+    qs = np.sort(qsims, axis=1)
+    assert (qs[:, -n_probe] - qs[:, -(n_probe + 1)] > 1e-9).all(), \
+        "probe-boundary margin"
+
+    # rank margins inside each query's probed candidate set
+    assign = np.argmax(sims, axis=1)
+    probe = np.argsort(-qsims, axis=1)[:, :n_probe]
+    allcos = mat @ mat.T
+    for qi in range(n_queries):
+        cand = np.where(np.isin(assign, probe[qi]) & (ids != ids[qi]))[0]
+        cos = np.sort(allcos[qi, cand])[::-1]
+        gaps = -np.diff(cos[: k + 1])
+        assert (gaps > 1e-12).all(), f"rank margin, query {qi}"
