@@ -441,6 +441,22 @@ def ann_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal pipeline end-to-end: interleave driver docs with
+    media spans, explode + route by modality, Arrow-batched fake decode
+    (deterministic stand-in for PIL/ffmpeg — the plumbing is the real
+    contract), one row of typed metadata + features per media span."""
+    from .operators.multimodal import extract_media_features, media_spans
+    from .sources import interleave_flat_documents
+
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = interleave_flat_documents(flat, with_media=True)
+    return extract_media_features(media_spans(docs)).select(
+        "doc_id", "span_idx", "modality", "width", "height",
+        "n_frames", "features"
+    )
+
+
 def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with the deterministic first-ids quantizer so the whole
     pipeline (assign -> probe -> bucket join -> exact re-rank) verifies
@@ -483,6 +499,7 @@ QUERIES = {
     "ann_cosine": ann_cosine_q,
     "ann_ivf": ann_ivf_q,
     "emb_near_dup": emb_near_dup_q,
+    "media_features": media_features_q,
     "loop_stats": loop_stats_q,
     "edge_crossings": edge_crossings_q,
     "polyline_crossings": polyline_crossings_q,
@@ -510,6 +527,7 @@ ORACLES = {
     "knn_cell_ring": oracle.knn_cell_ring_sql(),
     "ann_cosine": oracle.ann_cosine_sql(),
     "ann_ivf": oracle.ann_ivf_sql(),
+    "media_features": oracle.media_features_sql(),
     "edge_crossings": oracle.edge_crossings_sql(),
     "polyline_crossings": oracle.polyline_crossings_sql(),
     "loop_stats": oracle.loop_stats_sql(),

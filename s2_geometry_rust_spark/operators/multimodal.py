@@ -52,34 +52,57 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+_MODALITIES = np.array(["image", "audio", "video"])
+
+
 def media_spans(docs: DataFrame) -> DataFrame:
     """Explode media spans to (doc_id, span_idx, media_ref, modality,
     payload).  The payload here is a deterministic fake derived from the
-    media_ref (stand-in for an object-store fetch)."""
+    media_ref (stand-in for an object-store fetch).
+
+    Modality routing is FNV-1a(media_ref) mod 3: process-stable AND
+    replayable by an independent SQL engine (the media_features contract
+    query verifies the full explode->route->decode pipeline against a
+    DuckDB oracle; Spark's xxhash64 has no SQL-standard equivalent).
+    The hash runs vectorized in the same Arrow pass that every batch
+    already takes through the decoder."""
+    from .dedup import _fnv1a_bytes
+
     s = docs.select("doc_id", F.posexplode("spans").alias("span_idx", "span"))
     s = s.filter(F.col("span.kind") == "media").select(
         "doc_id",
         "span_idx",
         F.col("span.media_ref").alias("media_ref"),
     )
-    # pmod, not %: Spark's remainder is negative for negative hashes,
-    # which would funnel ~half of all refs into the video branch.
-    modality = (
-        F.when(F.pmod(F.xxhash64("media_ref"), F.lit(3)) == 0, "image")
-        .when(F.pmod(F.xxhash64("media_ref"), F.lit(3)) == 1, "audio")
-        .otherwise("video")
+
+    def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            h = np.fromiter(
+                (_fnv1a_bytes(r.encode("utf-8")) for r in b["media_ref"]),
+                dtype=np.uint64, count=len(b),
+            )
+            b = b.copy()
+            b["modality"] = _MODALITIES[(h % np.uint64(3)).astype(np.int64)]
+            yield b
+
+    routed_schema = StructType(
+        [f for f in MEDIA_META_SCHEMA.fields if f.name != "payload"]
     )
+    s = s.mapInPandas(route, routed_schema)
     # fake payload: utf-8 bytes of the ref (deterministic, small)
-    return s.withColumn("modality", modality).withColumn(
-        "payload", F.encode("media_ref", "utf-8")
-    )
+    return s.withColumn("payload", F.encode("media_ref", "utf-8"))
 
 
 def _feature_vec(payload: bytes) -> np.ndarray:
+    """8-dim fake feature: the tail of the byte-cumsum walk, so the
+    vector depends on the whole payload (the head would see only the
+    shared 'media://' prefix)."""
     h = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
     rng_like = (h.cumsum() % 251.0) / 251.0
     if len(rng_like) >= 8:
-        return rng_like[:8]
+        return rng_like[-8:]
     return np.pad(rng_like, (0, 8 - len(rng_like)))
 
 

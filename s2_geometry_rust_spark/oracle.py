@@ -1351,3 +1351,39 @@ WITH e AS (
 )
 SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
 """
+
+
+def media_features_sql() -> str:
+    """Media-pipeline oracle (mirror of sources/interleaved.py
+    interleave_flat_documents(with_media=True) -> operators/multimodal
+    media_spans -> extract_media_features): the media ref is replayed as
+    zero-padded hex of doc_id, modality is FNV-1a(ref) mod 3, and the
+    fake 8-dim feature is the tail of the byte-cumsum walk — integer
+    sums < 2^53, so the float math is exactly rounded in both engines.
+    The media span is always span_idx 2 (after text and geo)."""
+    return f"""
+WITH m AS (
+  SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+         'media://' || lpad(lower(to_hex(doc_id)), 10, '0') AS ref
+  FROM documents
+), h AS (
+  SELECT doc_id, ref,
+         CAST({_fnv1a_sql('ref')} % 3 AS INT) AS m3,
+         list_transform(range(len(ref)-7, len(ref)+1),
+           k -> CAST(list_sum(list_transform(range(1, k+1),
+                  j -> unicode(substr(ref, j, 1)))) % 251 AS DOUBLE) / 251.0
+         ) AS features
+  FROM m
+)
+SELECT doc_id, CAST(2 AS INT) AS span_idx,
+       CASE m3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+               ELSE 'video' END AS modality,
+       CAST(CASE m3 WHEN 0 THEN 64 WHEN 1 THEN 0 ELSE 32 END AS INT)
+         AS width,
+       CAST(CASE m3 WHEN 0 THEN 64 WHEN 1 THEN 0 ELSE 32 END AS INT)
+         AS height,
+       CAST(CASE m3 WHEN 0 THEN 1 WHEN 1 THEN len(ref) ELSE 16 END AS INT)
+         AS n_frames,
+       features
+FROM h
+"""

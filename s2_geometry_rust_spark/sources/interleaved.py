@@ -152,25 +152,37 @@ def synth_documents(spark: SparkSession, n_docs: int, seed: int = 42,
     return rng.mapInPandas(gen, DOCUMENTS_SCHEMA)
 
 
-def interleave_flat_documents(docs: DataFrame, seed: int = 42) -> DataFrame:
+def interleave_flat_documents(docs: DataFrame, seed: int = 42,
+                              with_media: bool = False) -> DataFrame:
     """Convert the driver's flat documents table (doc_id:long, text, ...)
     into the interleaved schema: the text becomes a text span and a
     deterministic geo span (keyed by doc_id) is appended — used by the
-    flagship entry() pipeline so the engine runs over driver testdata."""
+    flagship entry() pipeline so the engine runs over driver testdata.
+
+    with_media=True additionally appends a media span whose ref is the
+    zero-padded hex of doc_id (``media://%010x``) — a pure function of
+    the row an independent SQL engine can replay, used by the
+    media_features contract query."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             ids = b["doc_id"].to_numpy(dtype=np.int64)
             lat, lng = _sphere_latlng(ids, seed)
             texts = b["text"].astype(str).to_numpy()
-            spans = [
-                [
+            spans = []
+            for r in range(len(ids)):
+                geo = f"POINT({float(lat[r])!r} {float(lng[r])!r})"
+                o1 = max(len(texts[r]), 1)
+                row = [
                     ("text", texts[r], "", 0),
-                    ("geo", f"POINT({float(lat[r])!r} {float(lng[r])!r})", "",
-                     max(len(texts[r]), 1)),
+                    ("geo", geo, "", o1),
                 ]
-                for r in range(len(ids))
-            ]
+                if with_media:
+                    row.append(
+                        ("media", "", f"media://{int(ids[r]):010x}",
+                         o1 + len(geo))
+                    )
+                spans.append(row)
             yield pd.DataFrame(
                 {"doc_id": [f"doc-{i:08d}" for i in ids], "spans": spans}
             )
