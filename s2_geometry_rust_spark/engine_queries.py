@@ -199,6 +199,55 @@ def union_leaf_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return union_leaf_cells_covered(cells)
 
 
+def _mixed_level_unions(spark: SparkSession, sf_dir: str,
+                        table: str = "customer",
+                        key: str = "c_custkey") -> DataFrame:
+    """Mixed-level member cells (union_id = point_id % 10, level =
+    point_id % 21 + 10) — the union_leaf_cells construction, shared by
+    the set-algebra contract queries."""
+    from .functions import cell_id_from_xyz
+
+    pts = _derived_points(spark, sf_dir, table, key)
+    return (
+        pts.withColumn("_leaf", cell_id_from_xyz("x", "y", "z"))
+        .withColumn("_lv", (F.col("point_id") % 21 + 10).cast("int"))
+        .withColumn("_lsb", F.expr("shiftleft(1L, (30 - _lv) * 2)"))
+        .withColumn("cell_id", F.expr("(_leaf & -_lsb) | _lsb"))
+        .withColumn("union_id", (F.col("point_id") % 10).cast("long"))
+        .select("union_id", "cell_id")
+        .distinct()
+    )
+
+
+def union_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CellUnion::normalize via the distributed fixpoint path
+    (cell_union.rs:600-629 semantics; unions_ops.normalize_distributed)
+    — verified against the pure-SQL drop-contained + sibling-collapse
+    oracle."""
+    from .operators.unions_ops import normalize_distributed
+
+    return normalize_distributed(
+        _mixed_level_unions(spark, sf_dir)
+    ).select("union_id", "cell_id")
+
+
+def union_intersect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CellUnion::intersection two-pointer merge (cell_union.rs:632-666)
+    of customer-derived vs supplier-derived unions per union_id."""
+    from .operators.unions_ops import intersection_grouped, normalize_grouped
+
+    def as_str(df):  # the grouped kernels key unions by string id
+        return df.withColumn("union_id", F.col("union_id").cast("string"))
+
+    a = normalize_grouped(as_str(_mixed_level_unions(spark, sf_dir)))
+    b = normalize_grouped(as_str(
+        _mixed_level_unions(spark, sf_dir, "supplier", "s_suppkey")
+    ))
+    return intersection_grouped(a, b).select(
+        F.col("union_id").cast("long").alias("union_id"), "cell_id"
+    )
+
+
 def raster_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster-tile <-> vector equi-join at level 6 (SURVEY.md §2.5):
     customer points against the distinct supplier tile set."""
@@ -486,6 +535,8 @@ QUERIES = {
     "text_quality": text_quality_q,
     "lang_id": lang_id_q,
     "union_leaf_cells": union_leaf_cells_q,
+    "union_normalize": union_normalize_q,
+    "union_intersect": union_intersect_q,
     "raster_join": raster_join_q,
     "events_hourly": events_hourly_q,
     "fingerprints": fingerprints_q,
@@ -519,6 +570,8 @@ ORACLES = {
     "text_quality": oracle.text_quality_sql(),
     "lang_id": oracle.lang_id_sql(),
     "union_leaf_cells": oracle.union_leaf_cells_sql(),
+    "union_normalize": oracle.union_normalize_sql(),
+    "union_intersect": oracle.union_intersect_sql(),
     "raster_join": oracle.raster_join_sql(6),
     "events_hourly": oracle.events_hourly_sql(),
     "fingerprints": oracle.fingerprints_sql(),

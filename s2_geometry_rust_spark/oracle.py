@@ -1387,3 +1387,135 @@ SELECT doc_id, CAST(2 AS INT) AS span_idx,
        features
 FROM h
 """
+
+
+# ---------------------------------------------------------------------------
+# cell-union set-algebra oracles: normalize (cell_union.rs:600-629) and
+# intersection (cell_union.rs:632-666) re-executed in pure SQL.  The
+# linear-scan-with-inline-collapse of the reference is replayed as
+# (1) drop every cell strictly contained in another (cells are laminar:
+# two cells are disjoint or nested, so one anti-containment pass equals
+# the scan's skip rule), then (2) collapse groups of exactly 4 distinct
+# siblings into their parent, iterated to fixpoint (unrolled rounds —
+# a no-op once converged).  Equivalence to the reference kernel is
+# property-tested over random cell sets in tests/test_union_sql_oracles.py.
+# Range comparisons run in HUGEINT u64 space (cell ids with face >= 4
+# are negative BIGINTs, SURVEY.md §8.7).
+# ---------------------------------------------------------------------------
+
+_FACE_LSB = 1 << 60  # level-0 cells cannot collapse further
+
+
+def _union_members_sql(leaf_rel: str, out: str, n_unions: int = 10) -> str:
+    """CTE fragment: mixed-level member cells from a ``leaf`` relation —
+    union_id = point_id % n_unions, level = point_id % 21 + 10 (the
+    union_leaf_cells construction)."""
+    return f"""
+{out} AS (
+  SELECT DISTINCT point_id % {n_unions} AS union_id,
+         (cell_id & -CAST(power(4, 30 - (point_id % 21 + 10)) AS BIGINT))
+           | CAST(power(4, 30 - (point_id % 21 + 10)) AS BIGINT) AS cell_id
+  FROM {leaf_rel}
+)"""
+
+
+def _normalize_chain_sql(src: str, p: str, rounds: int = 30) -> str:
+    """CTE fragments normalizing distinct (union_id, cell_id) rows of
+    ``src``; final relation is ``{p}k{rounds}``."""
+    parts = [f"""
+{p}rng AS (
+  SELECT union_id, cell_id,
+         CASE WHEN cell_id < 0 THEN CAST(cell_id AS HUGEINT) + {U64}
+              ELSE CAST(cell_id AS HUGEINT) END
+           - (CAST(cell_id & -cell_id AS HUGEINT) - 1) AS rmin,
+         CASE WHEN cell_id < 0 THEN CAST(cell_id AS HUGEINT) + {U64}
+              ELSE CAST(cell_id AS HUGEINT) END
+           + (CAST(cell_id & -cell_id AS HUGEINT) - 1) AS rmax
+  FROM {src}
+),
+{p}k0 AS (
+  SELECT a.union_id, a.cell_id FROM {p}rng a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM {p}rng b
+    WHERE b.union_id = a.union_id AND b.rmin <= a.rmin
+      AND a.rmax <= b.rmax AND b.cell_id <> a.cell_id)
+)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+{p}k{i} AS (
+  SELECT DISTINCT union_id,
+         CASE WHEN cnt = 4 AND can THEN parent ELSE cell_id END AS cell_id
+  FROM (
+    SELECT union_id, cell_id, can, parent,
+           count(*) OVER (PARTITION BY union_id, parent) AS cnt
+    FROM (
+      SELECT union_id, cell_id,
+             (cell_id & -cell_id) < {_FACE_LSB} AS can,
+             (cell_id & -((cell_id & -cell_id)*4))
+               | ((cell_id & -cell_id)*4) AS parent
+      FROM {p}k{i-1}) t) t2
+)""")
+    return ",".join(parts)
+
+
+def union_normalize_sql(rounds: int = 30) -> str:
+    """Normalize oracle over the union_leaf_cells member construction
+    (customer-derived points)."""
+    cte = hilbert_leaf_cte(derived_points_sql("customer", "c_custkey"))
+    return (
+        cte + "," + _union_members_sql("leaf", "members") + ","
+        + _normalize_chain_sql("members", "n", rounds)
+        + f"\nSELECT union_id, cell_id FROM nk{rounds}"
+    )
+
+
+def union_intersect_sql(rounds: int = 30) -> str:
+    """Intersection oracle: customer-union x supplier-union per
+    union_id; the two-pointer merge keeps the smaller cell, i.e. every
+    a-cell contained in some b-cell plus every b-cell STRICTLY contained
+    in some a-cell (laminar sets; strictness avoids double-adding equal
+    cells)."""
+    cust = derived_points_sql("customer", "c_custkey")
+    supp = derived_points_sql("supplier", "s_suppkey")
+    cte = (
+        f"WITH lut(idx, r) AS (VALUES {lookup_pos_sql_values()}),"
+        + _hilbert_chain(cust, "") + ","
+        + _hilbert_chain(supp, "b_")
+    )
+    return (
+        cte + "," + _union_members_sql("leaf", "amembers") + ","
+        + _union_members_sql("b_leaf", "bmembers") + ","
+        + _normalize_chain_sql("amembers", "a", rounds) + ","
+        + _normalize_chain_sql("bmembers", "b", rounds) + f""",
+afin AS (
+  SELECT union_id, cell_id,
+         CASE WHEN cell_id < 0 THEN CAST(cell_id AS HUGEINT) + {U64}
+              ELSE CAST(cell_id AS HUGEINT) END
+           - (CAST(cell_id & -cell_id AS HUGEINT) - 1) AS rmin,
+         CASE WHEN cell_id < 0 THEN CAST(cell_id AS HUGEINT) + {U64}
+              ELSE CAST(cell_id AS HUGEINT) END
+           + (CAST(cell_id & -cell_id AS HUGEINT) - 1) AS rmax
+  FROM ak{rounds}
+),
+bfin AS (
+  SELECT union_id, cell_id,
+         CASE WHEN cell_id < 0 THEN CAST(cell_id AS HUGEINT) + {U64}
+              ELSE CAST(cell_id AS HUGEINT) END
+           - (CAST(cell_id & -cell_id AS HUGEINT) - 1) AS rmin,
+         CASE WHEN cell_id < 0 THEN CAST(cell_id AS HUGEINT) + {U64}
+              ELSE CAST(cell_id AS HUGEINT) END
+           + (CAST(cell_id & -cell_id AS HUGEINT) - 1) AS rmax
+  FROM bk{rounds}
+),
+kept AS (
+  SELECT a.union_id, a.cell_id FROM afin a
+  WHERE EXISTS (SELECT 1 FROM bfin b WHERE b.union_id = a.union_id
+                AND b.rmin <= a.rmin AND a.rmax <= b.rmax)
+  UNION
+  SELECT b.union_id, b.cell_id FROM bfin b
+  WHERE EXISTS (SELECT 1 FROM afin a WHERE a.union_id = b.union_id
+                AND a.rmin <= b.rmin AND b.rmax <= a.rmax
+                AND (a.rmin <> b.rmin OR a.rmax <> b.rmax))
+)
+SELECT union_id, cell_id FROM kept"""
+    )
