@@ -248,6 +248,37 @@ def union_intersect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def union_difference_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CellUnion::difference recursive child subdivision
+    (cell_union.rs:669-678) of customer-derived minus supplier-derived
+    unions per union_id."""
+    from .operators.unions_ops import difference_grouped, normalize_grouped
+
+    def as_str(df):
+        return df.withColumn("union_id", F.col("union_id").cast("string"))
+
+    a = normalize_grouped(as_str(_mixed_level_unions(spark, sf_dir)))
+    b = normalize_grouped(as_str(
+        _mixed_level_unions(spark, sf_dir, "supplier", "s_suppkey")
+    ))
+    return difference_grouped(a, b).select(
+        F.col("union_id").cast("long").alias("union_id"), "cell_id"
+    )
+
+
+def union_expand_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CellUnion::expand to level 12 (cell_union.rs:427-444, with the
+    reference's placeholder id-space neighbors, SURVEY.md §8.3)."""
+    from .operators.unions_ops import expand_grouped, normalize_grouped
+
+    cells = _mixed_level_unions(spark, sf_dir).withColumn(
+        "union_id", F.col("union_id").cast("string")
+    )
+    return expand_grouped(normalize_grouped(cells), 12).select(
+        F.col("union_id").cast("long").alias("union_id"), "cell_id"
+    )
+
+
 def raster_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster-tile <-> vector equi-join at level 6 (SURVEY.md §2.5):
     customer points against the distinct supplier tile set."""
@@ -537,6 +568,8 @@ QUERIES = {
     "union_leaf_cells": union_leaf_cells_q,
     "union_normalize": union_normalize_q,
     "union_intersect": union_intersect_q,
+    "union_difference": union_difference_q,
+    "union_expand": union_expand_q,
     "raster_join": raster_join_q,
     "events_hourly": events_hourly_q,
     "fingerprints": fingerprints_q,
@@ -572,6 +605,8 @@ ORACLES = {
     "union_leaf_cells": oracle.union_leaf_cells_sql(),
     "union_normalize": oracle.union_normalize_sql(),
     "union_intersect": oracle.union_intersect_sql(),
+    "union_difference": oracle.union_difference_sql(),
+    "union_expand": oracle.union_expand_sql(),
     "raster_join": oracle.raster_join_sql(6),
     "events_hourly": oracle.events_hourly_sql(),
     "fingerprints": oracle.fingerprints_sql(),

@@ -1423,7 +1423,7 @@ def _normalize_chain_sql(src: str, p: str, rounds: int = 30) -> str:
     """CTE fragments normalizing distinct (union_id, cell_id) rows of
     ``src``; final relation is ``{p}k{rounds}``."""
     parts = [f"""
-{p}rng AS (
+{p}rng AS MATERIALIZED (
   SELECT union_id, cell_id,
          CASE WHEN cell_id < 0 THEN CAST(cell_id AS HUGEINT) + {U64}
               ELSE CAST(cell_id AS HUGEINT) END
@@ -1433,16 +1433,16 @@ def _normalize_chain_sql(src: str, p: str, rounds: int = 30) -> str:
            + (CAST(cell_id & -cell_id AS HUGEINT) - 1) AS rmax
   FROM {src}
 ),
-{p}k0 AS (
+{p}k0 AS MATERIALIZED (
   SELECT a.union_id, a.cell_id FROM {p}rng a
-  WHERE NOT EXISTS (
-    SELECT 1 FROM {p}rng b
-    WHERE b.union_id = a.union_id AND b.rmin <= a.rmin
-      AND a.rmax <= b.rmax AND b.cell_id <> a.cell_id)
+  LEFT JOIN {p}rng b
+    ON b.union_id = a.union_id AND b.rmin <= a.rmin
+   AND a.rmax <= b.rmax AND b.cell_id <> a.cell_id
+  WHERE b.union_id IS NULL
 )"""]
     for i in range(1, rounds + 1):
         parts.append(f"""
-{p}k{i} AS (
+{p}k{i} AS MATERIALIZED (
   SELECT DISTINCT union_id,
          CASE WHEN cnt = 4 AND can THEN parent ELSE cell_id END AS cell_id
   FROM (
@@ -1508,14 +1508,144 @@ bfin AS (
   FROM bk{rounds}
 ),
 kept AS (
-  SELECT a.union_id, a.cell_id FROM afin a
-  WHERE EXISTS (SELECT 1 FROM bfin b WHERE b.union_id = a.union_id
-                AND b.rmin <= a.rmin AND a.rmax <= b.rmax)
+  SELECT DISTINCT a.union_id, a.cell_id FROM afin a
+  JOIN bfin b ON b.union_id = a.union_id
+             AND b.rmin <= a.rmin AND a.rmax <= b.rmax
   UNION
-  SELECT b.union_id, b.cell_id FROM bfin b
-  WHERE EXISTS (SELECT 1 FROM afin a WHERE a.union_id = b.union_id
-                AND a.rmin <= b.rmin AND b.rmax <= a.rmax
-                AND (a.rmin <> b.rmin OR a.rmax <> b.rmax))
+  SELECT DISTINCT b.union_id, b.cell_id FROM bfin b
+  JOIN afin a ON a.union_id = b.union_id
+             AND a.rmin <= b.rmin AND b.rmax <= a.rmax
+             AND (a.rmin <> b.rmin OR a.rmax <> b.rmax)
 )
 SELECT union_id, cell_id FROM kept"""
+    )
+
+
+_RMIN_U = (f"CASE WHEN cell_id < 0 THEN CAST(cell_id AS HUGEINT) + {U64} "
+           f"ELSE CAST(cell_id AS HUGEINT) END "
+           f"- (CAST(cell_id & -cell_id AS HUGEINT) - 1)")
+_RMAX_U = (f"CASE WHEN cell_id < 0 THEN CAST(cell_id AS HUGEINT) + {U64} "
+           f"ELSE CAST(cell_id AS HUGEINT) END "
+           f"+ (CAST(cell_id & -cell_id AS HUGEINT) - 1)")
+
+
+def union_difference_sql(rounds: int = 21) -> str:
+    """Difference oracle: the recursive child subdivision of
+    cell_union.rs:669-678 unrolled breadth-first — per round a frontier
+    cell is kept if its range is disjoint from every b-cell, dropped if
+    contained in one, else replaced by its 4 children (leaves never
+    split: any b-cell overlapping a leaf contains it).  A-levels start
+    >= 10, so 21 rounds reach level 30.  All overlap/containment flags
+    are LEFT JOIN aggregates, not correlated EXISTS — DuckDB 1.0
+    mis-decorrelates EXISTS against MATERIALIZED CTEs."""
+    cust = derived_points_sql("customer", "c_custkey")
+    supp = derived_points_sql("supplier", "s_suppkey")
+    cte = (
+        f"WITH lut(idx, r) AS (VALUES {lookup_pos_sql_values()}),"
+        + _hilbert_chain(cust, "") + ","
+        + _hilbert_chain(supp, "b_") + ","
+        + _union_members_sql("leaf", "amembers") + ","
+        + _union_members_sql("b_leaf", "bmembers") + ","
+        + _normalize_chain_sql("amembers", "a") + ","
+        + _normalize_chain_sql("bmembers", "b")
+    )
+    parts = [f""",
+bset AS MATERIALIZED (
+  SELECT union_id, {_RMIN_U} AS rmin, {_RMAX_U} AS rmax FROM bk30
+),
+f0 AS MATERIALIZED (
+  SELECT union_id, cell_id, {_RMIN_U} AS rmin, {_RMAX_U} AS rmax,
+         (cell_id & -cell_id) AS lsb
+  FROM ak30
+)"""]
+    keeps = []
+    for i in range(rounds + 1):
+        parts.append(f""",
+g{i} AS MATERIALIZED (
+  SELECT c.union_id, c.cell_id, c.rmin, c.rmax, c.lsb,
+         count(b.union_id) AS n_int,
+         coalesce(max(CASE WHEN b.rmin <= c.rmin AND c.rmax <= b.rmax
+                           THEN 1 ELSE 0 END), 0) AS cont
+  FROM f{i} c LEFT JOIN bset b
+    ON b.union_id = c.union_id AND b.rmax >= c.rmin AND b.rmin <= c.rmax
+  GROUP BY c.union_id, c.cell_id, c.rmin, c.rmax, c.lsb
+)""")
+        keeps.append(
+            f"SELECT union_id, cell_id FROM g{i} WHERE n_int = 0"
+        )
+        if i < rounds:
+            parts.append(f""",
+f{i + 1} AS MATERIALIZED (
+  SELECT c.union_id,
+         c.cell_id + o.off * (c.lsb // 4) AS cell_id,
+         CASE WHEN c.cell_id + o.off * (c.lsb // 4) < 0
+              THEN CAST(c.cell_id + o.off * (c.lsb // 4) AS HUGEINT) + {U64}
+              ELSE CAST(c.cell_id + o.off * (c.lsb // 4) AS HUGEINT) END
+           - (CAST(c.lsb // 4 AS HUGEINT) - 1) AS rmin,
+         CASE WHEN c.cell_id + o.off * (c.lsb // 4) < 0
+              THEN CAST(c.cell_id + o.off * (c.lsb // 4) AS HUGEINT) + {U64}
+              ELSE CAST(c.cell_id + o.off * (c.lsb // 4) AS HUGEINT) END
+           + (CAST(c.lsb // 4 AS HUGEINT) - 1) AS rmax,
+         c.lsb // 4 AS lsb
+  FROM g{i} c CROSS JOIN (VALUES (-3), (-1), (1), (3)) o(off)
+  WHERE c.lsb > 1 AND c.n_int > 0 AND c.cont = 0
+)""")
+    return (cte + "".join(parts)
+            + "\nSELECT union_id, cell_id FROM ("
+            + " UNION ALL ".join(keeps) + ") u")
+
+
+def _as_u64(expr: str) -> str:
+    """Signed BIGINT cell id -> HUGEINT u64 value."""
+    return (f"(CASE WHEN {expr} < 0 THEN CAST({expr} AS HUGEINT) + {U64} "
+            f"ELSE CAST({expr} AS HUGEINT) END)")
+
+
+def union_expand_sql(expand_level: int = 12, rounds: int = 30) -> str:
+    """Expand oracle (cell_union.rs:427-444 + the placeholder id-space
+    neighbors of cell_id.rs:696-722): promote cells finer than
+    expand_level to it (coarser cells stay), add the +/-step neighbors
+    when they are valid ids at exactly expand_level, then normalize.
+    Neighbor arithmetic runs in HUGEINT u64 space — a prev/next step
+    across the face-3/face-4 boundary would overflow signed BIGINT."""
+    level_lsb = 1 << (2 * (30 - expand_level))
+    step = level_lsb << 1
+    cte = hilbert_leaf_cte(derived_points_sql("customer", "c_custkey"))
+    prev_sql = _u64_to_bigint(f"({_as_u64('target')} - {step})")
+    next_sql = _u64_to_bigint(f"(({_as_u64('target')} + {step}) % {U64})")
+    # is_valid (cell_id.rs:252-254) on u64: face < 6 and lsb has an
+    # even-position bit; lsb computed in HUGEINT to survive u = 2^63
+    # two's-complement lsb on HUGEINT u64: u & (2^64 - u); is_valid
+    # (cell_id.rs:252-254): face < 6 and lsb at an even bit position
+    lsb_u = f"(u & ({U64} - u))"
+    is_valid = (f"(u // {1 << 61} < 6 AND "
+                f"({lsb_u} & 1537228672809129301) <> 0)")
+    return (
+        cte + "," + _union_members_sql("leaf", "members") + ","
+        + _normalize_chain_sql("members", "s") + f""",
+promoted AS (
+  SELECT union_id,
+         CASE WHEN (cell_id & -cell_id) < {level_lsb}
+              THEN (cell_id & {-level_lsb}) | {level_lsb}
+              ELSE cell_id END AS target
+  FROM sk30
+),
+cands AS (
+  SELECT union_id, target AS cand, TRUE AS is_target FROM promoted
+  UNION ALL
+  SELECT union_id, {prev_sql} AS cand, FALSE FROM promoted
+  WHERE {_as_u64('target')} >= {step}
+  UNION ALL
+  SELECT union_id, {next_sql} AS cand, FALSE FROM promoted
+),
+checked AS (
+  SELECT union_id, cand, is_target, {_as_u64('cand')} AS u FROM cands
+),
+filtered AS (
+  SELECT DISTINCT union_id, cand AS cell_id FROM checked
+  WHERE is_target
+     OR ({is_valid} AND {lsb_u} = {level_lsb})
+)"""
+        + "," + _normalize_chain_sql("filtered", "e")
+        + f"\nSELECT union_id, cell_id FROM ek{rounds}"
     )

@@ -73,3 +73,46 @@ def test_sql_intersection_formulation_matches_kernel():
                 out.add(int(b.astype(np.uint64)[j]))
         have = np.array(sorted(out), np.uint64)
         np.testing.assert_array_equal(have, want)
+
+
+def test_sql_difference_and_expand_match_kernel_sf001():
+    """Full difference/expand oracles vs the reference kernels on the
+    contract construction (customer/supplier unions at sf0.01) —
+    DuckDB-only, no Spark."""
+    con = duckdb.connect()
+    con.execute("CREATE VIEW customer AS SELECT * FROM "
+                "'/root/testdata/sf0.01/customer.parquet'")
+    con.execute("CREATE VIEW supplier AS SELECT * FROM "
+                "'/root/testdata/sf0.01/supplier.parquet'")
+
+    def members(table, key):
+        return con.execute(
+            "WITH lut(idx, r) AS (VALUES "
+            + oracle.lookup_pos_sql_values() + "),"
+            + oracle._hilbert_chain(
+                oracle.derived_points_sql(table, key), "")
+            + "," + oracle._union_members_sql("leaf", "members")
+            + "\nSELECT union_id, cell_id FROM members").fetchdf()
+
+    def per_union(df):
+        return {u: g.cell_id.to_numpy(np.int64).view(np.uint64)
+                for u, g in df.groupby("union_id")}
+
+    A = per_union(members("customer", "c_custkey"))
+    B = per_union(members("supplier", "s_suppkey"))
+    empty = np.array([], np.uint64)
+
+    cases = [
+        (oracle.union_difference_sql(),
+         lambda u: ku.difference(ku.normalize(A[u]),
+                                 ku.normalize(B.get(u, empty)))),
+        (oracle.union_expand_sql(),
+         lambda u: ku.expand(ku.normalize(A[u]), 12)),
+    ]
+    for sql, expect in cases:
+        got = con.execute(sql).fetchdf()
+        for u in A:
+            want = np.sort(np.asarray(expect(u), np.uint64))
+            have = np.sort(got[got.union_id == u].cell_id
+                           .to_numpy(np.int64).view(np.uint64))
+            np.testing.assert_array_equal(have, want)
