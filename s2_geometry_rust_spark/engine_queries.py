@@ -302,8 +302,11 @@ def raster_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def covering_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-parity coverings of the fixture regions
-    (region_coverer.rs best-first loop) — geometry-only, validated
-    bit-for-bit against the kernels in pytest."""
+    (region_coverer.rs best-first loop).  Oracled: the pinned-UV-bounds
+    quirk (cell.rs:356-372) makes the best-first loop collapse to face
+    membership (proof in oracle.covering_cells_sql), so DuckDB can
+    re-derive the output from the region adapters' may_intersect
+    against the 6 face cells."""
     from . import fixtures
     from .operators.coverings import cover_regions
 
@@ -334,9 +337,7 @@ def covering_cells_cons_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle re-executes the whole algorithm in SQL: inverse
     Hilbert via the embedded LOOKUP_IJ table, true cell-quad geometry,
     frontier expansion with the budget stop, and the normalize
-    sibling-collapse.  (covering_cells, the best-first reference-parity
-    coverer, stays rows-only: its priority-queue order is inherently
-    procedural.)"""
+    sibling-collapse."""
     from . import fixtures
     from .operators.coverings import cover_regions
 
@@ -574,7 +575,6 @@ QUERIES = {
     "events_hourly": events_hourly_q,
     "fingerprints": fingerprints_q,
     "simhash": simhash_q,
-    # rows-only (geometry/approx operators with no SQL equivalent)
     "covering_cells": covering_cells_q,
     "covering_cells_cons": covering_cells_cons_q,
     "point_in_region": point_in_region_q,
@@ -622,4 +622,5 @@ ORACLES = {
     "point_in_region": oracle.point_in_region_sql(),
     "emb_near_dup": oracle.emb_near_dup_sql(0.4),
     "covering_cells_cons": oracle.conservative_cap_covering_sql(),
+    "covering_cells": oracle.covering_cells_sql(),
 }

@@ -1287,6 +1287,261 @@ seed0 AS (
     )
 
 
+# ---------------------------------------------------------------------------
+# parity (best-first) coverer oracle
+# ---------------------------------------------------------------------------
+
+def _face_cell_rows() -> dict[str, str]:
+    """Level-0 face-cell constants for the parity-coverer oracle.
+
+    Ids/ranges are pure integer formulas (id = (2f+1)<<60, range = id ∓
+    (2^60-1), two's-complement signed).  Vertices are the normalized
+    corners of cell.rs:374-391 (plain ±1/sqrt(3) arithmetic, same ops as
+    kernels/cells.py so the doubles are bit-identical).  Edge normals
+    are the small-integer vectors of cell.rs:408-432.  The vertex-only
+    rect bounds (cell.rs:490-501 quirk: face 2/5 collapse to a
+    degenerate latitude ring) are computed via the parity kernel and
+    embedded — algorithm constants, same practice as the Hilbert LOOKUP
+    tables and the cap parameters in point_in_region_sql."""
+    import math
+
+    from .kernels import cellid as ci
+    from .kernels.cells import S2Cell
+
+    cells, verts, edges, rects = [], [], [], []
+    corner_uv = [(-1.0, -1.0), (1.0, -1.0), (1.0, 1.0), (-1.0, 1.0)]
+    xyz_table = {
+        0: lambda u, v: (1.0, u, v), 1: lambda u, v: (-u, 1.0, v),
+        2: lambda u, v: (-u, -v, 1.0), 3: lambda u, v: (-1.0, -v, -u),
+        4: lambda u, v: (v, -1.0, -u), 5: lambda u, v: (v, u, -1.0),
+    }
+    unorm = {0: lambda u: (u, -1.0, 0.0), 1: lambda u: (1.0, u, 0.0),
+             2: lambda u: (1.0, 0.0, u), 3: lambda u: (-u, 0.0, 1.0),
+             4: lambda u: (0.0, -u, 1.0), 5: lambda u: (0.0, -1.0, -u)}
+    vnorm = {0: lambda v: (-v, 0.0, 1.0), 1: lambda v: (0.0, -v, 1.0),
+             2: lambda v: (0.0, -1.0, -v), 3: lambda v: (v, -1.0, 0.0),
+             4: lambda v: (1.0, v, 0.0), 5: lambda v: (1.0, 0.0, v)}
+    for f in range(6):
+        uid = (2 * f + 1) << 60
+        sid = uid - U64 if uid >= U63 else uid
+        lo = uid - ((1 << 60) - 1)
+        hi = uid + ((1 << 60) - 1)
+        cells.append((f, sid, lo - U64 if lo >= U63 else lo,
+                      hi - U64 if hi >= U63 else hi))
+        for k, (u, v) in enumerate(corner_uv):
+            x, y, z = xyz_table[f](u, v)
+            n = math.sqrt(x * x + y * y + z * z)
+            verts.append((f, k, x / n, y / n, z / n))
+        for k, e in enumerate([vnorm[f](-1.0), unorm[f](1.0),
+                               tuple(-c for c in vnorm[f](1.0)),
+                               tuple(-c for c in unorm[f](-1.0))]):
+            edges.append((f, k, *e))
+        rb = S2Cell(int(ci.from_face_pos_level(f, 0, 0))).get_rect_bound()
+        rects.append((f, rb.lat.lo, rb.lat.hi, rb.lng.lo, rb.lng.hi))
+    return {
+        "fcells": ", ".join(f"({f}, {sid}::BIGINT, {lo}::BIGINT, {hi}::BIGINT)"
+                            for f, sid, lo, hi in cells),
+        "fverts": ", ".join(f"({f}, {k}, {x!r}, {y!r}, {z!r})"
+                            for f, k, x, y, z in verts),
+        "fedges": ", ".join(f"({f}, {k}, {x!r}, {y!r}, {z!r})"
+                            for f, k, x, y, z in edges),
+        "frects": ", ".join(f"({f}, {a!r}, {b!r}, {c!r}, {d!r})"
+                            for f, a, b, c, d in rects),
+    }
+
+
+def _cell_contains_sql(face: str, x: str, y: str, z: str) -> str:
+    """cell.rs:270-277 / 393-406 blind-divide containment for a level-0
+    face cell: project to the face's UV with NO hemisphere check and
+    test u,v ∈ [-1,1].  A zero divisor yields ±inf/NaN in the kernel
+    (→ outside); guarded explicitly here."""
+    uv = {
+        0: (x, f"{y}/{x}", f"{z}/{x}"),
+        1: (y, f"-({x})/{y}", f"{z}/{y}"),
+        2: (z, f"-({x})/{z}", f"-({y})/{z}"),
+        3: (f"-({x})", f"{z}/(-({x}))", f"-({y})/(-({x}))"),
+        4: (f"-({y})", f"{z}/(-({y}))", f"-({x})/(-({y}))"),
+        5: (f"-({z})", f"-({y})/(-({z}))", f"{x}/(-({z}))"),
+    }
+    branches = " ".join(
+        f"WHEN {face} = {f} THEN (CASE WHEN ({den}) = 0.0 THEN FALSE "
+        f"ELSE ({u}) >= -1.0 AND ({u}) <= 1.0 "
+        f"AND ({v}) >= -1.0 AND ({v}) <= 1.0 END)"
+        for f, (den, u, v) in uv.items()
+    )
+    return f"(CASE {branches} ELSE FALSE END)"
+
+
+def covering_cells_sql(max_cells: int = 8) -> str:
+    """Oracle for the reference-parity best-first coverer over the
+    fixture regions (covering_cells query).
+
+    Load-bearing reduction (proven in tests/test_oracle_fixture_margins
+    ::test_parity_covering_equals_face_membership and exploited here):
+    the parity S2Cell pins every non-face cell's UV bounds to the face's
+    lower-left corner (cell.rs:356-372), so all 4 children of any cell
+    share identical geometry → identical may_intersect/contained flags.
+    The best-first heap orders by (level, FIFO counter), so expansion is
+    level-synchronous and all-or-nothing per (face, level); every face
+    subtree therefore terminates as a complete set of same-level
+    descendants, which CellUnion::normalize collapses back to the face
+    cell.  Hence
+
+        covering(region) == { face cell F : region.may_intersect(F) }
+
+    independent of max_cells — and the oracle reduces to the three
+    region adapters' may_intersect against the 6 true face cells:
+    caps: cap.rs:498-645 (vertex chordal containment + edge tangency
+    tests, translated 1:1 incl. the sequential early-exit edge loop);
+    loops: region_coverer.rs:132-147 vertex sampling (loop vertex in
+    cell via blind-divide UV, or cell vertex in loop via the winding
+    PIP already used by point_in_region_sql); rects: lat/lng interval
+    intersection vs the vertex-only face rect bound."""
+    import numpy as np
+
+    from . import fixtures
+    from .kernels import latlng as lk
+    from .kernels.caps import S2Cap
+    from .kernels.rects import S2LatLngRect
+
+    fc = _face_cell_rows()
+
+    crows = []
+    for name, (clat, clng, rdeg) in fixtures.CAPS.items():
+        lat_r = float(lk.degrees_to_radians(clat))
+        lng_r = float(lk.degrees_to_radians(clng))
+        x, y, z = lk.latlng_to_xyz(np.float64(lat_r), np.float64(lng_r))
+        cap = S2Cap.from_center_degrees((float(x), float(y), float(z)), rdeg)
+        crows.append((name, cap.cx, cap.cy, cap.cz, cap.radius_l2))
+    cvals = ", ".join(f"('{n}', {cx!r}, {cy!r}, {cz!r}, {r2!r})"
+                      for n, cx, cy, cz, r2 in crows)
+
+    rrows = []
+    for name, (lat_lo, lat_hi, lng_lo, lng_hi) in fixtures.RECTS.items():
+        r = S2LatLngRect.from_degrees(lat_lo, lng_lo, lat_hi, lng_hi)
+        rrows.append((name, r.lat.lo, r.lat.hi, r.lng.lo, r.lng.hi))
+    rvals = ", ".join(f"('{n}', {a!r}, {b!r}, {c!r}, {d!r})"
+                      for n, a, b, c, d in rrows)
+
+    lerows, lprows = [], []
+    for name, pts in fixtures.LOOPS.items():
+        lat = lk.degrees_to_radians(np.array([p[0] for p in pts], np.float64))
+        lng = lk.degrees_to_radians(np.array([p[1] for p in pts], np.float64))
+        x, y, z = lk.latlng_to_xyz(lat, lng)
+        n = len(pts)
+        for e in range(n):
+            ne = (e + 1) % n
+            lerows.append((name, float(x[e]), float(y[e]), float(z[e]),
+                           float(x[ne]), float(y[ne]), float(z[ne])))
+            lprows.append((name, float(x[e]), float(y[e]), float(z[e])))
+    levals = ", ".join(f"('{n}', {x0!r}, {y0!r}, {z0!r}, {x1!r}, {y1!r}, {z1!r})"
+                       for n, x0, y0, z0, x1, y1, z1 in lerows)
+    lpvals = ", ".join(f"('{n}', {x!r}, {y!r}, {z!r})"
+                       for n, x, y, z in lprows)
+
+    center_in = _cell_contains_sql("fc.face", "c.cx", "c.cy", "c.cz")
+    loopv_in = _cell_contains_sql("fc.face", "p.px", "p.py", "p.pz")
+    pip = _pip_sign_sql(("v.vx", "v.vy", "v.vz"),
+                        ("le.x0", "le.y0", "le.z0"),
+                        ("le.x1", "le.y1", "le.z1"))
+    # S1Interval::intersects (interval.rs), self = fixture rect lng,
+    # o = face-bound lng; emptiness is impossible for these fixtures.
+    lng_isect = """
+      CASE WHEN r.lng_lo > r.lng_hi
+             THEN (f.lng_lo > f.lng_hi OR f.lng_lo <= r.lng_hi
+                   OR f.lng_hi >= r.lng_lo)
+           WHEN f.lng_lo > f.lng_hi
+             THEN (f.lng_lo <= r.lng_hi OR f.lng_hi >= r.lng_lo)
+           ELSE f.lng_lo <= r.lng_hi AND f.lng_hi >= r.lng_lo END"""
+    # R1Interval::intersects, self = fixture rect lat, o = face lat.
+    lat_isect = """
+      CASE WHEN r.lat_lo <= f.lat_lo
+             THEN f.lat_lo <= r.lat_hi AND f.lat_lo <= f.lat_hi
+           ELSE r.lat_lo <= f.lat_hi AND r.lat_lo <= r.lat_hi END"""
+
+    return f"""
+WITH fcells(face, cell_id, cell_min, cell_max) AS (VALUES {fc['fcells']}),
+fverts(face, k, vx, vy, vz) AS (VALUES {fc['fverts']}),
+fedges(face, k, ex, ey, ez) AS (VALUES {fc['fedges']}),
+frects(face, lat_lo, lat_hi, lng_lo, lng_hi) AS (VALUES {fc['frects']}),
+caps(region_id, cx, cy, cz, r2) AS (VALUES {cvals}),
+rects(region_id, lat_lo, lat_hi, lng_lo, lng_hi) AS (VALUES {rvals}),
+loopedges(region_id, x0, y0, z0, x1, y1, z1) AS (VALUES {levals}),
+looppts(region_id, px, py, pz) AS (VALUES {lpvals}),
+-- cap.rs:545-575: any face vertex inside the cap (chordal distance)
+cap_vc AS (
+  SELECT c.region_id, v.face,
+         bool_or(LEAST((c.cx-v.vx)*(c.cx-v.vx) + (c.cy-v.vy)*(c.cy-v.vy)
+                       + (c.cz-v.vz)*(c.cz-v.vz), 4.0) <= c.r2) AS hit
+  FROM caps c CROSS JOIN fverts v
+  GROUP BY 1, 2
+),
+-- cap.rs:578-645 edge loop: per-edge outcome (NULL = continue,
+-- 0 = early False, 1 = early True); first non-NULL in k order decides
+cap_edge AS (
+  SELECT region_id, face,
+         min_by(outcome, k) FILTER (WHERE outcome IS NOT NULL) AS dec
+  FROM (
+    SELECT c.region_id, e.face, e.k,
+           CASE
+             WHEN c.cx*e.ex + c.cy*e.ey + c.cz*e.ez > 0.0 THEN NULL
+             WHEN pow(c.cx*e.ex + c.cy*e.ey + c.cz*e.ez, 2)
+                  > pow(sin(2.0*asin(0.5*sqrt(c.r2))), 2)
+                    * (e.ex*e.ex + e.ey*e.ey + e.ez*e.ez) THEN 0
+             WHEN (e.ey*c.cz - e.ez*c.cy)*v1.vx + (e.ez*c.cx - e.ex*c.cz)*v1.vy
+                  + (e.ex*c.cy - e.ey*c.cx)*v1.vz < 0.0
+              AND (e.ey*c.cz - e.ez*c.cy)*v2.vx + (e.ez*c.cx - e.ex*c.cz)*v2.vy
+                  + (e.ex*c.cy - e.ey*c.cx)*v2.vz > 0.0 THEN 1
+             ELSE NULL END AS outcome
+    FROM caps c
+    CROSS JOIN fedges e
+    JOIN fverts v1 ON v1.face = e.face AND v1.k = e.k
+    JOIN fverts v2 ON v2.face = e.face AND v2.k = (e.k + 1) % 4
+  )
+  GROUP BY 1, 2
+),
+cap_faces AS (
+  SELECT c.region_id, fc.face
+  FROM caps c
+  CROSS JOIN fcells fc
+  LEFT JOIN cap_vc ON cap_vc.region_id = c.region_id AND cap_vc.face = fc.face
+  LEFT JOIN cap_edge ON cap_edge.region_id = c.region_id
+                    AND cap_edge.face = fc.face
+  WHERE COALESCE(cap_vc.hit, FALSE)
+     OR (c.r2 < 2.0 AND c.r2 >= 0.0
+         AND ({center_in} OR COALESCE(cap_edge.dec, 0) = 1))
+),
+-- region_coverer.rs:132-147 vertex sampling for loops
+loop_vc AS (
+  SELECT p.region_id, fc.face
+  FROM looppts p CROSS JOIN fcells fc
+  WHERE {loopv_in}
+),
+loop_pip AS (
+  SELECT le.region_id, v.face
+  FROM fverts v CROSS JOIN loopedges le
+  GROUP BY le.region_id, v.face, v.k, v.vx, v.vy, v.vz
+  HAVING sum({pip}) > 0
+),
+loop_faces AS (
+  SELECT DISTINCT region_id, face FROM
+    (SELECT * FROM loop_vc UNION ALL SELECT * FROM loop_pip)
+),
+rect_faces AS (
+  SELECT r.region_id, f.face
+  FROM rects r CROSS JOIN frects f
+  WHERE ({lat_isect}) AND ({lng_isect})
+),
+member AS (
+  SELECT region_id, face FROM cap_faces
+  UNION ALL SELECT region_id, face FROM loop_faces
+  UNION ALL SELECT region_id, face FROM rect_faces
+)
+SELECT m.region_id, fc.cell_id, 0 AS level, fc.cell_min, fc.cell_max
+FROM member m JOIN fcells fc ON fc.face = m.face
+"""
+
+
 def bpe_token_counts_sql() -> str:
     """Mirror of operators/text.py:with_bpe_token_count (RE2 and Java
     regex agree on this lookahead-free pattern)."""

@@ -157,3 +157,146 @@ def test_ann_ivf_fixture_margins():
         cos = np.sort(allcos[qi, cand])[::-1]
         gaps = -np.diff(cos[: k + 1])
         assert (gaps > 1e-12).all(), f"rank margin, query {qi}"
+
+
+# ---------------------------------------------------------------------------
+# parity-coverer oracle (covering_cells_sql)
+# ---------------------------------------------------------------------------
+
+def _face_cells():
+    from s2_geometry_rust_spark.kernels.cells import S2Cell
+
+    return [S2Cell(int(ck.from_face_pos_level(f, 0, 0))) for f in range(6)]
+
+
+def _fixture_regions():
+    import math
+
+    from s2_geometry_rust_spark.kernels.caps import S2Cap
+    from s2_geometry_rust_spark.kernels.coverer import (
+        CapRegion, LoopRegion, RectRegion)
+    from s2_geometry_rust_spark.kernels.loops import S2Loop
+    from s2_geometry_rust_spark.kernels.rects import S2LatLngRect
+
+    def pt(lat, lng):
+        x, y, z = lk.latlng_to_xyz(math.radians(lat), math.radians(lng))
+        return [float(x), float(y), float(z)]
+
+    regions = []
+    for n, (lat, lng, r) in fixtures.CAPS.items():
+        regions.append((n, CapRegion(
+            S2Cap.from_center_degrees(tuple(pt(lat, lng)), r))))
+    for n, pts in fixtures.LOOPS.items():
+        regions.append((n, LoopRegion(
+            S2Loop(np.array([pt(a, b) for a, b in pts])))))
+    for n, (la, lb, ga, gb) in fixtures.RECTS.items():
+        regions.append((n, RectRegion(S2LatLngRect.from_degrees(la, ga, lb, gb))))
+    return regions
+
+
+def test_parity_covering_equals_face_membership():
+    """The reduction behind oracle.covering_cells_sql: because the
+    parity S2Cell pins non-face UV bounds to the face corner
+    (cell.rs:356-372), all 4 children of any cell share geometry, the
+    (level, FIFO) heap makes expansion all-or-nothing per (face, level),
+    and normalize collapses every complete subtree back to its face
+    cell.  So the best-first covering == the set of may_intersect
+    faces, independent of max_cells."""
+    from s2_geometry_rust_spark.kernels.coverer import (
+        CovererOptions, S2RegionCoverer)
+
+    fc = _face_cells()
+    for max_cells in (4, 8, 64):
+        cov = S2RegionCoverer(CovererOptions(max_cells=max_cells))
+        for name, region in _fixture_regions():
+            got = sorted(int(i) for i in cov.get_covering(region))
+            want = sorted(c.id for c in fc if region.may_intersect_cell(c))
+            assert got == want, (name, max_cells)
+
+
+def test_covering_oracle_matches_kernel_exactly():
+    import duckdb
+    import pandas as pd
+
+    from s2_geometry_rust_spark import oracle
+    from s2_geometry_rust_spark.kernels.coverer import (
+        CovererOptions, S2RegionCoverer)
+
+    cov = S2RegionCoverer(CovererOptions(max_cells=8))
+    rows = []
+    for name, region in _fixture_regions():
+        ids = np.asarray(cov.get_covering(region), np.uint64).view(np.int64)
+        rows += [(name, int(i)) for i in ids]
+    want = (pd.DataFrame(rows, columns=["region_id", "cell_id"])
+            .sort_values(["region_id", "cell_id"]).reset_index(drop=True))
+
+    got = duckdb.connect().execute(oracle.covering_cells_sql()).fetchdf()
+    assert len(got) == len(want)
+    g = (got[["region_id", "cell_id"]]
+         .sort_values(["region_id", "cell_id"]).reset_index(drop=True))
+    assert (g.values == want.values).all()
+    # derived columns
+    lv = ck.level(got["cell_id"].to_numpy().view(np.uint64))
+    assert (got["level"].to_numpy() == lv).all()
+
+
+def test_covering_oracle_fixture_margins():
+    """The SQL oracle's decisive float comparisons must sit outside any
+    cross-engine libm jitter: PIP dets of face vertices vs loop edges
+    clear the triage band, cap vertex-containment clears |d2-r2|, the
+    cap edge tests clear |dot^2 - sin2*len2|, and blind-divide UV of
+    loop vertices clears |u|,|v| vs 1."""
+    import math
+
+    from s2_geometry_rust_spark.kernels.caps import S2Cap
+    from s2_geometry_rust_spark.kernels import chord
+
+    fc = _face_cells()
+    fverts = [[c.get_vertex(k) for k in range(4)] for c in fc]
+
+    # loop-edge PIP dets at the 24 face vertices
+    for name, pts in fixtures.LOOPS.items():
+        v = _verts(pts)
+        n = len(v)
+        for face in range(6):
+            for k in range(4):
+                p = fverts[face][k]
+                for e in range(n):
+                    det = pred.triage_det(*p, *v[e], *v[(e + 1) % n])
+                    assert abs(det) > 10 * pred.TRIAGE_ERROR_THRESHOLD, \
+                        (name, face, k, e)
+
+    # blind-divide UV of every loop vertex vs the [-1,1] bounds
+    for name, pts in fixtures.LOOPS.items():
+        v = _verts(pts)
+        for c in fc:
+            u, w = (np.asarray(q) for q in
+                    __import__("s2_geometry_rust_spark.kernels.cells",
+                               fromlist=["_cell_xyz_to_face_uv"])
+                    ._cell_xyz_to_face_uv(c.face, v[:, 0], v[:, 1], v[:, 2]))
+            for arr in (u, w):
+                fin = arr[np.isfinite(arr)]
+                assert (np.abs(np.abs(fin) - 1.0) > 1e-9).all(), (name, c.face)
+
+    # cap comparisons
+    def pt(lat, lng):
+        x, y, z = lk.latlng_to_xyz(math.radians(lat), math.radians(lng))
+        return (float(x), float(y), float(z))
+
+    for name, (clat, clng, rdeg) in fixtures.CAPS.items():
+        cap = S2Cap.from_center_degrees(pt(clat, clng), rdeg)
+        sin2 = math.sin(cap.get_radius_radians()) ** 2
+        center = np.array([cap.cx, cap.cy, cap.cz])
+        for c in fc:
+            for k in range(4):
+                vx, vy, vz = c.get_vertex(k)
+                d2 = float(chord.between_points(cap.cx, cap.cy, cap.cz,
+                                                vx, vy, vz))
+                assert abs(d2 - cap.radius_l2) > 1e-9, (name, c.face, k)
+            for k in range(4):
+                e = np.array(c.get_edge_raw(k))
+                dot = float(center @ e)
+                if dot != 0.0:
+                    assert abs(dot) > 1e-12, (name, c.face, k)
+                len2 = float(e @ e)
+                assert abs(dot * dot - sin2 * len2) > 1e-12, (name, c.face, k)
