@@ -383,6 +383,48 @@ def near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dedup_minhash(docs, threshold=0.5, n_bands=32)
 
 
+def tile_counts_salted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof tile counts over the largest driver table (lineitem)
+    via the explicit two-stage salted aggregation (plans/salting.py:
+    salted_counts) — the north rule's 'explicit salting for skewed hot
+    tiles' as a graded query.  Level 6 makes city-scale hot tiles; the
+    salt is a deterministic row function, and the result is provably
+    salt-invariant, so the oracle is the plain GROUP BY."""
+    from .plans.salting import salted_counts
+
+    pts = _derived_points(spark, sf_dir, "lineitem", "l_orderkey")
+    tiles = pts.select(
+        "point_id",
+        cell_parent(cell_id_from_xyz("x", "y", "z"), 6).alias("tile_id"),
+    )
+    out = salted_counts(tiles, "tile_id", n_salts=8, salt_on="point_id",
+                        count_col="n_points")
+    return out.select(
+        "tile_id", cell_token("tile_id").alias("tile_token"), "n_points"
+    )
+
+
+def doc_embedding_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal metadata join: each document matched to its
+    embedding-table row (vec_id == doc_id), rolled up per (lang,
+    label).  At 100 TB both sides are large tables sharing a key — a
+    plain equi-join AQE plans as a co-partitioned shuffle join; the
+    grouped result is one small final shuffle.  sum over BIGINT keeps
+    the oracle comparison exact (no float summation order)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    return (
+        docs.join(embs, "doc_id")
+        .groupBy("lang", "label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
 def events_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly per-type event rollup — the batch twin of the streaming
     tile aggregation (same window semantics as streaming/tiles.py).
@@ -572,6 +614,8 @@ QUERIES = {
     "union_difference": union_difference_q,
     "union_expand": union_expand_q,
     "raster_join": raster_join_q,
+    "tile_counts_salted": tile_counts_salted_q,
+    "doc_embedding_join": doc_embedding_join_q,
     "events_hourly": events_hourly_q,
     "fingerprints": fingerprints_q,
     "simhash": simhash_q,
@@ -608,6 +652,8 @@ ORACLES = {
     "union_difference": oracle.union_difference_sql(),
     "union_expand": oracle.union_expand_sql(),
     "raster_join": oracle.raster_join_sql(6),
+    "tile_counts_salted": oracle.tile_counts_sql(6, "lineitem", "l_orderkey"),
+    "doc_embedding_join": oracle.doc_embedding_join_sql(),
     "events_hourly": oracle.events_hourly_sql(),
     "fingerprints": oracle.fingerprints_sql(),
     "simhash": oracle.simhash_sql(),

@@ -323,6 +323,17 @@ SELECT doc_id, {case} AS lang_pred FROM s
 """
 
 
+def doc_embedding_join_sql() -> str:
+    """Mirror of engine_queries.doc_embedding_join_q (CAST keeps
+    DuckDB's HUGEINT sum comparable to Spark's BIGINT)."""
+    return """
+SELECT d.lang, e.label, count(*) AS n_docs,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+GROUP BY 1, 2
+"""
+
+
 def events_hourly_sql() -> str:
     """Hourly rollup with order-independent aggregates (integer cent
     sums commute; double sums would not)."""

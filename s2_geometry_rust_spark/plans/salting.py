@@ -71,3 +71,28 @@ def salted_join(fact: DataFrame, dim: DataFrame, key: str,
     ).withColumn("_salt", F.col("_salt").cast("long"))
     out = f.join(d, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def salted_counts(df: DataFrame, key: str, n_salts: int = 16,
+                  salt_on: str | None = None,
+                  count_col: str = "n") -> DataFrame:
+    """Two-stage skew-proof count aggregation: groupBy(key, salt) ->
+    groupBy(key).
+
+    Spark's partial (map-side) aggregation already bounds per-task
+    state, but a single pathological reducer key still lands on one
+    task in the final exchange.  Salting splits each key across
+    ``n_salts`` reducers and recombines with a second (tiny) shuffle
+    keyed by the now-aggregated key.  Salt is a deterministic function
+    of the row (never rand()) so retries/resume repartition
+    identically; the result is provably identical to the unsalted
+    groupBy-count for any salt assignment."""
+    salt_src = (F.xxhash64(salt_on) if salt_on
+                else F.xxhash64(*df.columns))
+    return (
+        df.withColumn("_salt", F.pmod(salt_src, F.lit(n_salts)))
+        .groupBy(key, "_salt")
+        .agg(F.count("*").alias("_partial"))
+        .groupBy(key)
+        .agg(F.sum("_partial").alias(count_col))
+    )

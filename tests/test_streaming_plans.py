@@ -73,6 +73,23 @@ def test_salted_join_equals_plain_join(spark):
     assert a.equals(b)
 
 
+def test_salted_counts_equals_plain_groupby(spark):
+    from s2_geometry_rust_spark.operators.tiling import with_tile
+    from s2_geometry_rust_spark.plans.salting import salted_counts
+
+    docs = synth_documents(spark, 500, seed=7)
+    pts = extract_geo_points(docs)
+    fact = with_tile(pts, 2).select("doc_id", "tile_id")
+    plain = fact.groupBy("tile_id").count().withColumnRenamed("count", "n")
+    for n_salts in (1, 4, 16):
+        salted = salted_counts(fact, "tile_id", n_salts=n_salts,
+                               salt_on="doc_id")
+        a = plain.toPandas().sort_values("tile_id").reset_index(drop=True)
+        b = salted.toPandas().sort_values("tile_id").reset_index(drop=True)
+        assert a.tile_id.equals(b.tile_id) and a.n.astype("int64").equals(
+            b.n.astype("int64")), n_salts
+
+
 def test_checkpoint_resume_filter(spark, tmp_path):
     docs = synth_documents(spark, 200, seed=42)
     pts = extract_geo_points(docs)
