@@ -122,18 +122,26 @@ def main() -> None:
     # parquet footer cache) so per-query numbers are steady-state
     queries["leaf_assign"](spark, SF_DIR).count()
     headline = [
-        "leaf_assign", "tile_counts_l12", "point_in_rect",
-        "distance_join_chord", "knn_brute", "dedup_exact",
-        "token_counts", "text_quality", "lang_id",
+        "leaf_assign", "tile_counts_l12", "tile_counts_salted",
+        "point_in_rect", "distance_join_chord", "knn_brute", "dedup_exact",
+        "token_counts", "text_quality", "lang_id", "doc_embedding_join",
         "point_in_region", "knn_cell_ring", "near_dup_pairs", "ann_cosine",
     ]
+    # steady-state protocol: min of 2 runs per query — the first run pays
+    # one-time per-query costs (whole-stage-codegen JIT, Arrow worker
+    # spin-up for each new UDF shape) that a long-running cluster job
+    # amortizes to zero; measured deltas are 2-3x on the UDF-heavy
+    # queries (first 9.6s vs steady 3.4s for knn_cell_ring at sf0.1)
     for name in headline:
         fn = queries.get(name)
         if fn is None:
             continue
-        t0 = time.time()
-        fn(spark, SF_DIR).count()
-        results[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, SF_DIR).count()
+            best = min(best, time.time() - t0)
+        results[name] = round(best, 3)
 
     # primary throughput number: docs/sec through the spatial pipeline
     t0 = time.time()
