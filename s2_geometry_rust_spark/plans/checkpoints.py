@@ -5,11 +5,13 @@ cell-range covered, row_count, latency_ms, lineage string) — to an
 append-only table; a restarted job anti-joins its work units against
 completed checkpoints and re-runs only the gap.
 
-Storage: the table is written with the DataFrame writer in parquet
-format here (this sandbox has no Iceberg jars); the schema and the
-append/anti-join protocol are exactly what an Iceberg
-``writeTo(...).append()`` catalog table would use — swap the two marked
-lines to adopt Iceberg on a real cluster.
+Storage: a ``path`` of the form ``table:<warehouse>:<name>`` routes
+through :mod:`..sources.iceberg` — the real Iceberg ``writeTo(...)``
+catalog API when the runtime jars are on the classpath, a
+byte-compatible parquet layout otherwise (this sandbox has no Iceberg
+jars).  A plain filesystem path appends parquet directly.  The schema
+and append/anti-join protocol are identical in all three cases, so
+adopting Iceberg on a real cluster is a config/URI change only.
 
 The per-partition metrics are gathered *inside* the data pass with
 ``mapInPandas`` (no separate job): each partition emits its data rows
@@ -33,6 +35,30 @@ from pyspark.sql.types import (
 )
 
 from ..functions import unsigned_sort_key
+from ..sources import iceberg as _catalog
+
+
+def _parse_table_uri(path: str) -> tuple[str, str] | None:
+    """``table:<warehouse>:<name>`` → (warehouse, name); else None."""
+    if path.startswith("table:"):
+        _, warehouse, name = path.split(":", 2)
+        return warehouse, name
+    return None
+
+
+def _append(df: DataFrame, path: str) -> None:
+    uri = _parse_table_uri(path)
+    if uri is not None:
+        _catalog.write_table(df, uri[1], uri[0], mode="append")
+    else:
+        df.write.mode("append").parquet(path)
+
+
+def _read(spark: SparkSession, path: str) -> DataFrame:
+    uri = _parse_table_uri(path)
+    if uri is not None:
+        return _catalog.read_table(spark, uri[1], uri[0])
+    return spark.read.parquet(path)
 
 CHECKPOINT_SCHEMA = StructType(
     [
@@ -83,21 +109,20 @@ def write_stage_checkpoint(df: DataFrame, stage: str, unit_col: str,
         )
     )
     t0 = time.time()
-    # Iceberg: metrics.writeTo("catalog.db.checkpoints").append()
-    metrics.write.mode("append").parquet(path)
+    _append(metrics, path)
     elapsed_ms = (time.time() - t0) * 1000.0
     total = spark.createDataFrame(
         [(stage, -1, None, None, None, elapsed_ms,
           f"{lineage}#stage_total", time.time())],
         CHECKPOINT_SCHEMA,
     )
-    total.coalesce(1).write.mode("append").parquet(path)
+    _append(total.coalesce(1), path)
 
 
 def completed_units(spark: SparkSession, stage: str, path: str) -> DataFrame:
     """Distinct work units already checkpointed for a stage."""
     try:
-        cp = spark.read.parquet(path)
+        cp = _read(spark, path)
     except Exception:
         return spark.createDataFrame([], "unit_id long")
     return (
