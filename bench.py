@@ -39,6 +39,7 @@ SCALING_PAIR = (
     int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2")),
     int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8")),
 )
+SCALING_SESSIONS = int(os.environ.get("SPARK_GRAFT_SCALING_SESSIONS", "2"))
 
 
 def _sf(sf_dir: str) -> float:
@@ -85,17 +86,28 @@ def main() -> None:
 
         here = os.path.dirname(os.path.abspath(__file__))
         cores = {}
+        # Trial times correlate WITHIN a JVM session (one bad session's
+        # trials were uniformly 1.5x slower than a fresh session minutes
+        # later, at <2% steal) — so each leg runs as SCALING_SESSIONS
+        # independent subprocess sessions of 2 trials each, best session
+        # wins.  See tools/scaling_probe.py for the measurement notes.
         for cpus in SCALING_PAIR:
-            out = subprocess.run(
-                [sys.executable, os.path.join(here, "tools", "scaling_probe.py"),
-                 str(cpus), str(SCALING_DOCS), str(PIPELINE_PARTITIONS)],
-                capture_output=True, text=True, check=True,
-            )
-            leg = json.loads(out.stdout.strip().splitlines()[-1])
-            throughput[cpus] = SCALING_DOCS / leg["best_sec"]
-            cores[cpus] = leg["cores_used"]
-            results[f"scaling_local{cpus}_sec"] = round(leg["best_sec"], 3)
-            results[f"scaling_local{cpus}_cores_used"] = leg["cores_used"]
+            best = None
+            for _ in range(SCALING_SESSIONS):
+                out = subprocess.run(
+                    [sys.executable,
+                     os.path.join(here, "tools", "scaling_probe.py"),
+                     str(cpus), str(SCALING_DOCS),
+                     str(PIPELINE_PARTITIONS), "2"],
+                    capture_output=True, text=True, check=True,
+                )
+                leg = json.loads(out.stdout.strip().splitlines()[-1])
+                if best is None or leg["best_sec"] < best["best_sec"]:
+                    best = leg
+            throughput[cpus] = SCALING_DOCS / best["best_sec"]
+            cores[cpus] = best["cores_used"]
+            results[f"scaling_local{cpus}_sec"] = round(best["best_sec"], 3)
+            results[f"scaling_local{cpus}_cores_used"] = best["cores_used"]
         lo, hi = sorted(throughput)
         # Nominal-N ratio AND the core-normalized ratio.  Single-JVM
         # local mode carries a fixed service-thread pool (GC/scheduler/

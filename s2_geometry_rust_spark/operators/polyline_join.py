@@ -117,8 +117,15 @@ def with_bounding_caps(polylines: DataFrame) -> DataFrame:
     return polylines.select("line_id", "vertices").mapInPandas(run, _CAP_SCHEMA)
 
 
-def polyline_coverings(polylines: DataFrame, max_cells: int = 8,
+def polyline_coverings(polylines: DataFrame, max_cells: int = 64,
                        include_antipodal: bool = False) -> DataFrame:
+    # default 64, not 8: the level-synchronous coverer cannot subdivide
+    # a face-corner-straddling line within a budget of 8, leaving
+    # face-level cells — measured on 2k random short lines, budget 8
+    # admits 41% of ALL pairs as candidates (face-cell collisions)
+    # where budget 64 admits ~0.2%; same effect as the cap-region
+    # budget sweep in BASELINE.md.  Coverings stay <= max_cells rows
+    # per line either way, so the join's shuffle volume is bounded.
     """(line_id, cell_id) conservative covering rows, computed
     distributed (embarrassingly parallel, no shuffle).
 
@@ -164,7 +171,7 @@ def _ancestors_and_self(col: str) -> F.Column:
 
 
 def polyline_candidate_pairs(lines_a: DataFrame, lines_b: DataFrame,
-                             max_cells: int = 8) -> DataFrame:
+                             max_cells: int = 64) -> DataFrame:
     """(a_id, b_id) pairs whose conservative coverings overlap — the
     never-miss candidate set, via ancestor-chain equi-joins."""
     cov_a = polyline_coverings(lines_a, max_cells).withColumnRenamed(
@@ -223,7 +230,7 @@ def _batch_crossings(va_list, vb_list) -> np.ndarray:
 
 
 def polyline_intersection_join(lines_a: DataFrame, lines_b: DataFrame,
-                               max_cells: int = 8) -> DataFrame:
+                               max_cells: int = 64) -> DataFrame:
     """(a_id, b_id, crossing=true) for every intersecting polyline pair
     (polyline.rs:316-338).  lines_*: (line_id, vertices
     array<struct<lat,lng>> degrees)."""

@@ -16,6 +16,13 @@ core-normalized efficiency.
 
 Each leg runs in its own subprocess so SparkContexts are fully isolated
 (no cross-session accumulator teardown races in recorded stderr).
+
+Trial times correlate strongly WITHIN one JVM session (observed: one
+session's trials all 48-55 s, a fresh session minutes later all
+27-30 s for the identical job — session-level JVM/allocator state, not
+steal: /proc steal stayed <2% throughout).  bench.py therefore runs
+each leg as SEVERAL independent subprocess sessions and takes the best
+session; the per-session trial count is the 4th argv.
 """
 
 from __future__ import annotations
@@ -60,7 +67,7 @@ def _proc_tree_cpu(root: int) -> float:
     return total
 
 
-def main(cpus: int, n_docs: int, partitions: int) -> None:
+def main(cpus: int, n_docs: int, partitions: int, trials: int = 3) -> None:
     from bench import spatial_pipeline_count
     from s2_geometry_rust_spark.session import get_spark
 
@@ -72,7 +79,7 @@ def main(cpus: int, n_docs: int, partitions: int) -> None:
     spatial_pipeline_count(spark, 5000)
     best = None
     best_cores = None
-    for _ in range(3):
+    for _ in range(trials):
         c0 = _proc_tree_cpu(me)
         t0 = time.time()
         spatial_pipeline_count(spark, n_docs)
@@ -86,4 +93,4 @@ def main(cpus: int, n_docs: int, partitions: int) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]))
+    main(*(int(a) for a in sys.argv[1:]))
