@@ -330,6 +330,136 @@ def conservative_covering(region, max_cells: int = 64,
     return ku.normalize(out)
 
 
+def polyline_coverings_batch(verts_list: list[np.ndarray],
+                             max_cells: int = 64,
+                             max_level: int = 30) -> list[np.ndarray]:
+    """Batched ``conservative_covering(TruePolylineRegion(v))`` for many
+    polylines at once — per-line results are identical, but the
+    level-synchronous loop runs ONCE over the concatenated frontier of
+    every line (block-diagonal cell x own-edges distance via pair
+    expansion + ``minimum.reduceat``), amortizing the ~150 small-array
+    numpy calls per line into ~10 large-array calls per level.
+    Measured 20-70x per-line speedup at budgets 8-64 on 4-vertex lines.
+
+    Polylines have no interior, so the containment-sampling stage of
+    conservative_covering never fires and is omitted.
+
+    Exactness caveat: identical formulas, but per-pair einsum sums may
+    round differently from the per-line BLAS matmul.  This only matters
+    where an admit decision is within ~1 ulp of the threshold — which
+    requires r_cell ~ the arccos conditioning error (~1e-8 rad), i.e. a
+    DEGENERATE near-point line descending past level ~24.  Real
+    polylines exhaust the cell budget at far shallower levels
+    (margins ~1e-2..1e-4 rad), where the two paths are bit-identical
+    (tested on 200 random lines); for degenerate lines both paths
+    remain conservative supersets, just not always the same one.
+    """
+    L = len(verts_list)
+    if L == 0:
+        return []
+    a_parts, b_parts, counts = [], [], np.zeros(L, np.int64)
+    for i, v in enumerate(verts_list):
+        v = np.asarray(v, np.float64).reshape(-1, 3)
+        a_parts.append(v[:-1])
+        b_parts.append(v[1:])
+        counts[i] = max(len(v) - 1, 0)
+    if counts.sum() == 0:
+        return [np.array([], np.uint64) for _ in range(L)]
+    A = np.concatenate(a_parts, axis=0)
+    B = np.concatenate(b_parts, axis=0)
+    n = np.cross(A, B)
+    norm = np.linalg.norm(n, axis=1)
+    ok = norm > 1e-300
+    nhat = np.where(ok[:, None], n / np.where(ok, norm, 1.0)[:, None], 0.0)
+    ca = np.cross(A, nhat)
+    cb = np.cross(B, nhat)
+    edge_start = np.zeros(L, np.int64)
+    edge_start[1:] = np.cumsum(counts)[:-1]
+    pad = TruePolylineRegion._PAD
+
+    def admit(cells: np.ndarray, owner: np.ndarray) -> np.ndarray:
+        m = counts[owner]
+        has = m > 0
+        keep = np.zeros(len(cells), bool)
+        if not has.any():
+            return keep
+        centers = ct.cell_center_xyz(cells)
+        verts = ct.cell_vertices_xyz(cells)
+        dots = np.clip(np.einsum("nkd,nd->nk", verts, centers), -1.0, 1.0)
+        r_cell = np.arccos(dots).max(axis=1)
+        cum = np.zeros(len(cells) + 1, np.int64)
+        np.cumsum(m, out=cum[1:])
+        tot = int(cum[-1])
+        within = np.arange(tot) - np.repeat(cum[:-1], m)
+        pair_edge = np.repeat(edge_start[owner], m) + within
+        c = centers[np.repeat(np.arange(len(cells)), m)]
+        e_n = nhat[pair_edge]
+        s = np.einsum("pd,pd->p", c, e_n)
+        in1 = np.einsum("pd,pd->p", c, ca[pair_edge]) <= 0.0
+        in2 = np.einsum("pd,pd->p", c, cb[pair_edge]) >= 0.0
+        d_circ = np.arcsin(np.clip(np.abs(s), 0.0, 1.0))
+        d_a = np.arccos(np.clip(np.einsum("pd,pd->p", c, A[pair_edge]), -1.0, 1.0))
+        d_b = np.arccos(np.clip(np.einsum("pd,pd->p", c, B[pair_edge]), -1.0, 1.0))
+        d_end = np.minimum(d_a, d_b)
+        d = np.where(ok[pair_edge] & in1 & in2, d_circ, d_end)
+        dmin = np.minimum.reduceat(d, cum[:-1][has])
+        keep[has] = dmin <= r_cell[has] + pad
+        return keep
+
+    faces = np.array(
+        [int(ck.from_face_pos_level(f, 0, 0)) for f in range(6)], np.uint64
+    )
+    cells = np.tile(faces, L)
+    owner = np.repeat(np.arange(L, dtype=np.int64), 6)
+    keep = admit(cells, owner)
+    cells, owner = cells[keep], owner[keep]
+    done_cells: list[np.ndarray] = []
+    done_owner: list[np.ndarray] = []
+    level = 0
+    while len(cells) and level < max_level:
+        cnt = np.bincount(owner, minlength=L)
+        # replicate the per-line "next expansion could exceed budget" stop
+        frozen = (4 * cnt) > max_cells
+        if frozen.any():
+            hit = frozen[owner]
+            done_cells.append(cells[hit])
+            done_owner.append(owner[hit])
+            cells, owner = cells[~hit], owner[~hit]
+            if len(cells) == 0:
+                break
+        children = ck.children(cells).reshape(-1)
+        cowner = np.repeat(owner, 4)
+        ckeep = admit(children, cowner)
+        children, cowner = children[ckeep], cowner[ckeep]
+        # lines whose children all fail keep their current frontier
+        pcnt = np.bincount(owner, minlength=L)
+        ccnt = np.bincount(cowner, minlength=L)
+        dead = (pcnt > 0) & (ccnt == 0)
+        if dead.any():
+            hit = dead[owner]
+            done_cells.append(cells[hit])
+            done_owner.append(owner[hit])
+        live = ~dead
+        sel = live[cowner]
+        cells, owner = children[sel], cowner[sel]
+        level += 1
+    if len(cells):
+        done_cells.append(cells)
+        done_owner.append(owner)
+    out: list[np.ndarray] = [np.array([], np.uint64) for _ in range(L)]
+    if done_cells:
+        allc = np.concatenate(done_cells)
+        allo = np.concatenate(done_owner)
+        order = np.argsort(allo, kind="stable")
+        allc, allo = allc[order], allo[order]
+        bounds = np.searchsorted(allo, np.arange(L + 1))
+        for i in range(L):
+            lo, hi = bounds[i], bounds[i + 1]
+            if hi > lo:
+                out[i] = ku.normalize(allc[lo:hi].astype(np.uint64))
+    return out
+
+
 def conservative_region_from_row(row) -> object:
     kind = row["kind"]
     base = region_from_row(row)

@@ -138,24 +138,24 @@ def polyline_coverings(polylines: DataFrame, max_cells: int = 64,
     for a pair crossing the *antipodal* of the other arc exactly as for
     a true crossing.  A never-miss candidate filter for the pinned
     semantics must therefore bucket one side on curve ∪ anti-curve."""
-    from .coverings import TruePolylineRegion, conservative_covering
+    from .coverings import polyline_coverings_batch
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
+            if len(b) == 0:
+                continue
+            verts = [_verts_xyz(v) for v in b["vertices"]]
+            if include_antipodal:
+                verts = verts + [-v for v in verts]
+            covs = polyline_coverings_batch(verts, max_cells=max_cells)
+            line_ids = list(b["line_id"]) * (2 if include_antipodal else 1)
             ids: list[str] = []
             cells: list[int] = []
-            for _, row in b.iterrows():
-                v = _verts_xyz(row["vertices"])
-                covs = [conservative_covering(TruePolylineRegion(v),
-                                              max_cells=max_cells)]
-                if include_antipodal:
-                    covs.append(conservative_covering(
-                        TruePolylineRegion(-v), max_cells=max_cells))
-                for cov in covs:
-                    ids.extend([row["line_id"]] * len(cov))
-                    cells.extend(
-                        np.asarray(cov, np.uint64).view(np.int64).tolist()
-                    )
+            for lid, cov in zip(line_ids, covs):
+                ids.extend([lid] * len(cov))
+                cells.extend(
+                    np.asarray(cov, np.uint64).view(np.int64).tolist()
+                )
             yield pd.DataFrame({"line_id": ids, "cell_id": cells})
 
     return polylines.select("line_id", "vertices").mapInPandas(run, _COV_SCHEMA)

@@ -335,3 +335,54 @@ def test_polyline_join_plan_has_no_nested_loop(spark):
         .executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_polyline_coverings_batch_matches_per_line():
+    """Batched level-synchronous coverer == per-line
+    conservative_covering on non-degenerate lines (bit-for-bit), and
+    stays a conservative never-miss superset on degenerate/point-like
+    lines where deep-level arccos conditioning makes bit-equality
+    ill-posed (see polyline_coverings_batch docstring)."""
+    from s2_geometry_rust_spark.kernels import cellid as ck2
+    from s2_geometry_rust_spark.operators.coverings import (
+        TruePolylineRegion,
+        conservative_covering,
+        polyline_coverings_batch,
+    )
+    from s2_geometry_rust_spark.kernels import latlng as lk2
+
+    def to_xyz(pts):
+        lat = lk2.degrees_to_radians(np.array([p[0] for p in pts], float))
+        lng = lk2.degrees_to_radians(np.array([p[1] for p in pts], float))
+        x, y, z = lk2.latlng_to_xyz(lat, lng)
+        return np.stack([x, y, z], axis=-1)
+
+    lines = [to_xyz(v) for _, v in _random_lines(120, seed=3)]
+    for budget in (8, 64):
+        ref = [
+            conservative_covering(TruePolylineRegion(v), max_cells=budget)
+            for v in lines
+        ]
+        got = polyline_coverings_batch(lines, max_cells=budget)
+        for i, (r, g) in enumerate(zip(ref, got)):
+            assert np.array_equal(np.sort(r), np.sort(g)), (budget, i)
+
+    # degenerate cases: empty-edge line and repeated-vertex point line —
+    # assert the conservative property, not bit equality: every vertex's
+    # leaf cell has an ancestor-or-equal in the covering
+    point = to_xyz([(33.1, -17.2)])
+    degen = np.repeat(point, 3, axis=0)
+    for v in ([to_xyz([(1.0, 2.0)])[0:0], degen]):
+        got = polyline_coverings_batch([v], max_cells=64)[0]
+        if len(v) < 2:
+            assert len(got) == 0
+            continue
+        assert len(got) > 0
+        leaf = ck2.from_point(v[:1, 0], v[:1, 1], v[:1, 2])[0]
+        covered = any(
+            int(ck2.range_min(np.array([c], np.uint64))[0])
+            <= int(leaf)
+            <= int(ck2.range_max(np.array([c], np.uint64))[0])
+            for c in got
+        )
+        assert covered
