@@ -460,6 +460,99 @@ def polyline_coverings_batch(verts_list: list[np.ndarray],
     return out
 
 
+def cap_coverings_batch(caps: list, max_cells: int = 8,
+                        max_level: int = 30) -> list[np.ndarray]:
+    """Batched ``conservative_covering(TrueCapRegion(cap))`` for many
+    caps at once — same per-cap results (same admit/containment
+    formulas: triangle-inequality admit, squared-chord-vs-radius_l2
+    vertex containment), but the level-synchronous loop runs ONCE over
+    the concatenated frontier of every cap, with per-cap
+    budget/terminal bookkeeping.  Removes the ~20 ms/region Python
+    constant from the distributed covering path of the spatial join
+    (cover_regions conservative=True routes cap rows here)."""
+    L = len(caps)
+    if L == 0:
+        return []
+    C = np.array([[c.cx, c.cy, c.cz] for c in caps], np.float64)
+    radius = np.array([c.get_radius_radians() for c in caps], np.float64)
+    radius_l2 = np.array([c.radius_l2 for c in caps], np.float64)
+
+    def admit(cells: np.ndarray, owner: np.ndarray) -> np.ndarray:
+        centers = ct.cell_center_xyz(cells)
+        verts = ct.cell_vertices_xyz(cells)
+        dots = np.clip(np.einsum("nkd,nd->nk", verts, centers), -1.0, 1.0)
+        r_cell = np.arccos(dots).max(axis=1)
+        ang = np.arccos(np.clip(
+            np.einsum("nd,nd->n", centers, C[owner]), -1.0, 1.0))
+        return ang <= radius[owner] + r_cell + 1e-12
+
+    def contained(cells: np.ndarray, owner: np.ndarray) -> np.ndarray:
+        verts = ct.cell_vertices_xyz(cells)  # (n,4,3)
+        d = verts - C[owner][:, None, :]
+        d2 = np.minimum(np.einsum("nkd,nkd->nk", d, d), 4.0)
+        return (d2 <= radius_l2[owner][:, None]).all(axis=1)
+
+    faces = np.array(
+        [int(ck.from_face_pos_level(f, 0, 0)) for f in range(6)], np.uint64
+    )
+    cells = np.tile(faces, L)
+    owner = np.repeat(np.arange(L, dtype=np.int64), 6)
+    keep = admit(cells, owner)
+    cells, owner = cells[keep], owner[keep]
+    done_cells: list[np.ndarray] = []
+    done_owner: list[np.ndarray] = []
+    n_term = np.zeros(L, np.int64)
+    level = 0
+    while len(cells) and level < max_level:
+        cnt = np.bincount(owner, minlength=L)
+        frozen = (n_term + 4 * cnt) > max_cells
+        if frozen.any():
+            hit = frozen[owner]
+            done_cells.append(cells[hit])
+            done_owner.append(owner[hit])
+            cells, owner = cells[~hit], owner[~hit]
+            if len(cells) == 0:
+                break
+        children = ck.children(cells).reshape(-1)
+        cowner = np.repeat(owner, 4)
+        ckeep = admit(children, cowner)
+        children, cowner = children[ckeep], cowner[ckeep]
+        pcnt = np.bincount(owner, minlength=L)
+        ccnt = np.bincount(cowner, minlength=L)
+        dead = (pcnt > 0) & (ccnt == 0)
+        if dead.any():
+            hit = dead[owner]
+            done_cells.append(cells[hit])
+            done_owner.append(owner[hit])
+        live = ~dead
+        sel = live[cowner]
+        children, cowner = children[sel], cowner[sel]
+        if len(children):
+            inside = contained(children, cowner)
+            if inside.any():
+                done_cells.append(children[inside])
+                done_owner.append(cowner[inside])
+                n_term += np.bincount(cowner[inside], minlength=L)
+            children, cowner = children[~inside], cowner[~inside]
+        cells, owner = children, cowner
+        level += 1
+    if len(cells):
+        done_cells.append(cells)
+        done_owner.append(owner)
+    out: list[np.ndarray] = [np.array([], np.uint64) for _ in range(L)]
+    if done_cells:
+        allc = np.concatenate(done_cells)
+        allo = np.concatenate(done_owner)
+        order = np.argsort(allo, kind="stable")
+        allc, allo = allc[order], allo[order]
+        bounds = np.searchsorted(allo, np.arange(L + 1))
+        for i in range(L):
+            lo, hi = bounds[i], bounds[i + 1]
+            if hi > lo:
+                out[i] = ku.normalize(allc[lo:hi].astype(np.uint64))
+    return out
+
+
 def conservative_region_from_row(row) -> object:
     kind = row["kind"]
     base = region_from_row(row)
@@ -493,8 +586,26 @@ def cover_regions(regions: DataFrame, max_cells: int = 8,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         coverer = S2RegionCoverer(opts)
         for b in batches:
+            # conservative cap rows take the batched kernel (identical
+            # per-cap results, one level-synchronous loop per batch)
+            cap_ids: dict[int, np.ndarray] = {}
+            if conservative and len(b):
+                kinds = b["kind"].to_numpy()
+                cap_pos = np.nonzero(kinds == "cap")[0]
+                if len(cap_pos):
+                    caps = [
+                        region_from_row(b.iloc[int(i)]).cap for i in cap_pos
+                    ]
+                    covs = cap_coverings_batch(
+                        caps, max_cells=max_cells, max_level=max_level
+                    )
+                    cap_ids = {int(i): c for i, c in zip(cap_pos, covs)}
             out_region, out_cell = [], []
-            for _, row in b.iterrows():
+            for pos, (_, row) in enumerate(b.iterrows()):
+                if pos in cap_ids:
+                    out_region.extend([row["region_id"]] * len(cap_ids[pos]))
+                    out_cell.append(cap_ids[pos])
+                    continue
                 region = make_region(row)
                 if conservative:
                     ids = conservative_covering(

@@ -163,3 +163,36 @@ def test_point_in_region_join_auto_distributed_large_regions(spark, points):
         sj.DISTRIBUTED_REGION_THRESHOLD = old
     want = _ground_truth_pairs(points.toPandas(), regions.collect())
     assert got == want and len(want) > 50
+
+
+def test_cap_coverings_batch_matches_per_cap():
+    """Batched cap coverer == per-cap conservative_covering bit-for-bit
+    (admit and containment formulas are shared; only loop batching
+    differs), across radii from 0.01 deg to full, plus empty/full."""
+    import numpy as np
+
+    from s2_geometry_rust_spark.kernels import latlng as lk
+    from s2_geometry_rust_spark.kernels.caps import S2Cap
+    from s2_geometry_rust_spark.operators.coverings import (
+        TrueCapRegion,
+        cap_coverings_batch,
+        conservative_covering,
+    )
+
+    rng = np.random.default_rng(5)
+    caps = []
+    for _ in range(80):
+        lat, lng = rng.uniform(-85, 85), rng.uniform(-180, 180)
+        x, y, z = lk.latlng_to_xyz(np.radians(lat), np.radians(lng))
+        r = float(rng.choice([0.01, 0.1, 1.0, 5.0, 30.0, 91.0, 179.0]))
+        caps.append(S2Cap.from_center_degrees((float(x), float(y), float(z)), r))
+    caps.append(S2Cap.empty())
+    caps.append(S2Cap.full())
+    for budget in (8, 64):
+        ref = [
+            conservative_covering(TrueCapRegion(c), max_cells=budget)
+            for c in caps
+        ]
+        got = cap_coverings_batch(caps, max_cells=budget)
+        for i, (r, g) in enumerate(zip(ref, got)):
+            assert np.array_equal(np.sort(r), np.sort(g)), (budget, i)
