@@ -544,6 +544,107 @@ def polyline_crossings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Stats fixture lines: multi-edge lines so the interpolate(0.5) edge
+# walk is exercised beyond the trivial first-edge case; every line has
+# <= 8 edges (numpy's pairwise sum is plain sequential below 8 terms,
+# which the oracle's ordered window sum mirrors).  Deliberately
+# ASYMMETRIC (unlike POLYLINE_LINES' equator_w) so the 0.5 target never
+# lands exactly on an edge boundary — the walk's >= decision must be
+# ulp-robust (guarded in tests/test_round3_oracles.py).
+PSTAT_LINES = {
+    "equator_w": [(0.0, -30.0), (0.0, -3.0), (0.0, 30.0)],
+    "meridian_10": [(-20.0, 10.0), (20.0, 10.0)],
+    "meridian_90": [(-20.0, 90.0), (20.0, 90.0)],
+    "arctic_arc": [(80.0, -30.0), (80.0, 30.0)],
+    "mid_lat": [(30.0, -40.0), (35.0, 40.0)],
+    "diag": [(-25.0, -20.0), (25.0, 35.0)],
+    "zigzag": [(0.0, 0.0), (10.0, 11.0), (0.0, 20.0), (12.0, 30.0),
+               (0.0, 43.0)],
+    "long_arc": [(-40.0, -60.0), (0.0, -20.0), (40.0, 20.0), (50.0, 70.0)],
+}
+
+
+def polyline_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polyline length + interpolate(0.5) midpoint (polyline.rs:182-259)
+    over the fixture lines, nano-scaled like loop_stats (engine numpy
+    trig vs oracle SQL trig agree to ~1 ulp; margin guards in
+    tests/test_round3_oracles.py)."""
+    from .operators.geom_aggs import polyline_stats
+
+    df = spark.createDataFrame(
+        [(k, [(float(a), float(b)) for a, b in v])
+         for k, v in PSTAT_LINES.items()],
+        "line_id string, vertices array<struct<lat:double,lng:double>>",
+    )
+
+    def nano(c: str) -> F.Column:
+        return F.round(F.col(c) * 1e9, 0).cast("long")
+
+    return polyline_stats(df).select(
+        "line_id", "n_vertices",
+        nano("length_rad").alias("length_nano"),
+        nano("mid_x").alias("mid_x_nano"),
+        nano("mid_y").alias("mid_y_nano"),
+        nano("mid_z").alias("mid_z_nano"),
+    )
+
+
+# Chain-crossing fixtures: all loops keep at least one edge v0 on face
+# 0 and every line's covering touches face 0, so with index_level=0
+# every (line, shape) pair is a candidate of the operator's index path
+# and the all-pairs SQL oracle matches its output exactly (asserted in
+# tests/test_round3_oracles.py).  touch_tri starts at tri_mid's first
+# vertex (bit-identical doubles) to exercise the crosser's
+# shared-vertex 0-sign.
+CHAIN_LOOPS = {
+    "tri_mid": [(5.0, -15.0), (25.0, 5.0), (5.0, 25.0)],
+    "quad_w": [(-20.0, -35.0), (-20.0, -5.0), (10.0, -5.0), (10.0, -35.0)],
+    "small_ne": [(35.0, 20.0), (44.0, 20.0), (40.0, 25.0)],
+}
+CHAIN_LINES = {
+    "cross_tri": [(-5.0, 5.0), (25.0, 5.0)],
+    "touch_tri": [(5.0, -15.0), (-10.0, -25.0)],
+    "diag_w": [(-25.0, -40.0), (15.0, 0.0)],
+    "equator_mid": [(0.0, -38.0), (0.0, 28.0)],
+}
+
+
+def chain_crossings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-crossing join: fixture polylines vs indexed loop edges via
+    the S2EdgeCrosser chain state (edge_crosser.rs:106-170) —
+    shape-index candidate path at face level (fixture edges only share
+    face cells), applyInPandas chain walk refine."""
+    from .operators.shape_index import edges_from_loops, polyline_edge_crossings
+
+    edges = edges_from_loops(spark, CHAIN_LOOPS)
+    lines = spark.createDataFrame(
+        [(i, [(float(a), float(b)) for a, b in CHAIN_LINES[n]])
+         for i, n in enumerate(sorted(CHAIN_LINES))],
+        "line_id long, vertices array<struct<lat:double,lng:double>>",
+    )
+    return polyline_edge_crossings(lines, edges, index_level=0)
+
+
+def union_areas_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-level area aggregates (cell_union.rs:480-501) over the
+    mixed-level union fixtures, atto-scaled: average_area and
+    approx_area are trig-free (bit-exact vs the oracle — with the
+    pinned-UV-bounds quirk the per-cell approximation reduces exactly
+    to average_area_at_level); exact_area is the avg-edge-squared trig
+    formula compared at 1e-18 with margin guards."""
+    from .operators.geom_aggs import union_bounds
+
+    def atto(c: str) -> F.Column:
+        return F.round(F.col(c) * 1e18, 0).cast("long")
+
+    return union_bounds(_mixed_level_unions(spark, sf_dir)).select(
+        "union_id", "n_cells",
+        atto("average_area").alias("average_atto"),
+        atto("approx_area").alias("approx_atto"),
+        atto("exact_area").alias("exact_atto"),
+    )
+
+
 def emb_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup threshold join (the oracle
     baseline; cosine_threshold_pairs_lsh is the bucketed scale path,
@@ -631,6 +732,9 @@ QUERIES = {
     "loop_stats": loop_stats_q,
     "edge_crossings": edge_crossings_q,
     "polyline_crossings": polyline_crossings_q,
+    "polyline_stats": polyline_stats_q,
+    "chain_crossings": chain_crossings_q,
+    "union_areas": union_areas_q,
 }
 
 ORACLES = {
@@ -669,4 +773,7 @@ ORACLES = {
     "emb_near_dup": oracle.emb_near_dup_sql(0.4),
     "covering_cells_cons": oracle.conservative_cap_covering_sql(),
     "covering_cells": oracle.covering_cells_sql(),
+    "polyline_stats": oracle.polyline_stats_sql(),
+    "chain_crossings": oracle.chain_crossings_sql(),
+    "union_areas": oracle.union_areas_sql(),
 }

@@ -197,7 +197,8 @@ CHAIN_CROSS_SCHEMA = StructType(
 
 
 def polyline_edge_crossings(polylines: DataFrame, edges: DataFrame,
-                            max_cells: int = 16) -> DataFrame:
+                            max_cells: int = 16,
+                            index_level: int = INDEX_LEVEL) -> DataFrame:
     """Chain-crossing join: polylines vs indexed shape edges using the
     S2EdgeCrosser chain state (edge_crosser.rs:106-170 semantics via
     kernels.edge_crosser.crossing_signs_chain — each chain vertex is
@@ -229,7 +230,7 @@ def polyline_edge_crossings(polylines: DataFrame, edges: DataFrame,
     ).select(F.col("line_id").cast("long").alias("line_id"), "cell_id")
     idx = edges.withColumn(
         "_icell",
-        cell_parent(cell_id_from_xyz("v0x", "v0y", "v0z"), INDEX_LEVEL),
+        cell_parent(cell_id_from_xyz("v0x", "v0y", "v0z"), index_level),
     ).select("shape_id", "_icell").distinct()
     # overlap in id space: ancestor-or-equal either direction
     cov_anc = cov.select(

@@ -1915,3 +1915,333 @@ filtered AS (
         + "," + _normalize_chain_sql("filtered", "e")
         + f"\nSELECT union_id, cell_id FROM ek{rounds}"
     )
+
+
+# ---------------------------------------------------------------------------
+# round-3 oracles: polyline stats, chain-crossing join, union area
+# aggregates.  Same conventions as the earlier geometry oracles:
+# vertex literals embedded via repr (exact round-trip), trig compared at
+# nano/atto precision with fixture-margin guards in
+# tests/test_round3_oracles.py, exactly-rounded arithmetic (add/sub/mul/
+# div/sqrt) relied on bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _line_edge_rows(lines: dict) -> list[tuple]:
+    """(line_id_name, edge_id, n_vertices, v0xyz, v1xyz) rows with the
+    same vertex math the contract queries feed to Spark."""
+    import numpy as np
+
+    from .kernels import latlng as lk
+
+    rows = []
+    for name, pts in lines.items():
+        lat = lk.degrees_to_radians(np.array([p[0] for p in pts], np.float64))
+        lng = lk.degrees_to_radians(np.array([p[1] for p in pts], np.float64))
+        x, y, z = lk.latlng_to_xyz(lat, lng)
+        for e in range(len(pts) - 1):
+            rows.append((name, e, len(pts),
+                         float(x[e]), float(y[e]), float(z[e]),
+                         float(x[e + 1]), float(y[e + 1]), float(z[e + 1])))
+    return rows
+
+
+def polyline_stats_sql() -> str:
+    """Mirror of the polyline_stats contract query (polyline.rs:182-259
+    semantics): per line the total length (sum of per-edge
+    atan2(|v_i x v_{i+1}|, v_i . v_{i+1}) angles) and the
+    interpolate(0.5) midpoint — the cumulative-length edge walk
+    re-expressed as an ordered window sum + QUALIFY pick, the in-edge
+    slerp (polyline.rs:437-462) recomputed from the chosen edge's
+    literals.  Trig compared at nano precision (engine numpy trig vs SQL
+    trig agree to ~1 ulp); the walk's edge choice and the nano grid are
+    margin-guarded by tests/test_round3_oracles.py."""
+    from .engine_queries import PSTAT_LINES
+
+    rows = _line_edge_rows(PSTAT_LINES)
+    vals = ", ".join(
+        f"('{n}', {e}, {nv}, {x0!r}, {y0!r}, {z0!r}, {x1!r}, {y1!r}, {z1!r})"
+        for (n, e, nv, x0, y0, z0, x1, y1, z1) in rows
+    )
+    return f"""
+WITH ledges_raw(line_id, edge_id, n_vertices, x0, y0, z0, x1, y1, z1)
+  AS (VALUES {vals}),
+ledges AS (
+  SELECT line_id, edge_id, n_vertices,
+         CAST(x0 AS DOUBLE) AS x0, CAST(y0 AS DOUBLE) AS y0,
+         CAST(z0 AS DOUBLE) AS z0, CAST(x1 AS DOUBLE) AS x1,
+         CAST(y1 AS DOUBLE) AS y1, CAST(z1 AS DOUBLE) AS z1
+  FROM ledges_raw
+),
+ang AS (
+  SELECT *, atan2(sqrt(cx*cx + cy*cy + cz*cz), dd) AS a
+  FROM (
+    SELECT *,
+      (y0*z1 - z0*y1) AS cx, (z0*x1 - x0*z1) AS cy, (x0*y1 - y0*x1) AS cz,
+      (x0*x1 + y0*y1 + z0*z1) AS dd
+    FROM ledges
+  )
+),
+cum AS (
+  SELECT *,
+    SUM(a) OVER (PARTITION BY line_id ORDER BY edge_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+    COALESCE(SUM(a) OVER (PARTITION BY line_id ORDER BY edge_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS acc
+  FROM ang
+),
+tot AS (SELECT line_id, MAX(c) AS total FROM cum GROUP BY line_id),
+chosen AS (
+  SELECT cum.*, tot.total, 0.5 * tot.total AS target
+  FROM cum JOIN tot USING (line_id)
+  WHERE cum.c >= 0.5 * tot.total
+  QUALIFY row_number() OVER (PARTITION BY cum.line_id ORDER BY edge_id) = 1
+),
+slerp AS (
+  SELECT line_id, n_vertices, total,
+    CASE WHEN a = 0.0 THEN 0.0 ELSE (target - acc) / a END AS ef,
+    acos(LEAST(GREATEST(dd, -1.0), 1.0)) AS sang,
+    x0, y0, z0, x1, y1, z1
+  FROM chosen
+),
+mid AS (
+  SELECT line_id, n_vertices, total,
+    x0 * (sin((1.0 - ef) * sang) / sin(sang)) + x1 * (sin(ef * sang) / sin(sang)) AS mx,
+    y0 * (sin((1.0 - ef) * sang) / sin(sang)) + y1 * (sin(ef * sang) / sin(sang)) AS my,
+    z0 * (sin((1.0 - ef) * sang) / sin(sang)) + z1 * (sin(ef * sang) / sin(sang)) AS mz
+  FROM slerp
+)
+SELECT line_id, CAST(n_vertices AS INT) AS n_vertices,
+  CAST(round(total * 1e9, 0) AS BIGINT) AS length_nano,
+  CAST(round(mx / sqrt(mx*mx + my*my + mz*mz) * 1e9, 0) AS BIGINT) AS mid_x_nano,
+  CAST(round(my / sqrt(mx*mx + my*my + mz*mz) * 1e9, 0) AS BIGINT) AS mid_y_nano,
+  CAST(round(mz / sqrt(mx*mx + my*my + mz*mz) * 1e9, 0) AS BIGINT) AS mid_z_nano
+FROM mid
+"""
+
+
+def chain_crossings_sql() -> str:
+    """Mirror of the chain_crossings contract query: the S2EdgeCrosser
+    chain test (edge_crosser.rs:126-170 — its own plain-float
+    orientation test, NOT predicates::crossing_sign) recomputed in SQL
+    over all (shape edge) x (chain edge) pairs.  The contract fixtures
+    make every (line, shape) pair a candidate of the operator's
+    index-cell path (all lines touch face 0, every shape has a face-0
+    edge v0 — asserted by tests/test_round3_oracles.py), so the
+    all-pairs oracle matches the operator's candidate-join output
+    exactly.
+
+    Per pair: shared-vertex check (euclidean distance < 1e-15) -> 0,
+    else proper/touching straddle test on the four plane dots -> +1,
+    else -1.  All dots/crosses are exactly-rounded f64 arithmetic;
+    sign decisions are margin-guarded (no |dot product| within 1e-9 of
+    a threshold for non-shared pairs)."""
+    from .engine_queries import CHAIN_LINES, CHAIN_LOOPS
+
+    srows = _loop_edge_rows_from(CHAIN_LOOPS)
+    svals = ", ".join(
+        f"({s}, {e}, {ax!r}, {ay!r}, {az!r}, {bx!r}, {by!r}, {bz!r})"
+        for (s, e, ax, ay, az, bx, by, bz) in srows
+    )
+    lrows = _line_edge_rows(
+        {str(i): CHAIN_LINES[n] for i, n in enumerate(sorted(CHAIN_LINES))}
+    )
+    lvals = ", ".join(
+        f"({n}, {e}, {x0!r}, {y0!r}, {z0!r}, {x1!r}, {y1!r}, {z1!r})"
+        for (n, e, _nv, x0, y0, z0, x1, y1, z1) in lrows
+    )
+    eps = 1e-15
+    d2 = lambda p, q: (f"(({p[0]}-{q[0]})*({p[0]}-{q[0]})"
+                       f" + ({p[1]}-{q[1]})*({p[1]}-{q[1]})"
+                       f" + ({p[2]}-{q[2]})*({p[2]}-{q[2]}))")
+    a = ("ax", "ay", "az")
+    b = ("bx", "by", "bz")
+    c = ("x0", "y0", "z0")
+    d = ("x1", "y1", "z1")
+    shared = " OR ".join(
+        f"sqrt({d2(p, q)}) < {eps!r}" for p in (c, d) for q in (a, b)
+    )
+    return f"""
+WITH sedges_raw(shape_id, edge_id, ax, ay, az, bx, by, bz) AS (VALUES {svals}),
+cedges_raw(line_id, cedge_id, x0, y0, z0, x1, y1, z1) AS (VALUES {lvals}),
+sedges AS (
+  SELECT shape_id, edge_id,
+         CAST(ax AS DOUBLE) AS ax, CAST(ay AS DOUBLE) AS ay,
+         CAST(az AS DOUBLE) AS az, CAST(bx AS DOUBLE) AS bx,
+         CAST(by AS DOUBLE) AS by, CAST(bz AS DOUBLE) AS bz
+  FROM sedges_raw
+),
+cedges AS (
+  SELECT line_id, cedge_id,
+         CAST(x0 AS DOUBLE) AS x0, CAST(y0 AS DOUBLE) AS y0,
+         CAST(z0 AS DOUBLE) AS z0, CAST(x1 AS DOUBLE) AS x1,
+         CAST(y1 AS DOUBLE) AS y1, CAST(z1 AS DOUBLE) AS z1
+  FROM cedges_raw
+),
+dots AS (
+  SELECT shape_id, edge_id, line_id,
+    (x0*abx + y0*aby + z0*abz) AS acb,
+    (x1*abx + y1*aby + z1*abz) AS adb,
+    (cdx*ax + cdy*ay + cdz*az) AS cda,
+    (cdx*bx + cdy*by + cdz*bz) AS cdb,
+    is_shared
+  FROM (
+    SELECT s.*, l.*,
+      (ay*bz - az*by) AS abx, (az*bx - ax*bz) AS aby, (ax*by - ay*bx) AS abz,
+      (y0*z1 - z0*y1) AS cdx, (z0*x1 - x0*z1) AS cdy, (x0*y1 - y0*x1) AS cdz,
+      ({shared}) AS is_shared
+    FROM sedges s CROSS JOIN cedges l
+  )
+),
+signs AS (
+  SELECT shape_id, edge_id, line_id,
+    CASE WHEN is_shared THEN 0
+         WHEN (acb * adb < 0.0 AND cda * cdb < 0.0)
+           OR (acb * adb = 0.0 AND cda * cdb = 0.0
+               AND (acb <> 0.0 OR adb <> 0.0)
+               AND (cda <> 0.0 OR cdb <> 0.0)) THEN 1
+         ELSE -1 END AS sgn
+  FROM dots
+),
+per_edge AS (
+  SELECT line_id, shape_id, edge_id,
+    MAX(CASE WHEN sgn > 0 THEN 1 ELSE 0 END) AS crossed,
+    MAX(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS touched
+  FROM signs GROUP BY line_id, shape_id, edge_id
+)
+SELECT line_id, shape_id,
+  CAST(SUM(crossed) AS INT) AS n_crossing_edges,
+  CAST(SUM(touched) AS INT) AS n_vertex_touches
+FROM per_edge GROUP BY line_id, shape_id
+"""
+
+
+def _loop_edge_rows_from(loops: dict) -> list[tuple]:
+    """(shape_id, edge_id, v0xyz, v1xyz) for an explicit loop dict with
+    the same vertex math as operators/shape_index.py:edges_from_loops."""
+    import numpy as np
+
+    from .kernels import latlng as lk
+
+    rows = []
+    for sid, (name, pts) in enumerate(sorted(loops.items())):
+        lat = lk.degrees_to_radians(np.array([p[0] for p in pts], np.float64))
+        lng = lk.degrees_to_radians(np.array([p[1] for p in pts], np.float64))
+        x, y, z = lk.latlng_to_xyz(lat, lng)
+        n = len(pts)
+        for e in range(n):
+            ne = (e + 1) % n
+            rows.append((sid, e,
+                         float(x[e]), float(y[e]), float(z[e]),
+                         float(x[ne]), float(y[ne]), float(z[ne])))
+    return rows
+
+
+def _cell_vertex_sql(k: int) -> tuple[str, str, str]:
+    """Unnormalized vertex k of a (level >= 1) cell as SQL over columns
+    (face, s) — mirror of kernels/cells.py:_uv_vertex +
+    _cell_face_uv_to_xyz (cell.rs:374-391) with the pinned-UV-bounds
+    quirk (cell.rs:356-372): u_lo = v_lo = -1, u_hi = v_hi = s."""
+    u = "(-1.0)" if k in (0, 3) else "s"
+    v = "(-1.0)" if k in (0, 1) else "s"
+    tbl = {
+        0: ("1.0", u, v),
+        1: (f"(-({u}))", "1.0", v),
+        2: (f"(-({u}))", f"(-({v}))", "1.0"),
+        3: ("(-1.0)", f"(-({v}))", f"(-({u}))"),
+        4: (v, "(-1.0)", f"(-({u}))"),
+        5: (v, u, "(-1.0)"),
+    }
+    out = []
+    for comp in range(3):
+        cases = " ".join(f"WHEN {f} THEN {tbl[f][comp]}" for f in range(6))
+        out.append(f"(CASE face {cases} END)")
+    return tuple(out)
+
+
+def union_areas_sql(table: str = "customer", key: str = "c_custkey") -> str:
+    """Mirror of the union_areas contract query (cell_union.rs:480-501
+    area aggregates over the mixed-level union fixtures):
+
+    - average_area = average_area_at_level(30) * leaf_cells_covered —
+      trig-free, bit-exact both sides;
+    - approx_area: with the pinned-UV-bounds quirk the per-cell
+      approximation (cell.rs:242-248) reduces EXACTLY (power-of-two
+      scalings only) to average_area_at_level(level) — also bit-exact;
+    - exact_area: avg-edge-squared (cell.rs:253-262,441-455) from the
+      four normalized cell vertices, which under the pinned bounds are
+      closed forms of (face, level) alone — SQL trig, atto precision.
+
+    Per-union sums run in sorted-unsigned (normalized) cell order on
+    both sides: the engine's Python fold iterates np.sort(view(u64)),
+    the SQL uses list_sum(list(x ORDER BY u64)) which DuckDB evaluates
+    sequentially — so the trig-free sums match bit-for-bit and the trig
+    sum differs only by per-term ~1 ulp (atto grid + margin guards)."""
+    import math
+
+    cte = hilbert_leaf_cte(derived_points_sql(table, key))
+    pi = repr(math.pi)
+    v = [_cell_vertex_sql(k) for k in range(4)]
+    norm_cols = []
+    for k in range(4):
+        vx, vy, vz = f"v{k}x", f"v{k}y", f"v{k}z"
+        ln = f"sqrt({vx}*{vx} + {vy}*{vy} + {vz}*{vz})"
+        norm_cols.append(
+            f"{vx} / {ln} AS n{k}x, {vy} / {ln} AS n{k}y, {vz} / {ln} AS n{k}z"
+        )
+    terms = []
+    for i in range(4):
+        j = (i + 1) % 4
+        ax, ay, az = f"n{i}x", f"n{i}y", f"n{i}z"
+        bx, by, bz = f"n{j}x", f"n{j}y", f"n{j}z"
+        cx = f"({ay}*{bz} - {az}*{by})"
+        cy = f"({az}*{bx} - {ax}*{bz})"
+        cz = f"({ax}*{by} - {ay}*{bx})"
+        dot = f"({ax}*{bx} + {ay}*{by} + {az}*{bz})"
+        terms.append(f"atan2(sqrt({cx}*{cx} + {cy}*{cy} + {cz}*{cz}), {dot})")
+    total = " + ".join(terms)
+    return cte + f"""
+, members AS (
+  SELECT point_id % 10 AS union_id,
+         point_id % 21 + 10 AS lv,
+         cell_id
+  FROM leaf
+), promoted AS (
+  SELECT union_id,
+         (cell_id & -CAST(power(4, 30 - lv) AS BIGINT))
+           | CAST(power(4, 30 - lv) AS BIGINT) AS cell_id,
+         lv
+  FROM members
+), dedup AS (
+  SELECT DISTINCT union_id, cell_id, lv FROM promoted
+), geo AS (
+  SELECT union_id, lv,
+         CAST({_as_u64('cell_id')} >> 61 AS BIGINT) AS face,
+         {_as_u64('cell_id')} AS ucell,
+         (-1.0 + 2.0 / power(2.0, lv)) AS s
+  FROM dedup
+), verts AS (
+  SELECT union_id, lv, ucell,
+         {', '.join(f"{v[k][comp_i]} AS v{k}{comp}"
+                    for k in range(4)
+                    for comp_i, comp in enumerate('xyz'))}
+  FROM geo
+), nverts AS (
+  SELECT union_id, lv, ucell, {', '.join(norm_cols)} FROM verts
+), percell AS (
+  SELECT union_id, ucell,
+         CAST(power(4, 30 - lv) AS BIGINT) AS leaves,
+         ((2.0 * {pi}) / 3.0) / power(4.0, lv) AS avg_area,
+         (({total}) / 4.0) * (({total}) / 4.0) AS exact_area
+  FROM nverts
+)
+SELECT union_id,
+  CAST(count(*) AS INT) AS n_cells,
+  CAST(round(((2.0 * {pi}) / 3.0) / power(4.0, 30)
+             * CAST(SUM(leaves) AS DOUBLE) * 1e18, 0) AS BIGINT) AS average_atto,
+  CAST(round(list_sum(list(avg_area ORDER BY ucell)) * 1e18, 0) AS BIGINT)
+    AS approx_atto,
+  CAST(round(list_sum(list(exact_area ORDER BY ucell)) * 1e18, 0) AS BIGINT)
+    AS exact_atto
+FROM percell GROUP BY union_id
+"""
