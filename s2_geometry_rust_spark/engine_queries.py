@@ -383,6 +383,17 @@ def near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dedup_minhash(docs, threshold=0.5, n_bands=32)
 
 
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment over the documents table: minhash-LSH
+    near-dup pairs -> alternating-star connected components -> every doc
+    labeled (cluster_id = min doc_id reachable, cluster_size).  Oracle
+    re-derives components as a recursive reachability closure in SQL."""
+    from .operators.dedup import duplicate_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_clusters(docs, threshold=0.5, n_bands=32)
+
+
 def tile_counts_salted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof tile counts over the largest driver table (lineitem)
     via the explicit two-stage salted aggregation (plans/salting.py:
@@ -725,6 +736,7 @@ QUERIES = {
     "point_in_region": point_in_region_q,
     "knn_cell_ring": knn_cell_ring_q,
     "near_dup_pairs": near_dup_pairs_q,
+    "dedup_clusters": dedup_clusters_q,
     "ann_cosine": ann_cosine_q,
     "ann_ivf": ann_ivf_q,
     "emb_near_dup": emb_near_dup_q,
@@ -762,6 +774,7 @@ ORACLES = {
     "fingerprints": oracle.fingerprints_sql(),
     "simhash": oracle.simhash_sql(),
     "near_dup_pairs": oracle.near_dup_pairs_sql(),
+    "dedup_clusters": oracle.dedup_clusters_sql(),
     "knn_cell_ring": oracle.knn_cell_ring_sql(),
     "ann_cosine": oracle.ann_cosine_sql(),
     "ann_ivf": oracle.ann_ivf_sql(),

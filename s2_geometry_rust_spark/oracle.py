@@ -506,6 +506,41 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold!r}
 """
 
 
+def dedup_clusters_sql(threshold: float = 0.5, n_perm: int = 128,
+                       n_bands: int = 32) -> str:
+    """Duplicate clustering oracle (mirror of dedup.py:
+    duplicate_clusters): the near-dup pair pipeline, then connected
+    components as a recursive reachability closure — every doc labeled
+    with the minimum doc_id reachable through verified near-dup pairs
+    (itself when isolated), plus the cluster size.  The engine computes
+    the same components with alternating large-star/small-star; both
+    must agree exactly because 'min node id reachable' is
+    algorithm-independent."""
+    return f"""
+WITH RECURSIVE pairs AS ({near_dup_pairs_sql(threshold, n_perm, n_bands)}),
+edges(eu, ev) AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT eu, eu FROM edges
+  UNION
+  SELECT r.node, e.ev FROM reach r JOIN edges e ON e.eu = r.lbl
+),
+comp AS (
+  SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
+),
+assigned AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM assigned
+"""
+
+
 # ---------------------------------------------------------------------------
 # kNN oracles
 # ---------------------------------------------------------------------------
