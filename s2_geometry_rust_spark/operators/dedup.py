@@ -120,24 +120,81 @@ def _word_hash(w: str) -> int:
     return h
 
 
+def _fnv1a_batch(words: list[str]) -> np.ndarray:
+    """Vectorized FNV-1a over many words at once: one numpy pass per
+    BYTE COLUMN of the padded byte matrix (loop length = longest word,
+    not total byte count).  Bit-identical to _fnv1a_bytes per word."""
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    bs = [w.encode("utf-8") for w in words]
+    lens = np.fromiter((len(b) for b in bs), np.int64, count=len(bs))
+    maxlen = int(lens.max()) if len(lens) else 0
+    allb = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    idx = np.minimum(
+        starts[:, None] + np.arange(max(maxlen, 1))[None, :],
+        max(len(allb) - 1, 0),
+    )
+    mat = (
+        allb[idx].astype(np.uint64)
+        if len(allb)
+        else np.zeros((len(bs), 1), dtype=np.uint64)
+    )
+    h = np.full(len(bs), np.uint64(1469598103934665603))
+    prime = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            active = lens > j
+            h[active] = (h[active] ^ mat[active, j]) * prime
+    return h
+
+
+def _hash_words_batch(docs_words: list[list[str]]) -> list[np.ndarray]:
+    """Per-doc uint64 FNV-1a word-hash arrays, vectorized across the
+    whole Arrow batch: factorize the flattened word stream (one C pass),
+    hash only the batch's UNIQUE words (cache + vectorized FNV for
+    misses), then gather.  Values identical to per-word _word_hash."""
+    flat = [w for ws in docs_words for w in ws]
+    if not flat:
+        return [np.empty(0, dtype=np.uint64) for _ in docs_words]
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    if len(_WORD_HASH_CACHE) > 1_000_000:
+        _WORD_HASH_CACHE.clear()
+    miss = [i for i, w in enumerate(uniques) if w not in _WORD_HASH_CACHE]
+    if miss:
+        hs = _fnv1a_batch([uniques[i] for i in miss])
+        for i, h in zip(miss, hs.tolist()):
+            _WORD_HASH_CACHE[uniques[i]] = h
+    uh = np.fromiter(
+        (_WORD_HASH_CACHE[w] for w in uniques),
+        dtype=np.uint64,
+        count=len(uniques),
+    )
+    flat_h = uh[codes]
+    out, pos = [], 0
+    for ws in docs_words:
+        out.append(flat_h[pos: pos + len(ws)])
+        pos += len(ws)
+    return out
+
+
 _SHINGLE_P = np.uint64(0x100000001B3)
 
 
 def _stable_shingle_hashes(texts: pd.Series, k: int) -> list[np.ndarray]:
-    """Process-stable shingle hashes: cached FNV-1a per unique word,
-    then a vectorized k-word rolling polynomial combine per doc — no
-    per-shingle Python, determinism unchanged across executors."""
+    """Process-stable shingle hashes: batch-vectorized FNV-1a per unique
+    word, then a vectorized k-word rolling polynomial combine per doc —
+    no per-shingle (or per-word) Python, determinism unchanged across
+    executors."""
+    docs_words = [s.split() for s in texts.astype(str)]
+    hashed = _hash_words_batch(docs_words)
     out = []
     with np.errstate(over="ignore"):
-        for s in texts.astype(str):
-            words = s.split()
-            if not words:
+        for ids in hashed:
+            n = len(ids)
+            if n == 0:
                 out.append(np.empty(0, dtype=np.uint64))
                 continue
-            ids = np.fromiter(
-                (_word_hash(w) for w in words), dtype=np.uint64, count=len(words)
-            )
-            n = len(ids)
             kk = min(k, n)
             acc = ids[: n - kk + 1].copy()
             for j in range(1, kk):
@@ -379,24 +436,28 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bitcols = np.arange(64, dtype=np.uint64)
         for b in batches:
+            docs_words = [s.split() for s in b[text_col].astype(str)]
+            hashed = _hash_words_batch(docs_words)
+            lens = np.fromiter(
+                (len(h) for h in hashed), np.int64, count=len(hashed)
+            )
             out = np.zeros(len(b), dtype=np.uint64)
-            with np.errstate(over="ignore"):
-                for r, s in enumerate(b[text_col].astype(str)):
-                    words = s.split()
-                    if not words:
-                        continue
-                    hs = np.fromiter(
-                        (_word_hash(w) for w in words),
-                        dtype=np.uint64,
-                        count=len(words),
-                    )
-                    bits = (hs[:, None] >> bitcols[None, :]) & np.uint64(1)
-                    # signed: a uint64 vote count would wrap negative
-                    # margins to huge positives and set every bit
-                    votes = bits.sum(axis=0).astype(np.int64) * 2 - len(words)
-                    out[r] = np.sum(
-                        (votes > 0).astype(np.uint64) << bitcols
-                    )
+            nonempty = np.nonzero(lens > 0)[0]
+            if len(nonempty):
+                flat = np.concatenate([hashed[i] for i in nonempty])
+                # (total_words, 64) bit matrix, summed per doc in one
+                # reduceat — no per-doc Python
+                bits = (flat[:, None] >> bitcols[None, :]) & np.uint64(1)
+                offs = np.concatenate(
+                    ([0], np.cumsum(lens[nonempty])[:-1])
+                )
+                sums = np.add.reduceat(bits.astype(np.int64), offs, axis=0)
+                # signed: a uint64 vote count would wrap negative
+                # margins to huge positives and set every bit
+                votes = sums * 2 - lens[nonempty][:, None]
+                out[nonempty] = (
+                    ((votes > 0).astype(np.uint64) << bitcols[None, :])
+                ).sum(axis=1)
             yield pd.DataFrame(
                 {"doc_id": b[id_col].to_numpy(np.int64), "simhash": out.view(np.int64)}
             )
