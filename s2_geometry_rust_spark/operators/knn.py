@@ -198,7 +198,11 @@ def knn_cell_ring(queries: DataFrame, candidates: DataFrame, k: int,
         ),
     )
 
-    # 3. single candidate join at each query's chosen level
+    # 3. single candidate join at each query's chosen level.
+    # chosen is consumed twice (distinct-level probe + final join) —
+    # persist so the density pass and level-choice join run once, not
+    # twice (measured: the probe re-executed the whole upstream chain)
+    chosen = chosen.persist()
     distinct_lv = [r["lv"] for r in chosen.select("lv").distinct().collect()]
     c_exp = c.select(
         "*",
