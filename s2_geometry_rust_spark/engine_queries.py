@@ -394,6 +394,17 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(docs, threshold=0.5, n_bands=32)
 
 
+def corpus_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus materialization: quality gate +
+    language gate + exact-dup keeper + near-dup cluster keeper
+    (operators/corpus.py) — the composition query a real data pipeline
+    runs; oracled by composing the proven sub-oracles."""
+    from .operators.corpus import build_training_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return build_training_corpus(docs, quality_min=0.5, langs=("en",))
+
+
 def tile_counts_salted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof tile counts over the largest driver table (lineitem)
     via the explicit two-stage salted aggregation (plans/salting.py:
@@ -737,6 +748,7 @@ QUERIES = {
     "knn_cell_ring": knn_cell_ring_q,
     "near_dup_pairs": near_dup_pairs_q,
     "dedup_clusters": dedup_clusters_q,
+    "corpus_filter": corpus_filter_q,
     "ann_cosine": ann_cosine_q,
     "ann_ivf": ann_ivf_q,
     "emb_near_dup": emb_near_dup_q,
@@ -775,6 +787,7 @@ ORACLES = {
     "simhash": oracle.simhash_sql(),
     "near_dup_pairs": oracle.near_dup_pairs_sql(),
     "dedup_clusters": oracle.dedup_clusters_sql(),
+    "corpus_filter": oracle.corpus_filter_sql(),
     "knn_cell_ring": oracle.knn_cell_ring_sql(),
     "ann_cosine": oracle.ann_cosine_sql(),
     "ann_ivf": oracle.ann_ivf_sql(),

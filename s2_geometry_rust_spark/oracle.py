@@ -541,6 +541,31 @@ FROM assigned
 """
 
 
+def corpus_filter_sql(quality_min: float = 0.5, lang: str = "en",
+                      threshold: float = 0.5, n_perm: int = 128,
+                      n_bands: int = 32) -> str:
+    """Training-corpus materialization oracle (mirror of
+    corpus.build_training_corpus): composes the individually-proven
+    sub-oracles — quality scoring, language ID, md5 exact-keeper, and
+    the recursive-closure duplicate clusters — into the same four-gate
+    filter chain."""
+    return f"""
+WITH q AS ({text_quality_sql()}),
+l AS ({lang_id_sql()}),
+k AS (
+  SELECT md5(text) AS m, min(doc_id) AS keep FROM documents GROUP BY 1
+),
+cl AS ({dedup_clusters_sql(threshold, n_perm, n_bands)})
+SELECT d.doc_id, q.n_tokens, q.quality_score, l.lang_pred
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+JOIN l ON l.doc_id = d.doc_id
+JOIN k ON md5(d.text) = k.m AND d.doc_id = k.keep
+JOIN cl ON cl.doc_id = d.doc_id AND cl.cluster_id = d.doc_id
+WHERE q.quality_score >= {quality_min!r} AND l.lang_pred = '{lang}'
+"""
+
+
 # ---------------------------------------------------------------------------
 # kNN oracles
 # ---------------------------------------------------------------------------

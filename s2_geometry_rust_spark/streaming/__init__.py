@@ -1,5 +1,9 @@
 """Structured Streaming operators: incremental tiling over a document
 stream."""
 
+from .dedup import (  # noqa: F401
+    streaming_exact_dedup,
+    streaming_simhash_dedup,
+)
 from .stateful import stateful_tile_counts  # noqa: F401
 from .tiles import streaming_tile_counts  # noqa: F401
