@@ -138,6 +138,7 @@ def main() -> None:
         "point_in_rect", "distance_join_chord", "knn_brute", "dedup_exact",
         "token_counts", "text_quality", "lang_id", "doc_embedding_join",
         "point_in_region", "knn_cell_ring", "near_dup_pairs", "ann_cosine",
+        "dedup_clusters", "corpus_filter",
     ]
     # steady-state protocol: min of 2 runs per query — the first run pays
     # one-time per-query costs (whole-stage-codegen JIT, Arrow worker
