@@ -90,3 +90,57 @@ def test_interleave_flat_documents_from_testdata(spark, sf_dir):
     pts = extract_geo_points(docs)
     assert pts.count() == n
     assert verify_span_sequence(docs, docs.select("doc_id", "spans")) == 0
+
+
+def test_arrow_builder_matches_reference_spans():
+    """_synth_arrow_batch (production Arrow-buffer source) must be
+    element-for-element identical to the reference Python span builder,
+    including big ids whose doc-id grows past 8 digits."""
+    import numpy as np
+
+    from s2_geometry_rust_spark.sources.interleaved import (
+        _spans_for_batch,
+        _synth_arrow_batch,
+    )
+
+    ids = np.concatenate(
+        [
+            np.arange(0, 3000, dtype=np.int64),
+            np.array(
+                [10**8 - 1, 10**8, 10**9, 10**10, 123456789012],
+                dtype=np.int64,
+            ),
+        ]
+    )
+    rb = _synth_arrow_batch(ids, 42)
+    want = _spans_for_batch(ids, 42)
+    got = rb.to_pylist()
+    assert len(got) == len(want)
+    for r, row in enumerate(got):
+        assert row["doc_id"] == f"doc-{ids[r]:08d}"
+        exp = [
+            {"kind": str(k), "text": str(t), "media_ref": str(m),
+             "offset": int(o)}
+            for k, t, m, o in want[r]
+        ]
+        assert row["spans"] == exp
+
+
+def test_interleave_flat_arrow_builder_spans(spark):
+    """interleave_flat_documents' Arrow path: spans mirror the
+    documented layout (text@0, geo@max(len,1), media@+len(geo))."""
+    rows = [(7, "hello world"), (8, ""), (123456789, "x")]
+    flat = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["spans"]
+        for r in interleave_flat_documents(flat, with_media=True).collect()
+    }
+    s7 = out["doc-00000007"]
+    assert [x["kind"] for x in s7] == ["text", "geo", "media"]
+    assert s7[0]["text"] == "hello world" and s7[0]["offset"] == 0
+    assert s7[1]["text"].startswith("POINT(") and s7[1]["offset"] == 11
+    assert s7[2]["media_ref"] == f"media://{7:010x}"
+    assert s7[2]["offset"] == 11 + len(s7[1]["text"])
+    s8 = out["doc-00000008"]
+    assert s8[1]["offset"] == 1  # max(len(''), 1)
+    assert "doc-123456789" in out  # 9-digit id formats like %08d
