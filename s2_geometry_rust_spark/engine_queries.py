@@ -718,6 +718,39 @@ def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals — zero-shuffle per-row
+    array math (see text.with_repetition_stats)."""
+    from .operators.text import with_repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_repetition_stats(docs).select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "top_token_count",
+        "repetition_nano", "top_token_frac_nano",
+    )
+
+
+def session_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization rollup — one shuffle on user_id, two
+    codegen window passes (see events.session_stats)."""
+    from .operators.events import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev)
+
+
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language quota sample in md5(doc_id) order —
+    reproducible across runs and cluster sizes (see
+    sampling.stratified_sample)."""
+    from .operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(docs, ["lang"], 50).select(
+        "doc_id", "lang", "sample_rank"
+    )
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -759,6 +792,9 @@ QUERIES = {
     "polyline_stats": polyline_stats_q,
     "chain_crossings": chain_crossings_q,
     "union_areas": union_areas_q,
+    "repetition_stats": repetition_stats_q,
+    "session_stats": session_stats_q,
+    "stratified_sample": stratified_sample_q,
 }
 
 ORACLES = {
@@ -802,4 +838,7 @@ ORACLES = {
     "polyline_stats": oracle.polyline_stats_sql(),
     "chain_crossings": oracle.chain_crossings_sql(),
     "union_areas": oracle.union_areas_sql(),
+    "repetition_stats": oracle.repetition_stats_sql(),
+    "session_stats": oracle.session_stats_sql(),
+    "stratified_sample": oracle.stratified_sample_sql(),
 }

@@ -1,0 +1,65 @@
+"""Event-stream batch operators over the events table.
+
+Engine additions for the training-data pipeline (no s2-geometry-rust
+counterpart — the reference has no event/temporal layer): gap-based
+sessionization, the batch twin of what a Structured Streaming
+session-window (``F.session_window``) computes incrementally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# 10-minute inactivity gap, in microseconds (ts has microsecond
+# precision; comparing in integer micros keeps the oracle exact).
+DEFAULT_GAP_US = 10 * 60 * 1_000_000
+
+
+def sessionize(events: DataFrame, gap_us: int = DEFAULT_GAP_US,
+               user_col: str = "user_id", ts_col: str = "ts",
+               tiebreak_col: str = "event_id") -> DataFrame:
+    """Assign every event a per-user session index: a new session starts
+    when the gap to the previous event exceeds ``gap_us``.
+
+    Scale shape: ONE shuffle (hash partition by user), then two window
+    passes over each user's sorted events — lag + running sum, both
+    whole-stage codegen.  Session counts per user are bounded, so no
+    skew beyond the user-activity distribution itself (a hot user is
+    still a single partition's worth of rows, not a join blowup).
+
+    Output: events + ``session_idx`` (1-based per user).
+
+    Timestamps are TIMESTAMP_NTZ; the gap test uses interval
+    arithmetic on the naive values (never epoch conversion), so the
+    result is independent of the session time zone.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    gap = F.expr(f"INTERVAL '{gap_us / 1_000_000!r}' SECOND")
+    new_s = F.when(
+        prev.isNull() | (F.col(ts_col) - prev > gap),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return events.withColumn(
+        "session_idx",
+        F.sum(new_s).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def session_stats(events: DataFrame, gap_us: int = DEFAULT_GAP_US) -> DataFrame:
+    """Per-session rollup: event count, span bounds (micros), integer
+    cent sum (order-independent aggregates only, so the DuckDB oracle
+    hash-matches exactly — same protocol as events_hourly)."""
+    s = sessionize(events, gap_us=gap_us)
+    return (
+        s.withColumn("cents", F.round(F.col("value") * 100, 0).cast("long"))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )

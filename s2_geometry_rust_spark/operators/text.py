@@ -127,6 +127,57 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(id_col, text_col).mapInPandas(fp, _FP_SCHEMA)
 
 
+def with_repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (engine addition — no
+    reference counterpart; standard training-corpus filters): per-doc
+    token count, distinct-token count, repetition ratio
+    (1 - distinct/total) and most-common-token fraction.
+
+    Scale shape: zero shuffle — everything is per-row array math in
+    whole-stage codegen.  The mode count is a linear scan over the
+    sorted token array via ``F.aggregate`` (longest equal run), NOT an
+    explode + groupBy(doc, word), which would shuffle ~n_tokens rows
+    per document at 100 TB for a purely row-local statistic.
+
+    Ratios are emitted nano-scaled (round(r*1e9) as long) so the DuckDB
+    oracle comparison is exact under hash compare.
+    """
+    t = F.col(text_col)
+    toks = F.filter(F.split(F.lower(t), r"\s+"), lambda x: x != "")
+    n_tokens = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    srt = F.array_sort(toks)
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(a, w):
+        run = F.when(w == a["prev"], a["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            w.alias("prev"), run.alias("run"),
+            F.greatest(a["best"], run).alias("best"),
+        )
+
+    top_n = F.aggregate(srt, acc0, step, lambda a: a["best"])
+
+    def nano_ratio(num, den):
+        return F.when(
+            den > 0, F.round(num.cast("double") / den.cast("double") * 1e9, 0)
+        ).otherwise(F.lit(0.0)).cast("long")
+
+    return (
+        docs.withColumn("n_tokens", n_tokens)
+        .withColumn("n_distinct_tokens", n_distinct)
+        .withColumn("top_token_count", top_n)
+        .withColumn(
+            "repetition_nano", nano_ratio(n_tokens - n_distinct, n_tokens)
+        )
+        .withColumn("top_token_frac_nano", nano_ratio(top_n, n_tokens))
+    )
+
+
 # GPT-2-style pre-tokenizer pattern, restricted to RE2-compatible
 # constructs (no lookahead) so the same pattern runs in Java regex
 # (Spark codegen) and RE2 (DuckDB oracle) with identical leftmost-first

@@ -2305,3 +2305,89 @@ SELECT union_id,
     AS exact_atto
 FROM percell GROUP BY union_id
 """
+
+
+# ---------------------------------------------------------------------------
+# training-pipeline additions (engine-only ops, no reference counterpart):
+# repetition quality, sessionization, deterministic stratified sampling.
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats_sql() -> str:
+    """Mirror of text.with_repetition_stats.  The engine computes the
+    mode count with a zero-shuffle sorted-array scan; the oracle is free
+    to use the straightforward unnest + GROUP BY formulation."""
+    return r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id, unnest(toks) AS tok FROM t
+), c AS (
+  SELECT doc_id, tok, count(*) AS n FROM w GROUP BY doc_id, tok
+), a AS (
+  SELECT doc_id,
+         CAST(SUM(n) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+         CAST(MAX(n) AS BIGINT) AS top_token_count
+  FROM c GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.n_distinct_tokens, 0) AS n_distinct_tokens,
+       COALESCE(a.top_token_count, 0) AS top_token_count,
+       CASE WHEN COALESCE(a.n_tokens, 0) > 0
+            THEN CAST(round((a.n_tokens - a.n_distinct_tokens)::DOUBLE
+                            / a.n_tokens * 1e9, 0) AS BIGINT)
+            ELSE 0 END AS repetition_nano,
+       CASE WHEN COALESCE(a.n_tokens, 0) > 0
+            THEN CAST(round(a.top_token_count::DOUBLE
+                            / a.n_tokens * 1e9, 0) AS BIGINT)
+            ELSE 0 END AS top_token_frac_nano
+FROM documents d LEFT JOIN a USING (doc_id)
+"""
+
+
+def session_stats_sql(gap_us: int = 600_000_000) -> str:
+    """Mirror of events.session_stats: 10-min-gap sessionization with
+    order-independent rollups (integer micros + cent sums)."""
+    return f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL {gap_us} MICROSECOND
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_idx
+  FROM e
+)
+SELECT user_id, session_idx,
+       count(*) AS n_events,
+       MIN(ts) AS start_ts,
+       MAX(ts) AS end_ts,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def stratified_sample_sql(quota: int = 50) -> str:
+    """Mirror of sampling.stratified_sample over (documents, lang):
+    md5 of the decimal doc_id renders identically in Spark and DuckDB
+    (lowercase hex), so the per-stratum order is bit-identical."""
+    return f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+             PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS INT) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= {quota}
+"""

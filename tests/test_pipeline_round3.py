@@ -1,0 +1,144 @@
+"""Round-2 late additions: repetition stats, sessionization,
+deterministic sampling — semantic ground truth computed independently
+in pandas/python (the DuckDB oracle covers the SQL-parity side)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_repetition_stats_matches_python(spark):
+    from s2_geometry_rust_spark.operators.text import with_repetition_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(100)
+    got = (
+        with_repetition_stats(docs)
+        .select("doc_id", "text", "n_tokens", "n_distinct_tokens",
+                "top_token_count", "repetition_nano", "top_token_frac_nano")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for doc_id, row in got.iterrows():
+        toks = [t for t in row["text"].lower().split() if t]
+        c = Counter(toks)
+        assert row["n_tokens"] == len(toks)
+        assert row["n_distinct_tokens"] == len(c)
+        top = max(c.values()) if c else 0
+        assert row["top_token_count"] == top
+        if toks:
+            assert row["repetition_nano"] == round(
+                (len(toks) - len(c)) / len(toks) * 1e9
+            )
+            assert row["top_token_frac_nano"] == round(top / len(toks) * 1e9)
+        else:
+            assert row["repetition_nano"] == 0
+
+
+def test_repetition_stats_edge_cases(spark):
+    from s2_geometry_rust_spark.operators.text import with_repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a a a a"), (4, "A a b"), (5, "x")],
+        ["doc_id", "text"],
+    )
+    got = (
+        with_repetition_stats(df).toPandas().set_index("doc_id").sort_index()
+    )
+    assert got.loc[1, "n_tokens"] == 0 and got.loc[1, "repetition_nano"] == 0
+    assert got.loc[2, "n_tokens"] == 0
+    assert got.loc[3, "top_token_count"] == 4
+    assert got.loc[3, "top_token_frac_nano"] == 1_000_000_000
+    assert got.loc[3, "repetition_nano"] == 750_000_000
+    # lowercased: "A a b" -> a twice
+    assert got.loc[4, "n_distinct_tokens"] == 2
+    assert got.loc[4, "top_token_count"] == 2
+    assert got.loc[5, "repetition_nano"] == 0
+
+
+def test_sessionize_gap_semantics(spark):
+    from s2_geometry_rust_spark.operators.events import sessionize
+
+    rows = [
+        # user 1: events at 0s, 5m, 5m+10m (boundary: exactly 10m gap
+        # stays in-session), then +10m1us starts a new session
+        (1, 1, "2024-01-01 00:00:00"),
+        (1, 2, "2024-01-01 00:05:00"),
+        (1, 3, "2024-01-01 00:15:00"),
+        (1, 4, "2024-01-01 00:25:00.000001"),
+        # user 2: single event
+        (2, 5, "2024-01-01 12:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["user_id", "event_id", "ts_str"]
+    ).withColumn("ts", F.col("ts_str").cast("timestamp_ntz"))
+    got = (
+        sessionize(ev)
+        .select("event_id", "session_idx")
+        .toPandas()
+        .set_index("event_id")["session_idx"]
+    )
+    assert got[1] == 1 and got[2] == 1
+    assert got[3] == 1  # exactly-10m gap is NOT > gap
+    assert got[4] == 2  # 10m + 1us starts session 2
+    assert got[5] == 1
+
+
+def test_session_stats_covers_all_events(spark):
+    from s2_geometry_rust_spark.operators.events import session_stats
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n = ev.count()
+    s = session_stats(ev).toPandas()
+    assert s["n_events"].sum() == n
+    # session spans never overlap per user and are ordered by index
+    for _, g in s.groupby("user_id"):
+        g = g.sort_values("session_idx")
+        assert list(g["session_idx"]) == list(range(1, len(g) + 1))
+        ends = g["end_ts"].tolist()
+        starts = g["start_ts"].tolist()
+        for i in range(1, len(g)):
+            # gap between consecutive sessions must exceed 10 minutes
+            assert (starts[i] - ends[i - 1]) > pd.Timedelta(minutes=10)
+        assert all(a <= b for a, b in zip(starts, ends))
+
+
+def test_stratified_sample_deterministic_and_uniform(spark):
+    from s2_geometry_rust_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = stratified_sample(docs, ["lang"], 10).select(
+        "doc_id", "lang", "sample_rank"
+    ).toPandas().sort_values(["lang", "sample_rank"]).reset_index(drop=True)
+    # repartitioning must not change the sample (determinism across
+    # cluster layouts)
+    b = stratified_sample(docs.repartition(13), ["lang"], 10).select(
+        "doc_id", "lang", "sample_rank"
+    ).toPandas().sort_values(["lang", "sample_rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    per = a.groupby("lang").size()
+    avail = docs.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    for lang, n in per.items():
+        assert n == min(10, int(avail[lang]))
+
+
+def test_bernoulli_sample_rate_and_determinism(spark):
+    from s2_geometry_rust_spark.operators.sampling import bernoulli_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    kept = bernoulli_sample(docs, 200_000)  # 20%
+    ids_a = {r[0] for r in kept.select("doc_id").collect()}
+    ids_b = {
+        r[0]
+        for r in bernoulli_sample(docs.repartition(7), 200_000)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids_a == ids_b
+    n = docs.count()
+    assert 0.15 * n <= len(ids_a) <= 0.25 * n
