@@ -65,3 +65,45 @@ def crossing_signs_chain(a: np.ndarray, b: np.ndarray,
 def chain_has_crossing(a: np.ndarray, b: np.ndarray,
                        chain: np.ndarray) -> bool:
     return bool(np.any(crossing_signs_chain(a, b, chain) > 0))
+
+
+def crossing_signs_chain_batch(a: np.ndarray, b: np.ndarray,
+                               chain: np.ndarray) -> np.ndarray:
+    """Batched variant: m query edges vs one chain in a single numpy
+    pass — (m, n-1) signs, row i identical to
+    crossing_signs_chain(a[i], b[i], chain).
+
+    a, b: (m,3) edge endpoints; chain: (n,3) vertices.  Memory is
+    O(m*n); callers batch per (line, shape) group where both factors
+    are bounded by per-shape edge counts, not table size.
+    """
+    a = np.asarray(a, np.float64).reshape(-1, 3)
+    b = np.asarray(b, np.float64).reshape(-1, 3)
+    chain = np.asarray(chain, np.float64).reshape(-1, 3)
+    c = chain[:-1]  # (n-1, 3)
+    d = chain[1:]
+
+    def _shares(p):  # (m, n-1) — p within 1e-15 of a or b
+        da = np.linalg.norm(p[None, :, :] - a[:, None, :], axis=2)
+        db = np.linalg.norm(p[None, :, :] - b[:, None, :], axis=2)
+        return (da < _SHARE_EPS) | (db < _SHARE_EPS)
+
+    shared = _shares(c) | _shares(d)
+
+    ab = np.cross(a, b)          # (m, 3)
+    acb = ab @ c.T               # (m, n-1)
+    adb = ab @ d.T
+    cd = np.cross(c, d)          # (n-1, 3)
+    cda = a @ cd.T               # (m, n-1)
+    cdb = b @ cd.T
+
+    proper = (acb * adb < 0.0) & (cda * cdb < 0.0)
+    touching = (
+        (acb * adb == 0.0)
+        & (cda * cdb == 0.0)
+        & ((acb != 0.0) | (adb != 0.0))
+        & ((cda != 0.0) | (cdb != 0.0))
+    )
+    out = np.where(proper | touching, 1, -1).astype(np.int32)
+    out[shared] = 0
+    return out

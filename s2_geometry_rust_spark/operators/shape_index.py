@@ -269,16 +269,13 @@ def polyline_edge_crossings(polylines: DataFrame, edges: DataFrame,
         n_cross = 0
         n_touch = 0
         if len(chain) >= 2:
-            for _, e in pdf.iterrows():
-                signs = ec.crossing_signs_chain(
-                    np.array([e["v0x"], e["v0y"], e["v0z"]]),
-                    np.array([e["v1x"], e["v1y"], e["v1z"]]),
-                    chain,
-                )
-                if np.any(signs > 0):
-                    n_cross += 1
-                if np.any(signs == 0):
-                    n_touch += 1
+            # one batched (m_edges x chain) kernel call per group —
+            # no per-edge Python loop
+            v0 = pdf[["v0x", "v0y", "v0z"]].to_numpy(np.float64)
+            v1 = pdf[["v1x", "v1y", "v1z"]].to_numpy(np.float64)
+            signs = ec.crossing_signs_chain_batch(v0, v1, chain)
+            n_cross = int(np.count_nonzero((signs > 0).any(axis=1)))
+            n_touch = int(np.count_nonzero((signs == 0).any(axis=1)))
         return pd.DataFrame(
             {
                 "line_id": [line_id],

@@ -45,3 +45,25 @@ def test_chain_sequence():
 def test_chain_no_crossings():
     chain = np.array([_n(0, 0, 1), _n(0.1, 0.1, 1), _n(0.2, 0.1, 1)])
     assert not chain_has_crossing(A, B, chain)
+
+
+def test_batch_matches_scalar_chain():
+    from s2_geometry_rust_spark.kernels.edge_crosser import (
+        crossing_signs_chain_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    pts = rng.normal(size=(40, 3))
+    pts /= np.linalg.norm(pts, axis=1)[:, None]
+    chain = pts[:9]
+    a = pts[9:24]
+    b = pts[24:39]
+    # plant exact shared vertices to hit the 0 branch
+    a[0] = chain[2]
+    b[1] = chain[5]
+    got = crossing_signs_chain_batch(a, b, chain)
+    assert got.shape == (15, 8)
+    for i in range(len(a)):
+        np.testing.assert_array_equal(
+            got[i], crossing_signs_chain(a[i], b[i], chain)
+        )
