@@ -19,7 +19,10 @@ def sessionize(events: DataFrame, gap_us: int = DEFAULT_GAP_US,
                user_col: str = "user_id", ts_col: str = "ts",
                tiebreak_col: str = "event_id") -> DataFrame:
     """Assign every event a per-user session index: a new session starts
-    when the gap to the previous event exceeds ``gap_us``.
+    when the gap to the previous event reaches ``gap_us`` (>= — the
+    half-open-window convention of Spark's native ``F.session_window``,
+    so the batch and streaming sessionizers agree exactly, boundary
+    included).
 
     Scale shape: ONE shuffle (hash partition by user), then two window
     passes over each user's sorted events — lag + running sum, both
@@ -37,7 +40,7 @@ def sessionize(events: DataFrame, gap_us: int = DEFAULT_GAP_US,
     prev = F.lag(F.col(ts_col)).over(w)
     gap = F.expr(f"INTERVAL '{gap_us / 1_000_000!r}' SECOND")
     new_s = F.when(
-        prev.isNull() | (F.col(ts_col) - prev > gap),
+        prev.isNull() | (F.col(ts_col) - prev >= gap),
         F.lit(1),
     ).otherwise(F.lit(0))
     return events.withColumn(

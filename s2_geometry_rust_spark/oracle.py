@@ -2356,7 +2356,7 @@ def session_stats_sql(gap_us: int = 600_000_000) -> str:
 WITH e AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR ts - lag(ts) OVER w > INTERVAL {gap_us} MICROSECOND
+                OR ts - lag(ts) OVER w >= INTERVAL {gap_us} MICROSECOND
               THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

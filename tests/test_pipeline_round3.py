@@ -65,12 +65,13 @@ def test_sessionize_gap_semantics(spark):
     from s2_geometry_rust_spark.operators.events import sessionize
 
     rows = [
-        # user 1: events at 0s, 5m, 5m+10m (boundary: exactly 10m gap
-        # stays in-session), then +10m1us starts a new session
+        # user 1: 0s, 5m, then exactly-10m gap (boundary: >= gap starts
+        # a NEW session — the F.session_window half-open convention),
+        # then 10m - 1us stays in-session
         (1, 1, "2024-01-01 00:00:00"),
         (1, 2, "2024-01-01 00:05:00"),
         (1, 3, "2024-01-01 00:15:00"),
-        (1, 4, "2024-01-01 00:25:00.000001"),
+        (1, 4, "2024-01-01 00:24:59.999999"),
         # user 2: single event
         (2, 5, "2024-01-01 12:00:00"),
     ]
@@ -84,8 +85,8 @@ def test_sessionize_gap_semantics(spark):
         .set_index("event_id")["session_idx"]
     )
     assert got[1] == 1 and got[2] == 1
-    assert got[3] == 1  # exactly-10m gap is NOT > gap
-    assert got[4] == 2  # 10m + 1us starts session 2
+    assert got[3] == 2  # exactly-10m gap closes the window (>= gap)
+    assert got[4] == 2  # 10m - 1us stays in session 2
     assert got[5] == 1
 
 
@@ -103,8 +104,8 @@ def test_session_stats_covers_all_events(spark):
         ends = g["end_ts"].tolist()
         starts = g["start_ts"].tolist()
         for i in range(1, len(g)):
-            # gap between consecutive sessions must exceed 10 minutes
-            assert (starts[i] - ends[i - 1]) > pd.Timedelta(minutes=10)
+            # gap between consecutive sessions must reach 10 minutes
+            assert (starts[i] - ends[i - 1]) >= pd.Timedelta(minutes=10)
         assert all(a <= b for a, b in zip(starts, ends))
 
 

@@ -59,3 +59,43 @@ def test_streaming_simhash_dedup_matches_batch_keys(spark, tmp_path):
     }
     assert set(got["simhash"]) == want_keys
     assert len(got) == len(want_keys)
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    """Session spans + aggregates from F.session_window equal the batch
+    sessionizer's (same gap, boundary included: both use the half-open
+    >= convention)."""
+    import pandas as pd
+    from s2_geometry_rust_spark.operators.events import session_stats
+    from s2_geometry_rust_spark.streaming import streaming_session_stats
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    src = str(tmp_path / "sess_src")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        streaming_session_stats(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.sql("SELECT * FROM sess_stream")
+        .toPandas()
+        .sort_values(["user_id", "start_ts"])
+        .reset_index(drop=True)
+    )
+    want = (
+        session_stats(ev)
+        .select("user_id", "n_events", "start_ts", "end_ts", "sum_cents")
+        .toPandas()
+        .sort_values(["user_id", "start_ts"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
