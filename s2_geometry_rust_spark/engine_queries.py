@@ -751,6 +751,35 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus vocabulary — one map-side-combined shuffle plus a
+    WindowGroupLimit-pruned global top-k (see vocab.vocab_topk)."""
+    from .operators.vocab import vocab_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_topk(docs, 100)
+
+
+def bigram_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram count table with min-frequency cut — per-row array
+    n-gram expansion (zero shuffle) + one combined groupBy."""
+    from .operators.vocab import ngram_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_counts(docs, n=2, min_count=2)
+
+
+def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-label embedding sums on a 1e-6 integer grid —
+    treeAggregate-shaped partial sums (one exchange row per
+    (label, partition), never per vector; see
+    vocab.label_centroid_sums)."""
+    from .operators.vocab import label_centroid_sums
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return label_centroid_sums(embs)
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -795,6 +824,9 @@ QUERIES = {
     "repetition_stats": repetition_stats_q,
     "session_stats": session_stats_q,
     "stratified_sample": stratified_sample_q,
+    "vocab_topk": vocab_topk_q,
+    "bigram_counts": bigram_counts_q,
+    "label_centroids": label_centroids_q,
 }
 
 ORACLES = {
@@ -841,4 +873,7 @@ ORACLES = {
     "repetition_stats": oracle.repetition_stats_sql(),
     "session_stats": oracle.session_stats_sql(),
     "stratified_sample": oracle.stratified_sample_sql(),
+    "vocab_topk": oracle.vocab_topk_sql(),
+    "bigram_counts": oracle.bigram_counts_sql(),
+    "label_centroids": oracle.label_centroids_sql(),
 }

@@ -1,0 +1,148 @@
+"""Corpus-level vocabulary / n-gram statistics (engine additions for
+the training-data pipeline; no s2-geometry-rust counterpart).
+
+Scale shapes:
+- token/ngram counts: explode -> groupBy(token) is ONE shuffle with
+  map-side combine (partial counts per task before the exchange), the
+  canonical word-count plan; the top-k cut happens with a window over
+  the already-aggregated (small) count table.
+- label centroids: per-partition numpy partial sums via mapInPandas
+  (nothing leaves a task but one row per (label, partition)), then one
+  tiny groupBy — the treeAggregate shape for wide-vector reductions.
+  Elements are quantized to a 1e-6 integer grid FIRST, so the sums are
+  exact integers: order-independent, bit-reproducible on any cluster
+  and against the SQL oracle (float sums are neither).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def _tokens(text_col: str) -> F.Column:
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+
+
+def vocab_topk(docs: DataFrame, k: int = 100,
+               text_col: str = "text") -> DataFrame:
+    """Top-k corpus vocabulary by frequency: (token, n_occurrences,
+    n_docs, rank), ties broken lexicographically for determinism."""
+    tok = docs.select(
+        F.col("doc_id"), F.explode(_tokens(text_col)).alias("token")
+    )
+    counts = tok.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), "token")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ngram_counts(docs: DataFrame, n: int = 2, min_count: int = 2,
+                 text_col: str = "text") -> DataFrame:
+    """Corpus n-gram counts (space-joined token n-grams) with a minimum
+    frequency cut — the LM-style count table.  The n-gram expansion is
+    a per-row array transform (zero shuffle); only the groupBy
+    aggregates."""
+    toks = _tokens(text_col)
+    grams = F.filter(
+        F.transform(
+            toks,
+            lambda _, i: F.when(
+                i + n <= F.size(toks),
+                F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    g = docs.select(F.explode(grams).alias("ngram"))
+    return (
+        g.groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
+
+_CENTROID_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("label", IntegerType()),
+        StructField("n", LongType()),
+        StructField("sums_micro", ArrayType(LongType())),
+    ]
+)
+
+
+def label_centroid_sums(embs: DataFrame, label_col: str = "label",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Exact per-label embedding sums: (label, n_vectors, dim,
+    sum_micro) — one output row per (label, dimension), where sum_micro
+    is the integer sum of round(element * 1e6).
+
+    Partial aggregation happens inside each task (numpy add.reduceat
+    over the Arrow batch grouped by label); the exchange carries one
+    row per (label, partition), NOT per vector — a 10^12-row table with
+    100 labels shuffles ~100 rows per task.
+    """
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[int, tuple[int, np.ndarray]] = {}
+        for b in batches:
+            if len(b) == 0:
+                continue
+            labels = b[label_col].to_numpy(np.int64)
+            # widen float32 -> float64 BEFORE scaling (exact), so the
+            # quantization matches the SQL oracle's double arithmetic;
+            # rint vs round-half-away can't diverge (see oracle note)
+            mat = np.rint(
+                np.stack(b[vec_col].to_numpy()).astype(np.float64) * 1e6
+            ).astype(np.int64)
+            order = np.argsort(labels, kind="stable")
+            labels_s = labels[order]
+            mat_s = mat[order]
+            uniq, starts = np.unique(labels_s, return_index=True)
+            sums = np.add.reduceat(mat_s, starts, axis=0)
+            counts = np.diff(np.append(starts, len(labels_s)))
+            for lb, cnt, sm in zip(uniq, counts, sums):
+                prev = acc.get(int(lb))
+                if prev is None:
+                    acc[int(lb)] = (int(cnt), sm.copy())
+                else:
+                    acc[int(lb)] = (prev[0] + int(cnt), prev[1] + sm)
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "label": list(acc),
+                    "n": [v[0] for v in acc.values()],
+                    "sums_micro": [v[1] for v in acc.values()],
+                }
+            )
+
+    part = embs.select(label_col, vec_col).mapInPandas(
+        partials, _CENTROID_PARTIAL_SCHEMA
+    )
+    exploded = part.select(
+        "label", "n", F.posexplode("sums_micro").alias("dim", "s")
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.sum("n").alias("n_vectors"),
+            F.sum("s").alias("sum_micro"),
+        )
+    )

@@ -2391,3 +2391,64 @@ WITH r AS (
 )
 SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= {quota}
 """
+
+
+def vocab_topk_sql(k: int = 100) -> str:
+    """Mirror of vocab.vocab_topk (ties broken lexicographically)."""
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), c AS (
+  SELECT token, count(*) AS n_occurrences,
+         count(DISTINCT doc_id) AS n_docs
+  FROM toks GROUP BY token
+), r AS (
+  SELECT token, n_occurrences, n_docs,
+         CAST(row_number() OVER (ORDER BY n_occurrences DESC, token)
+              AS INT) AS rank
+  FROM c
+)
+SELECT token, n_occurrences, n_docs, rank FROM r WHERE rank <= {k}
+"""
+
+
+def bigram_counts_sql(min_count: int = 2) -> str:
+    """Mirror of vocab.ngram_counts(n=2): space-joined adjacent token
+    pairs (DuckDB lists are 1-indexed; range(len-1) yields 0-based i)."""
+    return rf"""
+WITH t AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT unnest(list_transform(range(len(toks) - 1),
+                               i -> toks[i + 1] || ' ' || toks[i + 2]))
+           AS ngram
+  FROM t WHERE len(toks) >= 2
+)
+SELECT ngram, count(*) AS n FROM g GROUP BY ngram HAVING count(*) >= {min_count}
+"""
+
+
+def label_centroids_sql() -> str:
+    """Mirror of vocab.label_centroid_sums: elements quantized to a
+    1e-6 integer grid in DOUBLE (float32 widened exactly), then exact
+    integer sums.  round-half cases cannot occur: a binary float scaled
+    by 1e6 is never exactly k + 1/2 (5^6 would have to divide a dyadic
+    denominator), so DuckDB's round() and numpy's rint agree."""
+    return """
+WITH e AS (
+  SELECT label,
+         CAST(unnest(range(len(embedding))) AS INT) AS dim,
+         unnest(embedding) AS elem
+  FROM embeddings
+)
+SELECT label, dim,
+       count(*) AS n_vectors,
+       CAST(SUM(CAST(round(CAST(elem AS DOUBLE) * 1e6, 0) AS BIGINT))
+            AS BIGINT) AS sum_micro
+FROM e GROUP BY label, dim
+"""

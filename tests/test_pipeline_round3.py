@@ -143,3 +143,69 @@ def test_bernoulli_sample_rate_and_determinism(spark):
     assert ids_a == ids_b
     n = docs.count()
     assert 0.15 * n <= len(ids_a) <= 0.25 * n
+
+
+def test_vocab_topk_matches_counter(spark):
+    from s2_geometry_rust_spark.operators.vocab import vocab_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = vocab_topk(docs, 10).toPandas().sort_values("rank")
+    rows = docs.select("doc_id", "text").collect()
+    occ, dfreq = Counter(), Counter()
+    for r in rows:
+        toks = [t for t in r["text"].lower().split() if t]
+        occ.update(toks)
+        dfreq.update(set(toks))
+    want = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(got["token"]) == [w for w, _ in want]
+    assert list(got["n_occurrences"]) == [n for _, n in want]
+    assert list(got["n_docs"]) == [dfreq[w] for w, _ in want]
+
+
+def test_ngram_counts_matches_counter(spark):
+    from s2_geometry_rust_spark.operators.vocab import ngram_counts
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = (
+        ngram_counts(docs, n=3, min_count=2)
+        .toPandas()
+        .set_index("ngram")["n"]
+        .to_dict()
+    )
+    c = Counter()
+    for r in docs.select("text").collect():
+        toks = [t for t in r["text"].lower().split() if t]
+        for i in range(len(toks) - 2):
+            c[" ".join(toks[i:i + 3])] += 1
+    want = {g: n for g, n in c.items() if n >= 2}
+    assert got == want
+
+
+def test_ngram_counts_short_docs(spark):
+    from s2_geometry_rust_spark.operators.vocab import ngram_counts
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, ""), (3, "a b"), (4, "a b")], ["doc_id", "text"]
+    )
+    got = ngram_counts(df, n=2, min_count=1).toPandas()
+    assert got.set_index("ngram")["n"].to_dict() == {"a b": 2}
+
+
+def test_label_centroid_sums_exact(spark):
+    import numpy as np
+    from s2_geometry_rust_spark.operators.vocab import label_centroid_sums
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = label_centroid_sums(embs).toPandas()
+    pdf = embs.toPandas()
+    for (label, dim), row in got.set_index(["label", "dim"]).iterrows():
+        sub = pdf[pdf["label"] == label]
+        mat = np.stack(sub["embedding"].to_numpy()).astype(np.float64)
+        want = int(np.rint(mat[:, dim] * 1e6).astype(np.int64).sum())
+        assert row["sum_micro"] == want, (label, dim)
+        assert row["n_vectors"] == len(sub)
+    # exact under repartition (order independence of integer sums)
+    got2 = label_centroid_sums(embs.repartition(17)).toPandas()
+    a = got.sort_values(["label", "dim"]).reset_index(drop=True)
+    b = got2.sort_values(["label", "dim"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
