@@ -780,6 +780,30 @@ def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroid_sums(embs)
 
 
+# Region-contains-loop contract fixtures: margins verified in
+# tests/test_round3_oracles.py (no B vertex within 1e-2 of any A loop's
+# edge great-circle or cap boundary; same-name pairs excluded — shared
+# vertices would make the triage determinant exactly 0).
+CONTAIN_A_LOOPS = ["north_hemi", "south_hemi", "arctic_80", "antarctic_80"]
+CONTAIN_B_LOOPS = ["small_ne_cw", "arctic_80", "antarctic_80"]
+
+
+def region_contains_loop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region-contains-loop join (vertex-containment semantics,
+    loop.rs:397-415) over fixture hemispheres/rings/caps — the
+    filter-and-refine point join lifted to region x region."""
+    from . import fixtures
+    from .operators.spatial_join import region_containment_join
+
+    a = fixtures.loop_regions(spark, CONTAIN_A_LOOPS).unionByName(
+        fixtures.cap_regions(spark)
+    )
+    b = fixtures.loop_regions(spark, CONTAIN_B_LOOPS)
+    return region_containment_join(a, b).filter(
+        F.col("a_id") != F.col("b_id")
+    )
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -827,6 +851,7 @@ QUERIES = {
     "vocab_topk": vocab_topk_q,
     "bigram_counts": bigram_counts_q,
     "label_centroids": label_centroids_q,
+    "region_contains_loop": region_contains_loop_q,
 }
 
 ORACLES = {
@@ -876,4 +901,7 @@ ORACLES = {
     "vocab_topk": oracle.vocab_topk_sql(),
     "bigram_counts": oracle.bigram_counts_sql(),
     "label_centroids": oracle.label_centroids_sql(),
+    "region_contains_loop": oracle.region_contains_loop_sql(
+        CONTAIN_A_LOOPS, CONTAIN_B_LOOPS
+    ),
 }

@@ -421,3 +421,48 @@ def distance_join(points: DataFrame, centers: DataFrame,
     return points.join(F.broadcast(centers), d2 <= F.lit(radius_chord2)).withColumn(
         "chord2", d2
     )
+
+
+def region_containment_join(regions_a: DataFrame, loops_b: DataFrame,
+                            b_id_col: str = "region_id",
+                            max_cells: int = 64) -> DataFrame:
+    """Region-contains-loop join at table scale: (a_id, b_id) for every
+    region A containing ALL vertices of loop B — the reference's
+    vertex-containment semantics (loop.rs:397-415 contains_loop; its
+    edge-crossing completion is a pinned TODO, SURVEY §8), lifted from a
+    scalar kernel to a join.
+
+    Plan: explode B's vertices into points (codegen), run the standard
+    filter-and-refine point-in-region join (covering filter + exact
+    kernel refine — the same scale path as point_in_region), then a
+    count-equality aggregate: A contains B iff every one of B's
+    n_vertices matched.  No pairwise region x region work ever happens;
+    the only shuffle keys are covering cells and (a, b) pairs.
+    """
+    from ..functions import cell_id_from_latlng_deg
+
+    verts = (
+        loops_b.filter(F.col("kind") == "loop")
+        .select(
+            F.col(b_id_col).alias("b_id"),
+            F.posexplode("vertices").alias("v_idx", "v"),
+        )
+        .select(
+            "b_id", "v_idx",
+            F.col("v.lat").cast("double").alias("lat"),
+            F.col("v.lng").cast("double").alias("lng"),
+        )
+        .withColumn("cell_id", cell_id_from_latlng_deg("lat", "lng"))
+    )
+    matched = point_in_region_join(verts, regions_a, max_cells=max_cells)
+    counts = matched.groupBy("region_id", "b_id").agg(
+        F.count("*").alias("_n_in")
+    )
+    sizes = loops_b.filter(F.col("kind") == "loop").select(
+        F.col(b_id_col).alias("b_id"), F.size("vertices").alias("_n_b")
+    )
+    return (
+        counts.join(sizes, "b_id")
+        .filter(F.col("_n_in") == F.col("_n_b"))
+        .select(F.col("region_id").alias("a_id"), "b_id")
+    )

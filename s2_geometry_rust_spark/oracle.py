@@ -2452,3 +2452,80 @@ SELECT label, dim,
             AS BIGINT) AS sum_micro
 FROM e GROUP BY label, dim
 """
+
+
+def region_contains_loop_sql(a_loops: list[str], b_loops: list[str]) -> str:
+    """Mirror of spatial_join.region_containment_join over the fixture
+    catalog: A contains B iff every B vertex has winding sum > 0 (loop
+    A) / chord-squared distance <= r2 (cap A).  Triage-only signs are
+    exact here: fixture margins (pytest-checked) keep every determinant
+    far from the threshold, and same-name pairs are excluded."""
+    import numpy as np
+
+    from . import fixtures
+    from .kernels import latlng as lk
+    from .kernels.caps import S2Cap
+
+    def loop_xyz(name):
+        pts = fixtures.LOOPS[name]
+        lat = lk.degrees_to_radians(np.array([p[0] for p in pts], np.float64))
+        lng = lk.degrees_to_radians(np.array([p[1] for p in pts], np.float64))
+        x, y, z = lk.latlng_to_xyz(lat, lng)
+        return np.stack([x, y, z], axis=-1)
+
+    erows = []
+    for name in a_loops:
+        v = loop_xyz(name)
+        n = len(v)
+        for e in range(n):
+            v0, v1 = v[e], v[(e + 1) % n]
+            erows.append((name, *map(float, v0), *map(float, v1)))
+    evals = ", ".join(
+        f"('{n}', {x0!r}, {y0!r}, {z0!r}, {x1!r}, {y1!r}, {z1!r})"
+        for (n, x0, y0, z0, x1, y1, z1) in erows
+    )
+    crows = []
+    for name, (clat, clng, rdeg) in fixtures.CAPS.items():
+        lat_r = float(lk.degrees_to_radians(clat))
+        lng_r = float(lk.degrees_to_radians(clng))
+        x, y, z = lk.latlng_to_xyz(np.float64(lat_r), np.float64(lng_r))
+        cap = S2Cap.from_center_degrees((float(x), float(y), float(z)), rdeg)
+        crows.append((name, cap.cx, cap.cy, cap.cz, cap.radius_l2))
+    cvals = ", ".join(
+        f"('{n}', {cx!r}, {cy!r}, {cz!r}, {r2!r})"
+        for (n, cx, cy, cz, r2) in crows
+    )
+    vrows = []
+    for name in b_loops:
+        v = loop_xyz(name)
+        for i, p in enumerate(v):
+            vrows.append((name, i, len(v), *map(float, p)))
+    vvals = ", ".join(
+        f"('{n}', {i}, {nb}, {px!r}, {py!r}, {pz!r})"
+        for (n, i, nb, px, py, pz) in vrows
+    )
+    p = ("bv.px", "bv.py", "bv.pz")
+    v0 = ("le.x0", "le.y0", "le.z0")
+    v1 = ("le.x1", "le.y1", "le.z1")
+    return f"""
+WITH loopedges(a_id, x0, y0, z0, x1, y1, z1) AS (VALUES {evals}),
+caps(a_id, cx, cy, cz, r2) AS (VALUES {cvals}),
+bverts(b_id, v_idx, n_b, px, py, pz) AS (VALUES {vvals}),
+loop_in AS (
+  SELECT le.a_id, bv.b_id, bv.v_idx, bv.n_b
+  FROM bverts bv, loopedges le
+  GROUP BY le.a_id, bv.b_id, bv.v_idx, bv.n_b, bv.px, bv.py, bv.pz
+  HAVING sum({_pip_sign_sql(p, v0, v1)}) > 0
+), cap_in AS (
+  SELECT c.a_id, bv.b_id, bv.v_idx, bv.n_b
+  FROM bverts bv, caps c
+  WHERE LEAST((c.cx-bv.px)*(c.cx-bv.px) + (c.cy-bv.py)*(c.cy-bv.py)
+              + (c.cz-bv.pz)*(c.cz-bv.pz), 4.0) <= c.r2
+), all_in AS (
+  SELECT * FROM loop_in UNION ALL SELECT * FROM cap_in
+)
+SELECT a_id, b_id
+FROM all_in
+GROUP BY a_id, b_id, n_b
+HAVING count(*) = n_b AND a_id <> b_id
+"""

@@ -194,3 +194,87 @@ def test_union_areas_atto_margins(spark, sf_dir):
         # all member cells are level >= 10: the pinned-UV closed forms
         # (and the level>0 branch) apply
         assert r["approx_area"] > 0.0
+
+
+# ---------------------------------------------------------------------------
+# region_contains_loop
+# ---------------------------------------------------------------------------
+
+
+def test_region_contains_loop_fixture_margins():
+    """Every (A-loop edge great-circle, B vertex) determinant and every
+    (cap boundary, B vertex) chord test must sit far from zero so the
+    oracle's triage-only signs decide identically to the engine's
+    tiered-exact kernels; same-name pairs are excluded by the query."""
+    from s2_geometry_rust_spark import fixtures
+    from s2_geometry_rust_spark.engine_queries import (
+        CONTAIN_A_LOOPS,
+        CONTAIN_B_LOOPS,
+    )
+    from s2_geometry_rust_spark.kernels.caps import S2Cap
+
+    for a in CONTAIN_A_LOOPS:
+        va = _verts(fixtures.LOOPS[a])
+        n = len(va)
+        for b in CONTAIN_B_LOOPS:
+            if a == b:
+                continue
+            vb = _verts(fixtures.LOOPS[b])
+            for e in range(n):
+                dets = vb @ np.cross(va[e], va[(e + 1) % n])
+                assert np.abs(dets).min() > 1e-2, (a, b, e)
+    for cname, (clat, clng, rdeg) in fixtures.CAPS.items():
+        lat_r = float(lk.degrees_to_radians(clat))
+        lng_r = float(lk.degrees_to_radians(clng))
+        x, y, z = lk.latlng_to_xyz(np.float64(lat_r), np.float64(lng_r))
+        cap = S2Cap.from_center_degrees((float(x), float(y), float(z)), rdeg)
+        c = np.array([cap.cx, cap.cy, cap.cz])
+        for b in CONTAIN_B_LOOPS:
+            vb = _verts(fixtures.LOOPS[b])
+            d2 = ((vb - c) ** 2).sum(axis=1)
+            assert np.abs(d2 - cap.radius_l2).min() > 1e-2, (cname, b)
+
+
+def test_region_containment_join_matches_kernel(spark):
+    """Join output == scalar kernel ground truth (contains_loop for
+    loops, all-vertices chord test for caps) over the fixture sets."""
+    from s2_geometry_rust_spark import fixtures
+    from s2_geometry_rust_spark.engine_queries import (
+        CONTAIN_A_LOOPS,
+        CONTAIN_B_LOOPS,
+    )
+    from s2_geometry_rust_spark.kernels.caps import S2Cap
+    from s2_geometry_rust_spark.kernels.loops import S2Loop
+    from s2_geometry_rust_spark.operators.spatial_join import (
+        region_containment_join,
+    )
+
+    a_df = fixtures.loop_regions(spark, CONTAIN_A_LOOPS).unionByName(
+        fixtures.cap_regions(spark)
+    )
+    b_df = fixtures.loop_regions(spark, CONTAIN_B_LOOPS)
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in region_containment_join(a_df, b_df).collect()
+        if r["a_id"] != r["b_id"]
+    }
+
+    want = set()
+    b_loops = {b: S2Loop.from_degrees(fixtures.LOOPS[b])
+               for b in CONTAIN_B_LOOPS}
+    for a in CONTAIN_A_LOOPS:
+        la = S2Loop.from_degrees(fixtures.LOOPS[a])
+        for b, lb in b_loops.items():
+            if a != b and la.contains_loop(lb):
+                want.add((a, b))
+    for cname, (clat, clng, rdeg) in fixtures.CAPS.items():
+        lat_r = float(lk.degrees_to_radians(clat))
+        lng_r = float(lk.degrees_to_radians(clng))
+        x, y, z = lk.latlng_to_xyz(np.float64(lat_r), np.float64(lng_r))
+        cap = S2Cap.from_center_degrees((float(x), float(y), float(z)), rdeg)
+        for b, lb in b_loops.items():
+            v = lb.vertices
+            if bool(np.all(cap.contains_points_batch(
+                    v[:, 0], v[:, 1], v[:, 2]))):
+                want.add((cname, b))
+    assert got == want and len(want) > 0
