@@ -804,6 +804,23 @@ def region_contains_loop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Loop-intersects contract fixtures: mutual (both-direction) margins
+# > 2e-3 verified in tests/test_round3_oracles.py.
+INTERSECT_A_LOOPS = ["near_hemi", "far_hemi", "antarctic_80"]
+INTERSECT_B_LOOPS = ["candy_cane", "loop_a", "loop_b"]
+
+
+def loop_intersections_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loop-intersects-loop join (mutual vertex probing,
+    loop.rs:418-441) over margin-guarded fixture sets."""
+    from . import fixtures
+    from .operators.spatial_join import loop_intersection_join
+
+    a = fixtures.loop_regions(spark, INTERSECT_A_LOOPS)
+    b = fixtures.loop_regions(spark, INTERSECT_B_LOOPS)
+    return loop_intersection_join(a, b)
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -852,6 +869,7 @@ QUERIES = {
     "bigram_counts": bigram_counts_q,
     "label_centroids": label_centroids_q,
     "region_contains_loop": region_contains_loop_q,
+    "loop_intersections": loop_intersections_q,
 }
 
 ORACLES = {
@@ -903,5 +921,8 @@ ORACLES = {
     "label_centroids": oracle.label_centroids_sql(),
     "region_contains_loop": oracle.region_contains_loop_sql(
         CONTAIN_A_LOOPS, CONTAIN_B_LOOPS
+    ),
+    "loop_intersections": oracle.loop_intersections_sql(
+        INTERSECT_A_LOOPS, INTERSECT_B_LOOPS
     ),
 }

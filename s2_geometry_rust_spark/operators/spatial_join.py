@@ -466,3 +466,49 @@ def region_containment_join(regions_a: DataFrame, loops_b: DataFrame,
         .filter(F.col("_n_in") == F.col("_n_b"))
         .select(F.col("region_id").alias("a_id"), "b_id")
     )
+
+
+def _loop_vertices_as_points(loops: DataFrame, id_alias: str) -> DataFrame:
+    from ..functions import cell_id_from_latlng_deg
+
+    return (
+        loops.filter(F.col("kind") == "loop")
+        .select(
+            F.col("region_id").alias(id_alias),
+            F.posexplode("vertices").alias("v_idx", "v"),
+        )
+        .select(
+            id_alias, "v_idx",
+            F.col("v.lat").cast("double").alias("lat"),
+            F.col("v.lng").cast("double").alias("lng"),
+        )
+        .withColumn("cell_id", cell_id_from_latlng_deg("lat", "lng"))
+    )
+
+
+def loop_intersection_join(loops_a: DataFrame, loops_b: DataFrame) -> DataFrame:
+    """Loop-intersects-loop join at table scale: (a_id, b_id) whenever
+    ANY vertex of B lies in A or ANY vertex of A lies in B — the
+    reference's mutual vertex-probing semantics (loop.rs:418-441;
+    edge-crossing completion is a pinned reference TODO), lifted from
+    the scalar kernel to a join.
+
+    Plan: two filter-and-refine point joins (B-verts x A-regions and
+    A-verts x B-regions — the standard covering scale path), then a
+    distinct union of the pair keys.  Empty/full special cases are out
+    of scope (fixture loops are always proper); use the kernel for
+    those.
+    """
+    d1 = (
+        point_in_region_join(
+            _loop_vertices_as_points(loops_b, "b_id"), loops_a
+        )
+        .select(F.col("region_id").alias("a_id"), "b_id")
+    )
+    d2 = (
+        point_in_region_join(
+            _loop_vertices_as_points(loops_a, "a_id"), loops_b
+        )
+        .select("a_id", F.col("region_id").alias("b_id"))
+    )
+    return d1.unionByName(d2).dropDuplicates(["a_id", "b_id"])

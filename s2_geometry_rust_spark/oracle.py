@@ -2529,3 +2529,77 @@ FROM all_in
 GROUP BY a_id, b_id, n_b
 HAVING count(*) = n_b AND a_id <> b_id
 """
+
+
+def _loop_edge_vals(names: list[str]) -> str:
+    import numpy as np
+
+    from . import fixtures
+    from .kernels import latlng as lk
+
+    rows = []
+    for name in names:
+        pts = fixtures.LOOPS[name]
+        lat = lk.degrees_to_radians(np.array([p[0] for p in pts], np.float64))
+        lng = lk.degrees_to_radians(np.array([p[1] for p in pts], np.float64))
+        x, y, z = lk.latlng_to_xyz(lat, lng)
+        n = len(pts)
+        for e in range(n):
+            ne = (e + 1) % n
+            rows.append((name, float(x[e]), float(y[e]), float(z[e]),
+                         float(x[ne]), float(y[ne]), float(z[ne])))
+    return ", ".join(
+        f"('{n}', {x0!r}, {y0!r}, {z0!r}, {x1!r}, {y1!r}, {z1!r})"
+        for (n, x0, y0, z0, x1, y1, z1) in rows
+    )
+
+
+def _loop_vert_vals(names: list[str]) -> str:
+    import numpy as np
+
+    from . import fixtures
+    from .kernels import latlng as lk
+
+    rows = []
+    for name in names:
+        pts = fixtures.LOOPS[name]
+        lat = lk.degrees_to_radians(np.array([p[0] for p in pts], np.float64))
+        lng = lk.degrees_to_radians(np.array([p[1] for p in pts], np.float64))
+        x, y, z = lk.latlng_to_xyz(lat, lng)
+        for i in range(len(pts)):
+            rows.append((name, i, float(x[i]), float(y[i]), float(z[i])))
+    return ", ".join(
+        f"('{n}', {i}, {px!r}, {py!r}, {pz!r})"
+        for (n, i, px, py, pz) in rows
+    )
+
+
+def loop_intersections_sql(a_loops: list[str], b_loops: list[str]) -> str:
+    """Mirror of spatial_join.loop_intersection_join: mutual vertex
+    probing with triage-only winding signs (fixture margins pinned in
+    pytest keep every determinant decisive)."""
+    pb = ("bv.px", "bv.py", "bv.pz")
+    pa = ("av.px", "av.py", "av.pz")
+    ea0 = ("ae.x0", "ae.y0", "ae.z0")
+    ea1 = ("ae.x1", "ae.y1", "ae.z1")
+    eb0 = ("be.x0", "be.y0", "be.z0")
+    eb1 = ("be.x1", "be.y1", "be.z1")
+    return f"""
+WITH a_edges(a_id, x0, y0, z0, x1, y1, z1) AS (VALUES {_loop_edge_vals(a_loops)}),
+b_edges(b_id, x0, y0, z0, x1, y1, z1) AS (VALUES {_loop_edge_vals(b_loops)}),
+a_verts(a_id, v_idx, px, py, pz) AS (VALUES {_loop_vert_vals(a_loops)}),
+b_verts(b_id, v_idx, px, py, pz) AS (VALUES {_loop_vert_vals(b_loops)}),
+b_in_a AS (
+  SELECT ae.a_id, bv.b_id
+  FROM b_verts bv, a_edges ae
+  GROUP BY ae.a_id, bv.b_id, bv.v_idx, bv.px, bv.py, bv.pz
+  HAVING sum({_pip_sign_sql(pb, ea0, ea1)}) > 0
+), a_in_b AS (
+  SELECT av.a_id, be.b_id
+  FROM a_verts av, b_edges be
+  GROUP BY be.b_id, av.a_id, av.v_idx, av.px, av.py, av.pz
+  HAVING sum({_pip_sign_sql(pa, eb0, eb1)}) > 0
+)
+SELECT DISTINCT a_id, b_id
+FROM (SELECT * FROM b_in_a UNION ALL SELECT * FROM a_in_b)
+"""

@@ -278,3 +278,55 @@ def test_region_containment_join_matches_kernel(spark):
                     v[:, 0], v[:, 1], v[:, 2]))):
                 want.add((cname, b))
     assert got == want and len(want) > 0
+
+
+def test_loop_intersections_fixture_margins():
+    """Both probing directions must be margin-safe (A verts vs B edge
+    circles AND B verts vs A edge circles)."""
+    from s2_geometry_rust_spark import fixtures
+    from s2_geometry_rust_spark.engine_queries import (
+        INTERSECT_A_LOOPS,
+        INTERSECT_B_LOOPS,
+    )
+
+    def dir_margin(container, probes):
+        vc = _verts(fixtures.LOOPS[container])
+        vp = _verts(fixtures.LOOPS[probes])
+        n = len(vc)
+        m = np.inf
+        for e in range(n):
+            m = min(m, np.abs(vp @ np.cross(vc[e], vc[(e + 1) % n])).min())
+        return m
+
+    for a in INTERSECT_A_LOOPS:
+        for b in INTERSECT_B_LOOPS:
+            assert a != b
+            assert dir_margin(a, b) > 2e-3, (a, b)
+            assert dir_margin(b, a) > 2e-3, (b, a)
+
+
+def test_loop_intersection_join_matches_kernel(spark):
+    from s2_geometry_rust_spark import fixtures
+    from s2_geometry_rust_spark.engine_queries import (
+        INTERSECT_A_LOOPS,
+        INTERSECT_B_LOOPS,
+    )
+    from s2_geometry_rust_spark.kernels.loops import S2Loop
+    from s2_geometry_rust_spark.operators.spatial_join import (
+        loop_intersection_join,
+    )
+
+    a_df = fixtures.loop_regions(spark, INTERSECT_A_LOOPS)
+    b_df = fixtures.loop_regions(spark, INTERSECT_B_LOOPS)
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in loop_intersection_join(a_df, b_df).collect()
+    }
+    want = set()
+    for a in INTERSECT_A_LOOPS:
+        la = S2Loop.from_degrees(fixtures.LOOPS[a])
+        for b in INTERSECT_B_LOOPS:
+            lb = S2Loop.from_degrees(fixtures.LOOPS[b])
+            if la.intersects(lb):
+                want.add((a, b))
+    assert got == want and len(want) > 0
