@@ -821,6 +821,19 @@ def loop_intersections_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loop_intersection_join(a, b)
 
 
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any distinct
+    3-gram with the held-out set (doc_id < 10 as the eval stand-in;
+    n=3 keeps the contract comparison dense at small SF — production
+    default is 5) — broadcast semi-join, corpus side never shuffled."""
+    from .operators.vocab import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    return decontaminate(corpus, bench, n=3)
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -870,6 +883,7 @@ QUERIES = {
     "label_centroids": label_centroids_q,
     "region_contains_loop": region_contains_loop_q,
     "loop_intersections": loop_intersections_q,
+    "decontaminate": decontaminate_q,
 }
 
 ORACLES = {
@@ -925,4 +939,5 @@ ORACLES = {
     "loop_intersections": oracle.loop_intersections_sql(
         INTERSECT_A_LOOPS, INTERSECT_B_LOOPS
     ),
+    "decontaminate": oracle.decontaminate_sql(3),
 }

@@ -146,3 +146,48 @@ def label_centroid_sums(embs: DataFrame, label_col: str = "label",
             F.sum("s").alias("sum_micro"),
         )
     )
+
+
+def ngram_set(docs: DataFrame, n: int, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Distinct (id, ngram) pairs per document — the unit of overlap
+    for decontamination."""
+    toks = _tokens(text_col)
+    grams = F.filter(
+        F.transform(
+            toks,
+            lambda _, i: F.when(
+                i + n <= F.size(toks),
+                F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    return docs.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("ngram")
+    )
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 5,
+                  text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many distinct
+    n-grams it shares with ANY benchmark document (0 = clean).  The
+    standard pre-training hygiene step (flag-and-drop docs overlapping
+    an eval set).
+
+    Scale shape: the benchmark side is tiny by definition (eval sets),
+    so its distinct n-gram set is broadcast; the corpus side streams
+    through a per-row array expansion + broadcast hash semi-join —
+    the 100-TB side is never shuffled.  Output: (doc_id,
+    n_contaminated_ngrams) for flagged docs only.
+    """
+    bench_grams = F.broadcast(
+        ngram_set(benchmark, n, text_col=text_col)
+        .select("ngram").distinct()
+    )
+    doc_grams = ngram_set(docs, n, text_col=text_col)
+    return (
+        doc_grams.join(bench_grams, "ngram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated_ngrams"))
+    )

@@ -2603,3 +2603,28 @@ b_in_a AS (
 SELECT DISTINCT a_id, b_id
 FROM (SELECT * FROM b_in_a UNION ALL SELECT * FROM a_in_b)
 """
+
+
+def decontaminate_sql(n: int = 5, bench_max_id: int = 10) -> str:
+    """Mirror of vocab.decontaminate: distinct 5-gram overlap of corpus
+    docs (doc_id >= bench_max_id) vs the held-out set."""
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(1, n + 1))
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(len(toks) - {n - 1}),
+                                             i -> {gram}))) AS ngram
+  FROM t WHERE len(toks) >= {n}
+), bench AS (
+  SELECT DISTINCT ngram FROM g WHERE doc_id < {bench_max_id}
+)
+SELECT g.doc_id, count(*) AS n_contaminated_ngrams
+FROM g JOIN bench USING (ngram)
+WHERE g.doc_id >= {bench_max_id}
+GROUP BY g.doc_id
+"""

@@ -209,3 +209,34 @@ def test_label_centroid_sums_exact(spark):
     a = got.sort_values(["label", "dim"]).reset_index(drop=True)
     b = got2.sort_values(["label", "dim"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_decontaminate_matches_python(spark):
+    from s2_geometry_rust_spark.operators.vocab import decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    got = (
+        decontaminate(corpus, bench, n=3)
+        .toPandas()
+        .set_index("doc_id")["n_contaminated_ngrams"]
+        .to_dict()
+    )
+
+    def grams(text, n=3):
+        toks = [t for t in text.lower().split() if t]
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    rows = docs.select("doc_id", "text").collect()
+    bench_g = set()
+    for r in rows:
+        if r["doc_id"] < 10:
+            bench_g |= grams(r["text"])
+    want = {}
+    for r in rows:
+        if r["doc_id"] >= 10:
+            k = len(grams(r["text"]) & bench_g)
+            if k:
+                want[r["doc_id"]] = k
+    assert got == want and len(want) > 0
