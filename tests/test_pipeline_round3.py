@@ -240,3 +240,50 @@ def test_decontaminate_matches_python(spark):
             if k:
                 want[r["doc_id"]] = k
     assert got == want and len(want) > 0
+
+
+def test_sessionize_random_streams_vs_python(spark):
+    """Seeded random event streams (clustered + uniform gaps, exact
+    boundary multiples included) vs a pure-python sessionizer."""
+    import numpy as np
+    from s2_geometry_rust_spark.operators.events import sessionize
+
+    rng = np.random.default_rng(42)
+    gap_us = 10 * 60 * 1_000_000
+    rows = []
+    eid = 0
+    for user in range(40):
+        t = int(rng.integers(0, 10**9))
+        for _ in range(int(rng.integers(1, 60))):
+            # mix: sub-gap jitter, super-gap jumps, exact gap multiples
+            r = rng.random()
+            if r < 0.5:
+                t += int(rng.integers(0, gap_us))
+            elif r < 0.8:
+                t += int(rng.integers(gap_us, 3 * gap_us))
+            else:
+                t += gap_us * int(rng.integers(1, 3))  # exact boundary
+            rows.append((user, eid, t))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, t_us long"
+    ).withColumn("ts", F.timestamp_micros("t_us"))
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(ev).select("event_id", "session_idx").collect()
+    }
+    # python reference: >= gap starts a new session
+    want = {}
+    by_user = {}
+    for user, eid_, t in rows:
+        by_user.setdefault(user, []).append((t, eid_))
+    for user, evs in by_user.items():
+        evs.sort()
+        idx = 0
+        prev = None
+        for t, eid_ in evs:
+            if prev is None or t - prev >= gap_us:
+                idx += 1
+            want[eid_] = idx
+            prev = t
+    assert got == want
