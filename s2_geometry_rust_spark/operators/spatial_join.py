@@ -175,9 +175,42 @@ def point_in_region_join(points: DataFrame, regions: DataFrame,
     import numpy as np
 
     from ..kernels import cellid as ck
-    from .coverings import conservative_covering, conservative_region_from_row
+    from .coverings import (
+        cap_coverings_batch,
+        conservative_covering,
+        conservative_region_from_row,
+    )
+
+    def _by_level_of(ids_u: np.ndarray) -> dict[int, list[int]]:
+        lvls = ck.level(ids_u)
+        by_level: dict[int, list[int]] = {}
+        for cid, lv in zip(ids_u.view(np.int64), lvls):
+            by_level.setdefault(int(lv), []).append(int(cid))
+        return by_level
+
+    def _cache_put(key, by_level) -> None:
+        if len(_COVERING_CACHE) > 4096:
+            _COVERING_CACHE.clear()
+        _COVERING_CACHE[key] = by_level
 
     region_rows = {r["region_id"]: r.asDict() for r in regions.collect()}
+
+    # Batch all uncached cap rows through the level-synchronous batched
+    # kernel first (identical per-cap results; one vectorized loop for
+    # the whole set instead of ~20 ms of Python per cap — the driver
+    # path stays fast right up to the distributed-path threshold).
+    uncached_caps = []
+    for rid, row in region_rows.items():
+        key = (_region_cache_key(row), max_cells)
+        if row["kind"] == "cap" and key not in _COVERING_CACHE:
+            uncached_caps.append((row, key))
+    if uncached_caps:
+        caps = [region_from_row(row).cap for row, _ in uncached_caps]
+        for (_, key), ids_u in zip(
+            uncached_caps, cap_coverings_batch(caps, max_cells=max_cells)
+        ):
+            _cache_put(key, _by_level_of(np.asarray(ids_u, np.uint64)))
+
     region_covs: dict[str, dict[int, list[int]]] = {}
     for rid, row in region_rows.items():
         key = (_region_cache_key(row), max_cells)
@@ -189,13 +222,8 @@ def point_in_region_join(points: DataFrame, regions: DataFrame,
                 ),
                 np.uint64,
             )
-            lvls = ck.level(ids_u)
-            by_level = {}
-            for cid, lv in zip(ids_u.view(np.int64), lvls):
-                by_level.setdefault(int(lv), []).append(int(cid))
-            if len(_COVERING_CACHE) > 4096:
-                _COVERING_CACHE.clear()
-            _COVERING_CACHE[key] = by_level
+            by_level = _by_level_of(ids_u)
+            _cache_put(key, by_level)
         if by_level:
             region_covs[rid] = by_level
     if not region_covs:
