@@ -85,3 +85,31 @@ def streaming_simhash_dedup(doc_stream: DataFrame,
     s = doc_stream.mapInPandas(add_simhash, out_schema)
     s = s.withWatermark(ts_col, watermark)
     return s.dropDuplicatesWithinWatermark(["simhash"])
+
+
+def streaming_corpus_filter(doc_stream: DataFrame, quality_min: float = 0.5,
+                            langs: tuple[str, ...] = ("en",),
+                            ts_col: str = "event_time",
+                            watermark: str = "10 minutes",
+                            text_col: str = "text") -> DataFrame:
+    """The live-ingest twin of operators/corpus.build_training_corpus:
+    quality gate + language gate (stateless, identical column
+    definitions to the batch operator) then watermark-bounded exact
+    dedup — first arrival per content hash survives.
+
+    Near-dup clustering is inherently corpus-global (connected
+    components) and stays a batch job over the accumulated sink; this
+    stream applies every gate that is decidable per document or per
+    watermark window.  Output rows carry the same metadata columns as
+    the batch corpus (n_tokens, quality_score, lang_pred, text_md5).
+    """
+    from ..operators.text import with_lang_id, with_quality_score
+
+    scored = with_lang_id(with_quality_score(doc_stream))
+    gated = scored.filter(
+        (F.col("quality_score") >= quality_min)
+        & F.col("lang_pred").isin(*langs)
+    )
+    gated = gated.withColumn("text_md5", F.md5(F.col(text_col)))
+    gated = gated.withWatermark(ts_col, watermark)
+    return gated.dropDuplicatesWithinWatermark(["text_md5"])

@@ -99,3 +99,48 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_streaming_corpus_filter_matches_batch_gates(spark, tmp_path):
+    """Survivor key set == batch gates (quality + lang + exact dedup by
+    content hash) on the same documents."""
+    from s2_geometry_rust_spark.operators.text import (
+        with_lang_id,
+        with_quality_score,
+    )
+    from s2_geometry_rust_spark.streaming.dedup import (
+        streaming_corpus_filter,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn(
+            "event_time",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")),
+        )
+    )
+    src = str(tmp_path / "corpus_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        streaming_corpus_filter(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("corpus_stream")
+        .option("checkpointLocation", str(tmp_path / "corpus_cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM corpus_stream").toPandas()
+
+    batch = with_lang_id(with_quality_score(spark.read.parquet(src)))
+    gated = batch.filter(
+        (F.col("quality_score") >= 0.5) & (F.col("lang_pred") == "en")
+    ).withColumn("text_md5", F.md5("text"))
+    want_keys = {r["text_md5"] for r in gated.select("text_md5").distinct().collect()}
+    assert set(got["text_md5"]) == want_keys
+    assert len(got) == len(want_keys)  # exactly one survivor per key
+    # survivors must individually pass the gates
+    assert (got["quality_score"] >= 0.5).all()
+    assert (got["lang_pred"] == "en").all()
