@@ -834,6 +834,15 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, bench, n=3)
 
 
+def funnel_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel over events — per-step
+    user-keyed aggregates, no self-join explosion."""
+    from .operators.events import funnel_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_counts(ev)
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -884,6 +893,7 @@ QUERIES = {
     "region_contains_loop": region_contains_loop_q,
     "loop_intersections": loop_intersections_q,
     "decontaminate": decontaminate_q,
+    "funnel_counts": funnel_counts_q,
 }
 
 ORACLES = {
@@ -940,4 +950,5 @@ ORACLES = {
         INTERSECT_A_LOOPS, INTERSECT_B_LOOPS
     ),
     "decontaminate": oracle.decontaminate_sql(3),
+    "funnel_counts": oracle.funnel_counts_sql(),
 }

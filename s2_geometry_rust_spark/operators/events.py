@@ -66,3 +66,41 @@ def session_stats(events: DataFrame, gap_us: int = DEFAULT_GAP_US) -> DataFrame:
             F.sum("cents").alias("sum_cents"),
         )
     )
+
+
+def funnel_counts(events: DataFrame, steps: tuple[str, ...] =
+                  ("view", "click", "purchase"),
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """Ordered-funnel analysis: how many users completed each prefix of
+    ``steps`` in strict timestamp order (unbounded window, first-match
+    semantics: step k's timestamp is the earliest event of that type
+    strictly after step k-1's).
+
+    Scale shape: one filtered aggregate + equi-join per step, all keyed
+    by user — each stage is a hash shuffle on the user key, no window
+    over raw events and no self-join explosion (the per-step frames
+    hold at most one row per user).  Output: (step_idx, step, n_users).
+    """
+    reached = events.filter(F.col(type_col) == steps[0]).groupBy(
+        F.col(user_col).alias("_u")
+    ).agg(F.min(ts_col).alias("_t"))
+    out_rows = [(1, steps[0], reached)]
+    for k, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .select(F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts"))
+            .join(reached, "_u")
+            .filter(F.col("_ts") > F.col("_t"))
+            .groupBy("_u")
+            .agg(F.min("_ts").alias("_t"))
+        )
+        out_rows.append((k, step, nxt))
+        reached = nxt
+    counts = None
+    for k, step, df in out_rows:
+        c = df.agg(F.count("*").alias("n_users")).select(
+            F.lit(k).alias("step_idx"), F.lit(step).alias("step"), "n_users"
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return counts

@@ -2628,3 +2628,25 @@ FROM g JOIN bench USING (ngram)
 WHERE g.doc_id >= {bench_max_id}
 GROUP BY g.doc_id
 """
+
+
+def funnel_counts_sql(steps: tuple[str, ...] = ("view", "click", "purchase")) -> str:
+    """Mirror of events.funnel_counts: per-step first-match timestamps
+    in strict order."""
+    ctes = [f"""s1 AS (
+  SELECT user_id AS u, MIN(ts) AS t FROM events
+  WHERE event_type = '{steps[0]}' GROUP BY user_id
+)"""]
+    for k, step in enumerate(steps[1:], start=2):
+        ctes.append(f"""s{k} AS (
+  SELECT e.user_id AS u, MIN(e.ts) AS t
+  FROM events e JOIN s{k - 1} p ON e.user_id = p.u
+  WHERE e.event_type = '{step}' AND e.ts > p.t
+  GROUP BY e.user_id
+)""")
+    selects = " UNION ALL ".join(
+        f"SELECT {k} AS step_idx, '{step}' AS step,"
+        f" (SELECT count(*) FROM s{k}) AS n_users"
+        for k, step in enumerate(steps, start=1)
+    )
+    return "WITH " + ", ".join(ctes) + " " + selects

@@ -287,3 +287,26 @@ def test_sessionize_random_streams_vs_python(spark):
             want[eid_] = idx
             prev = t
     assert got == want
+
+
+def test_funnel_counts_matches_python(spark):
+    from s2_geometry_rust_spark.operators.events import funnel_counts
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    got = {
+        r["step"]: r["n_users"] for r in funnel_counts(ev).collect()
+    }
+    pdf = ev.select("user_id", "ts", "event_type").toPandas()
+    steps = ("view", "click", "purchase")
+    reached = {}
+    for u, g in pdf.groupby("user_id"):
+        t = None
+        for k, s in enumerate(steps):
+            cand = g[(g["event_type"] == s)]
+            if t is not None:
+                cand = cand[cand["ts"] > t]
+            if len(cand) == 0:
+                break
+            t = cand["ts"].min()
+            reached[s] = reached.get(s, 0) + 1
+    assert got == reached and got["view"] > got["purchase"] > 0
