@@ -309,4 +309,5 @@ def test_funnel_counts_matches_python(spark):
                 break
             t = cand["ts"].min()
             reached[s] = reached.get(s, 0) + 1
-    assert got == reached and got["view"] > got["purchase"] > 0
+    assert got == reached
+    assert got["view"] >= got["click"] >= got["purchase"] > 0
