@@ -843,6 +843,34 @@ def funnel_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(ev)
 
 
+def tile_lang_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-domain flagship composition: geo spans extracted from the
+    interleaved documents -> leaf cell -> level-6 tile, joined with each
+    document's predicted language — per-tile language distribution.
+    One extraction pass + one broadcastable lang join + one aggregate
+    shuffle; everything before the groupBy is codegen + one Arrow UDF."""
+    from .operators.text import with_lang_id
+    from .sources import extract_geo_points, interleave_flat_documents
+
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = extract_geo_points(interleave_flat_documents(flat)).withColumn(
+        "_id", F.regexp_extract("doc_id", r"(\d+)", 1).cast("long")
+    )
+    lang = with_lang_id(flat).select(
+        F.col("doc_id").alias("_id"), "lang_pred"
+    )
+    return (
+        pts.join(lang, "_id")
+        .withColumn("tile_id", cell_parent("cell_id", 6))
+        .groupBy("tile_id", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "tile_id", cell_token("tile_id").alias("tile_token"),
+            "lang_pred", "n_docs",
+        )
+    )
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -894,6 +922,7 @@ QUERIES = {
     "loop_intersections": loop_intersections_q,
     "decontaminate": decontaminate_q,
     "funnel_counts": funnel_counts_q,
+    "tile_lang_counts": tile_lang_counts_q,
 }
 
 ORACLES = {
@@ -951,4 +980,5 @@ ORACLES = {
     ),
     "decontaminate": oracle.decontaminate_sql(3),
     "funnel_counts": oracle.funnel_counts_sql(),
+    "tile_lang_counts": oracle.tile_lang_counts_sql(),
 }

@@ -953,6 +953,53 @@ def _pip_sign_sql(p, v0, v1) -> str:
             f" WHEN {det} < -{TRIAGE_THR!r} THEN -1 ELSE 0 END")
 
 
+def _geo_synth_ctes(seed: int = 42) -> str:
+    """CTE fragments (no WITH keyword) re-deriving the interleaved
+    generator's one geo span per document in SQL: splitmix64 uniforms ->
+    Box-Muller gaussians -> unit sphere -> POINT(lat lng) text
+    round-trip -> re-normalized xyz.  Ends in relation
+    ``p(id, px, py, pz)``.  Shared by point_in_region_sql and
+    tile_lang_counts_sql."""
+    u0 = _uniform_sql("id", 100, seed)
+    u1 = _uniform_sql("id", 101, seed)
+    u2 = _uniform_sql("id", 102, seed)
+    u3 = _uniform_sql("id", 103, seed)
+    return f"""ids AS (SELECT doc_id AS id FROM documents),
+u AS (
+  SELECT id,
+         GREATEST({u0}, 1e-300) AS u0, {u1} AS u1,
+         GREATEST({u2}, 1e-300) AS u2, {u3} AS u3
+  FROM ids
+), g AS (
+  SELECT id,
+         sqrt(-2.0 * ln(u0)) * cos(2.0 * pi() * u1) AS g0,
+         sqrt(-2.0 * ln(u0)) * sin(2.0 * pi() * u1) AS g1,
+         sqrt(-2.0 * ln(u2)) * cos(2.0 * pi() * u3) AS g2
+  FROM u
+), sph AS (
+  SELECT id, g0 / n AS x, g1 / n AS y, g2 / n AS z
+  FROM (SELECT id, g0, g1, g2,
+               CASE WHEN sqrt(g0*g0 + g1*g1 + g2*g2) = 0.0 THEN 1.0
+                    ELSE sqrt(g0*g0 + g1*g1 + g2*g2) END AS n
+        FROM g)
+), ll AS (
+  -- the engine round-trips through the POINT(lat lng) span text; the
+  -- parse is exact, so replicate lat/lng -> xyz re-derivation
+  SELECT id,
+         degrees(asin(LEAST(GREATEST(z, -1.0), 1.0))) AS lat,
+         degrees(atan2(y, x)) AS lng
+  FROM sph
+), pt AS (
+  SELECT id, cos(radians(lat)) * cos(radians(lng)) AS rx,
+             cos(radians(lat)) * sin(radians(lng)) AS ry,
+             sin(radians(lat)) AS rz
+  FROM ll
+), p AS (
+  SELECT id, rx / n AS px, ry / n AS py, rz / n AS pz
+  FROM (SELECT id, rx, ry, rz, sqrt(rx*rx + ry*ry + rz*rz) AS n FROM pt)
+)"""
+
+
 def point_in_region_sql(loop_names: list[str] | None = None,
                         seed: int = 42) -> str:
     import numpy as np
@@ -989,48 +1036,12 @@ def point_in_region_sql(loop_names: list[str] | None = None,
         f"('{n}', {cx!r}, {cy!r}, {cz!r}, {r2!r})"
         for (n, cx, cy, cz, r2) in crows
     )
-    u0 = _uniform_sql("id", 100, seed)
-    u1 = _uniform_sql("id", 101, seed)
-    u2 = _uniform_sql("id", 102, seed)
-    u3 = _uniform_sql("id", 103, seed)
     p = ("p.px", "p.py", "p.pz")
     v0 = ("lv.x0", "lv.y0", "lv.z0")
     v1 = ("lv.x1", "lv.y1", "lv.z1")
     return f"""
-WITH ids AS (SELECT doc_id AS id FROM documents),
-u AS (
-  SELECT id,
-         GREATEST({u0}, 1e-300) AS u0, {u1} AS u1,
-         GREATEST({u2}, 1e-300) AS u2, {u3} AS u3
-  FROM ids
-), g AS (
-  SELECT id,
-         sqrt(-2.0 * ln(u0)) * cos(2.0 * pi() * u1) AS g0,
-         sqrt(-2.0 * ln(u0)) * sin(2.0 * pi() * u1) AS g1,
-         sqrt(-2.0 * ln(u2)) * cos(2.0 * pi() * u3) AS g2
-  FROM u
-), sph AS (
-  SELECT id, g0 / n AS x, g1 / n AS y, g2 / n AS z
-  FROM (SELECT id, g0, g1, g2,
-               CASE WHEN sqrt(g0*g0 + g1*g1 + g2*g2) = 0.0 THEN 1.0
-                    ELSE sqrt(g0*g0 + g1*g1 + g2*g2) END AS n
-        FROM g)
-), ll AS (
-  -- the engine round-trips through the POINT(lat lng) span text; the
-  -- parse is exact, so replicate lat/lng -> xyz re-derivation
-  SELECT id,
-         degrees(asin(LEAST(GREATEST(z, -1.0), 1.0))) AS lat,
-         degrees(atan2(y, x)) AS lng
-  FROM sph
-), pt AS (
-  SELECT id, cos(radians(lat)) * cos(radians(lng)) AS rx,
-             cos(radians(lat)) * sin(radians(lng)) AS ry,
-             sin(radians(lat)) AS rz
-  FROM ll
-), p AS (
-  SELECT id, rx / n AS px, ry / n AS py, rz / n AS pz
-  FROM (SELECT id, rx, ry, rz, sqrt(rx*rx + ry*ry + rz*rz) AS n FROM pt)
-), loopverts(region_id, x0, y0, z0, x1, y1, z1) AS (VALUES {lvals}),
+WITH {_geo_synth_ctes(seed)},
+loopverts(region_id, x0, y0, z0, x1, y1, z1) AS (VALUES {lvals}),
 caps(region_id, cx, cy, cz, r2) AS (VALUES {cvals}),
 loop_members AS (
   SELECT p.id, lv.region_id
@@ -2650,3 +2661,27 @@ def funnel_counts_sql(steps: tuple[str, ...] = ("view", "click", "purchase")) ->
         for k, step in enumerate(steps, start=1)
     )
     return "WITH " + ", ".join(ctes) + " " + selects
+
+
+def tile_lang_counts_sql(level: int = 6, seed: int = 42) -> str:
+    """Cross-domain composition: the synthesized geo span of every
+    document (geo-synthesis CTEs) -> full SQL Hilbert leaf encode ->
+    parent tile at ``level``, joined with the document's predicted
+    language (lang_id semantics) — per-tile language distribution,
+    composed entirely from already-proven sub-oracles."""
+    points_sql = "SELECT id AS point_id, px AS x, py AS y, pz AS z FROM p"
+    tile = parent_sql("cell_id", level)
+    return (
+        f"WITH lut(idx, r) AS (VALUES {lookup_pos_sql_values()}),\n"
+        + _geo_synth_ctes(seed)
+        + ","
+        + _hilbert_chain(points_sql, "")
+        + f""",
+tiles AS (SELECT point_id, {tile} AS tile_id FROM leaf),
+lang AS ({lang_id_sql()})
+SELECT t.tile_id, {token_sql('t.tile_id')} AS tile_token, l.lang_pred,
+       count(*) AS n_docs
+FROM tiles t JOIN lang l ON l.doc_id = t.point_id
+GROUP BY 1, 2, 3
+"""
+    )
