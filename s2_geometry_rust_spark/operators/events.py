@@ -38,7 +38,9 @@ def sessionize(events: DataFrame, gap_us: int = DEFAULT_GAP_US,
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
     prev = F.lag(F.col(ts_col)).over(w)
-    gap = F.expr(f"INTERVAL '{gap_us / 1_000_000!r}' SECOND")
+    # integer MICROSECOND interval: exact for any gap (float seconds
+    # repr breaks the parser below 100 us and loses precision > 2^53)
+    gap = F.expr(f"INTERVAL {int(gap_us)} MICROSECOND")
     new_s = F.when(
         prev.isNull() | (F.col(ts_col) - prev >= gap),
         F.lit(1),
@@ -82,9 +84,12 @@ def funnel_counts(events: DataFrame, steps: tuple[str, ...] =
     over raw events and no self-join explosion (the per-step frames
     hold at most one row per user).  Output: (step_idx, step, n_users).
     """
+    # each per-step frame is persisted (<= 1 row per user) so the final
+    # union of step counts reuses it instead of re-scanning the events
+    # table once per downstream branch (O(steps^2) scans otherwise)
     reached = events.filter(F.col(type_col) == steps[0]).groupBy(
         F.col(user_col).alias("_u")
-    ).agg(F.min(ts_col).alias("_t"))
+    ).agg(F.min(ts_col).alias("_t")).persist()
     out_rows = [(1, steps[0], reached)]
     for k, step in enumerate(steps[1:], start=2):
         nxt = (
@@ -94,6 +99,7 @@ def funnel_counts(events: DataFrame, steps: tuple[str, ...] =
             .filter(F.col("_ts") > F.col("_t"))
             .groupBy("_u")
             .agg(F.min("_ts").alias("_t"))
+            .persist()
         )
         out_rows.append((k, step, nxt))
         reached = nxt

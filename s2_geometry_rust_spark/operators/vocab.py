@@ -54,14 +54,15 @@ def vocab_topk(docs: DataFrame, k: int = 100,
     )
 
 
-def ngram_counts(docs: DataFrame, n: int = 2, min_count: int = 2,
-                 text_col: str = "text") -> DataFrame:
-    """Corpus n-gram counts (space-joined token n-grams) with a minimum
-    frequency cut — the LM-style count table.  The n-gram expansion is
-    a per-row array transform (zero shuffle); only the groupBy
-    aggregates."""
-    toks = _tokens(text_col)
-    grams = F.filter(
+def _ngrams_of(toks: F.Column, n: int) -> F.Column:
+    """Space-joined token n-grams of a MATERIALIZED token-array column.
+
+    ``toks`` must be a plain column reference (not the tokenization
+    expression tree): higher-order functions are interpreted with no
+    subexpression elimination, so referencing the split/lower chain
+    inside the lambda would re-tokenize the document once per element.
+    """
+    return F.filter(
         F.transform(
             toks,
             lambda _, i: F.when(
@@ -71,7 +72,18 @@ def ngram_counts(docs: DataFrame, n: int = 2, min_count: int = 2,
         ),
         lambda g: g.isNotNull(),
     )
-    g = docs.select(F.explode(grams).alias("ngram"))
+
+
+def ngram_counts(docs: DataFrame, n: int = 2, min_count: int = 2,
+                 text_col: str = "text") -> DataFrame:
+    """Corpus n-gram counts (space-joined token n-grams) with a minimum
+    frequency cut — the LM-style count table.  The n-gram expansion is
+    a per-row array transform (zero shuffle); only the groupBy
+    aggregates."""
+    g = (
+        docs.withColumn("_toks", _tokens(text_col))
+        .select(F.explode(_ngrams_of(F.col("_toks"), n)).alias("ngram"))
+    )
     return (
         g.groupBy("ngram")
         .agg(F.count("*").alias("n"))
@@ -152,19 +164,11 @@ def ngram_set(docs: DataFrame, n: int, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
     """Distinct (id, ngram) pairs per document — the unit of overlap
     for decontamination."""
-    toks = _tokens(text_col)
-    grams = F.filter(
-        F.transform(
-            toks,
-            lambda _, i: F.when(
-                i + n <= F.size(toks),
-                F.array_join(F.slice(toks, i + 1, n), " "),
-            ),
-        ),
-        lambda g: g.isNotNull(),
-    )
-    return docs.select(
-        F.col(id_col), F.explode(F.array_distinct(grams)).alias("ngram")
+    return docs.withColumn("_toks", _tokens(text_col)).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(_ngrams_of(F.col("_toks"), n))
+        ).alias("ngram"),
     )
 
 

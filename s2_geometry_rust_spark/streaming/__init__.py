@@ -2,6 +2,7 @@
 stream."""
 
 from .dedup import (  # noqa: F401
+    streaming_corpus_filter,
     streaming_exact_dedup,
     streaming_simhash_dedup,
 )

@@ -16,29 +16,19 @@ stream — one code path, one set of oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 
-from ..functions import cell_id_from_latlng_deg
 from ..operators.spatial_join import point_in_region_join
-
-_POINT_RE = r"^POINT\(([-+0-9.eE]+) ([-+0-9.eE]+)\)$"
+from ..sources import extract_geo_points
 
 
 def streaming_geo_points(doc_stream: DataFrame) -> DataFrame:
-    """Span extraction for a document stream: one row per geo span with
-    (doc_id, span_idx, lat, lng, cell_id) — the same chain as the batch
-    ``sources.extract_geo_points`` (posexplode preserves span order,
-    the per-row invariant)."""
-    s = doc_stream.select(
-        "doc_id", F.posexplode("spans").alias("span_idx", "span")
-    )
-    s = s.filter(F.col("span.kind") == "geo").select(
-        "doc_id",
-        "span_idx",
-        F.regexp_extract("span.text", _POINT_RE, 1).cast("double").alias("lat"),
-        F.regexp_extract("span.text", _POINT_RE, 2).cast("double").alias("lng"),
-    )
-    return s.withColumn("cell_id", cell_id_from_latlng_deg("lat", "lng"))
+    """Span extraction for a document stream — literally the batch
+    ``sources.extract_geo_points`` (pure relational algebra, so it is
+    stream-safe unchanged): one row per parseable geo span with
+    (doc_id, span_idx, lat, lng, cell_id), malformed POINT text
+    filtered identically to the batch path."""
+    return extract_geo_points(doc_stream)
 
 
 def streaming_point_in_region(doc_stream: DataFrame, regions: DataFrame,
