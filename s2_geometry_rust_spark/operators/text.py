@@ -143,7 +143,14 @@ def with_repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     oracle comparison is exact under hash compare.
     """
     t = F.col(text_col)
-    toks = F.filter(F.split(F.lower(t), r"\s+"), lambda x: x != "")
+    # materialize the token array once: the aggregate below is
+    # CodegenFallback, so the whole projection is interpreted with no
+    # common-subexpression elimination — referencing the split/lower
+    # chain from every output column would re-tokenize per column
+    docs = docs.withColumn(
+        "_toks", F.filter(F.split(F.lower(t), r"\s+"), lambda x: x != "")
+    )
+    toks = F.col("_toks")
     n_tokens = F.size(toks).cast("long")
     n_distinct = F.size(F.array_distinct(toks)).cast("long")
     srt = F.array_sort(toks)
@@ -175,6 +182,7 @@ def with_repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "repetition_nano", nano_ratio(n_tokens - n_distinct, n_tokens)
         )
         .withColumn("top_token_frac_nano", nano_ratio(top_n, n_tokens))
+        .drop("_toks")
     )
 
 
