@@ -871,6 +871,15 @@ def tile_lang_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def retention_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over events — distinct (user, day) activity,
+    first-day cohorts, day-offset counts."""
+    from .operators.events import retention_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_counts(ev)
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -923,6 +932,7 @@ QUERIES = {
     "decontaminate": decontaminate_q,
     "funnel_counts": funnel_counts_q,
     "tile_lang_counts": tile_lang_counts_q,
+    "retention_counts": retention_counts_q,
 }
 
 ORACLES = {
@@ -981,4 +991,5 @@ ORACLES = {
     "decontaminate": oracle.decontaminate_sql(3),
     "funnel_counts": oracle.funnel_counts_sql(),
     "tile_lang_counts": oracle.tile_lang_counts_sql(),
+    "retention_counts": oracle.retention_counts_sql(),
 }

@@ -110,3 +110,27 @@ def funnel_counts(events: DataFrame, steps: tuple[str, ...] =
         )
         counts = c if counts is None else counts.unionByName(c)
     return counts
+
+
+def retention_counts(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted by
+    how many were active again N days later — (cohort_day, day_offset,
+    n_users).
+
+    Scale shape: one aggregate to (user, active_day) pairs (map-side
+    combined), one broadcastable first-day frame joined back, one final
+    aggregate — all keyed on user/cohort, no window over raw events.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    active = (
+        events.select(F.col(user_col).alias("_u"), day.alias("_d"))
+        .distinct()
+    )
+    first = active.groupBy("_u").agg(F.min("_d").alias("_d0"))
+    return (
+        active.join(first, "_u")
+        .withColumn("day_offset", F.datediff(F.col("_d"), F.col("_d0")))
+        .groupBy(F.col("_d0").alias("cohort_day"), "day_offset")
+        .agg(F.count("*").alias("n_users"))
+    )

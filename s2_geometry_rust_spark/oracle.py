@@ -2685,3 +2685,19 @@ FROM tiles t JOIN lang l ON l.doc_id = t.point_id
 GROUP BY 1, 2, 3
 """
     )
+
+
+def retention_counts_sql() -> str:
+    """Mirror of events.retention_counts."""
+    return """
+WITH active AS (
+  SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS d FROM events
+), first AS (
+  SELECT u, MIN(d) AS d0 FROM active GROUP BY u
+)
+SELECT a.d0 AS cohort_day,
+       CAST(date_diff('day', a.d0, a.d) AS INT) AS day_offset,
+       count(*) AS n_users
+FROM (SELECT act.u, act.d, f.d0 FROM active act JOIN first f ON act.u = f.u) a
+GROUP BY 1, 2
+"""

@@ -311,3 +311,25 @@ def test_funnel_counts_matches_python(spark):
             reached[s] = reached.get(s, 0) + 1
     assert got == reached
     assert got["view"] >= got["click"] >= got["purchase"] > 0
+
+
+def test_retention_counts_matches_python(spark):
+    from s2_geometry_rust_spark.operators.events import retention_counts
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in retention_counts(ev).collect()
+    }
+    pdf = ev.select("user_id", "ts").toPandas()
+    pdf["d"] = pdf["ts"].dt.floor("D")
+    active = pdf[["user_id", "d"]].drop_duplicates()
+    first = active.groupby("user_id")["d"].min()
+    want = {}
+    for _, row in active.iterrows():
+        d0 = first[row["user_id"]]
+        key = (d0, (row["d"] - d0).days)
+        want[key] = want.get(key, 0) + 1
+    assert got == want
+    # offset-0 cell counts every user exactly once across cohorts
+    assert sum(v for (d0, off), v in got.items() if off == 0) == len(first)
