@@ -315,7 +315,16 @@ def covering_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def point_in_region_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter-and-refine point-in-region join over fixture loops/caps/
-    rects; exactness vs direct PIP is pytest-verified."""
+    rects; exactness vs direct PIP is pytest-verified.
+
+    Covering budget: 8 — the 7-region fixture set rides the driver-side
+    literal-InSet path, where a small memoized covering keeps the whole
+    candidate filter inside one whole-stage-codegen span (r2's
+    max_cells=64 pushed past the 1000-cell InSet threshold into the
+    equi-join path and cost 2x wall time; the 64-cell floor only pays
+    on the distributed path, which point_in_region_join applies
+    itself).  Output is budget-independent: the refine stage is exact.
+    """
     from . import fixtures
     from .operators.spatial_join import point_in_region_join
     from .sources import extract_geo_points, interleave_flat_documents
@@ -325,7 +334,7 @@ def point_in_region_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     regions = fixtures.loop_regions(
         spark, ["arctic_80", "antarctic_80", "candy_cane", "north_hemi"]
     ).unionByName(fixtures.cap_regions(spark))
-    return point_in_region_join(pts, regions, max_cells=64).select(
+    return point_in_region_join(pts, regions, max_cells=8).select(
         "doc_id", "span_idx", "region_id"
     )
 
@@ -691,15 +700,19 @@ def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal pipeline end-to-end: interleave driver docs with
     media spans, explode + route by modality, Arrow-batched fake decode
     (deterministic stand-in for PIL/ffmpeg — the plumbing is the real
-    contract), one row of typed metadata + features per media span."""
+    contract), one row of typed metadata per (media span, feature dim).
+    The feature vector is posexploded to scalar (dim_idx, feature) rows
+    so every output column is driver-canonicalizable (a raw
+    array<double> column breaks hash canonicalization)."""
     from .operators.multimodal import extract_media_features, media_spans
     from .sources import interleave_flat_documents
 
     flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs = interleave_flat_documents(flat, with_media=True)
-    return extract_media_features(media_spans(docs)).select(
-        "doc_id", "span_idx", "modality", "width", "height",
-        "n_frames", "features"
+    feats = extract_media_features(media_spans(docs))
+    return feats.select(
+        "doc_id", "span_idx", "modality", "width", "height", "n_frames",
+        F.posexplode("features").alias("dim_idx", "feature"),
     )
 
 

@@ -375,6 +375,19 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         if fp == prev_fp:
             break
         prev_fp = fp
+    else:
+        # A non-converged edge set is NOT a star forest, and reading it
+        # as (root, member) pairs below would yield silently wrong
+        # components — make the truncation visible instead.
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within {max_rounds} "
+            "rounds; component labels below may be wrong — raise "
+            "max_rounds (alternating-star needs O(log n) rounds)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # fixpoint is a star forest in canonical (u < v) form: u is the
     # component root (its minimum), v the member
     members = e.select(F.col("v").alias("node"), F.col("u").alias("component"))

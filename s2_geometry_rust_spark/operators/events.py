@@ -86,30 +86,46 @@ def funnel_counts(events: DataFrame, steps: tuple[str, ...] =
     """
     # each per-step frame is persisted (<= 1 row per user) so the final
     # union of step counts reuses it instead of re-scanning the events
-    # table once per downstream branch (O(steps^2) scans otherwise)
-    reached = events.filter(F.col(type_col) == steps[0]).groupBy(
-        F.col(user_col).alias("_u")
-    ).agg(F.min(ts_col).alias("_t")).persist()
-    out_rows = [(1, steps[0], reached)]
-    for k, step in enumerate(steps[1:], start=2):
-        nxt = (
-            events.filter(F.col(type_col) == step)
-            .select(F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts"))
-            .join(reached, "_u")
-            .filter(F.col("_ts") > F.col("_t"))
-            .groupBy("_u")
-            .agg(F.min("_ts").alias("_t"))
-            .persist()
-        )
-        out_rows.append((k, step, nxt))
-        reached = nxt
-    counts = None
-    for k, step, df in out_rows:
-        c = df.agg(F.count("*").alias("n_users")).select(
-            F.lit(k).alias("step_idx"), F.lit(step).alias("step"), "n_users"
-        )
-        counts = c if counts is None else counts.unionByName(c)
-    return counts
+    # table once per downstream branch (O(steps^2) scans otherwise).
+    # The result is materialized HERE (it is <= len(steps) rows) so the
+    # per-step caches can be released in finally — returning a lazy
+    # plan over persisted frames would leak them into the session.
+    spark = events.sparkSession
+    step_frames = []
+    try:
+        reached = events.filter(F.col(type_col) == steps[0]).groupBy(
+            F.col(user_col).alias("_u")
+        ).agg(F.min(ts_col).alias("_t")).persist()
+        step_frames.append(reached)
+        out_rows = [(1, steps[0], reached)]
+        for k, step in enumerate(steps[1:], start=2):
+            nxt = (
+                events.filter(F.col(type_col) == step)
+                .select(F.col(user_col).alias("_u"),
+                        F.col(ts_col).alias("_ts"))
+                .join(reached, "_u")
+                .filter(F.col("_ts") > F.col("_t"))
+                .groupBy("_u")
+                .agg(F.min("_ts").alias("_t"))
+                .persist()
+            )
+            step_frames.append(nxt)
+            out_rows.append((k, step, nxt))
+            reached = nxt
+        counts = None
+        for k, step, df in out_rows:
+            c = df.agg(F.count("*").alias("n_users")).select(
+                F.lit(k).alias("step_idx"), F.lit(step).alias("step"),
+                "n_users",
+            )
+            counts = c if counts is None else counts.unionByName(c)
+        rows = counts.collect()
+    finally:
+        for df in step_frames:
+            df.unpersist()
+    return spark.createDataFrame(
+        rows, "step_idx int, step string, n_users bigint"
+    )
 
 
 def retention_counts(events: DataFrame, user_col: str = "user_id",
@@ -131,6 +147,12 @@ def retention_counts(events: DataFrame, user_col: str = "user_id",
     return (
         active.join(first, "_u")
         .withColumn("day_offset", F.datediff(F.col("_d"), F.col("_d0")))
-        .groupBy(F.col("_d0").alias("cohort_day"), "day_offset")
+        # emit the cohort day as 'yyyy-MM-dd' TEXT, not a timestamp:
+        # pins the dtype so engine (ns) and oracle (us) timestamp
+        # precisions can't differ under a dtype-strict comparator
+        .groupBy(
+            F.date_format("_d0", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+        )
         .agg(F.count("*").alias("n_users"))
     )

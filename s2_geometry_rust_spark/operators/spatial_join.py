@@ -227,7 +227,13 @@ def point_in_region_join(points: DataFrame, regions: DataFrame,
         if by_level:
             region_covs[rid] = by_level
     if not region_covs:
-        return points.limit(0).withColumn("region_id", F.lit(None).cast("string"))
+        # filter(False), not limit(0): limit is unsupported on streaming
+        # DataFrames, and this path must also serve the streaming
+        # wrapper (streaming/spatial.py) when the static region table
+        # is empty or uncoverable.
+        return points.filter(F.lit(False)).withColumn(
+            "region_id", F.lit(None).cast("string")
+        )
 
     # Literal InSet compilation wins while the expression stays inside
     # whole-stage codegen; past ~1k covering cells the generated method

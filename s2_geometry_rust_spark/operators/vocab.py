@@ -119,11 +119,14 @@ def label_centroid_sums(embs: DataFrame, label_col: str = "label",
                 continue
             labels = b[label_col].to_numpy(np.int64)
             # widen float32 -> float64 BEFORE scaling (exact), so the
-            # quantization matches the SQL oracle's double arithmetic;
-            # rint vs round-half-away can't diverge (see oracle note)
-            mat = np.rint(
-                np.stack(b[vec_col].to_numpy()).astype(np.float64) * 1e6
-            ).astype(np.int64)
+            # quantization matches the SQL oracle's double arithmetic.
+            # Round half-AWAY-from-zero (trunc(x + copysign(.5, x))) to
+            # match DuckDB/Spark round(): exact halves DO occur — a
+            # float32 that is an odd multiple of 2^-7 scales to k+1/2
+            # (0.0078125 * 1e6 = 7812.5), where np.rint (half-even)
+            # would diverge.
+            scaled = np.stack(b[vec_col].to_numpy()).astype(np.float64) * 1e6
+            mat = np.trunc(scaled + np.copysign(0.5, scaled)).astype(np.int64)
             order = np.argsort(labels, kind="stable")
             labels_s = labels[order]
             mat_s = mat[order]

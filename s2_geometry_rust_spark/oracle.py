@@ -1697,7 +1697,10 @@ def media_features_sql() -> str:
     zero-padded hex of doc_id, modality is FNV-1a(ref) mod 3, and the
     fake 8-dim feature is the tail of the byte-cumsum walk — integer
     sums < 2^53, so the float math is exactly rounded in both engines.
-    The media span is always span_idx 2 (after text and geo)."""
+    The media span is always span_idx 2 (after text and geo).  Features
+    come back posexploded to scalar (dim_idx, feature) rows mirroring
+    the Spark query (the driver canonicalizer cannot hash a raw
+    array<double> column)."""
     return f"""
 WITH m AS (
   SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
@@ -1721,8 +1724,9 @@ SELECT doc_id, CAST(2 AS INT) AS span_idx,
          AS height,
        CAST(CASE m3 WHEN 0 THEN 1 WHEN 1 THEN len(ref) ELSE 16 END AS INT)
          AS n_frames,
-       features
-FROM h
+       CAST(d.dim_idx AS INT) AS dim_idx,
+       features[CAST(d.dim_idx AS INT) + 1] AS feature
+FROM h CROSS JOIN range(0, 8) AS d(dim_idx)
 """
 
 
@@ -2447,9 +2451,11 @@ SELECT ngram, count(*) AS n FROM g GROUP BY ngram HAVING count(*) >= {min_count}
 def label_centroids_sql() -> str:
     """Mirror of vocab.label_centroid_sums: elements quantized to a
     1e-6 integer grid in DOUBLE (float32 widened exactly), then exact
-    integer sums.  round-half cases cannot occur: a binary float scaled
-    by 1e6 is never exactly k + 1/2 (5^6 would have to divide a dyadic
-    denominator), so DuckDB's round() and numpy's rint agree."""
+    integer sums.  Exact round-half cases CAN occur (a float32 that is
+    an odd multiple of 2^-7 scales to k + 1/2, since 1e6 = 2^6 * 5^6
+    supplies six factors of two), so both sides pin the same rule:
+    DuckDB round() is half-away-from-zero and the engine uses
+    trunc(x + copysign(.5, x)) to match."""
     return """
 WITH e AS (
   SELECT label,
@@ -2695,7 +2701,7 @@ WITH active AS (
 ), first AS (
   SELECT u, MIN(d) AS d0 FROM active GROUP BY u
 )
-SELECT a.d0 AS cohort_day,
+SELECT strftime(a.d0, '%Y-%m-%d') AS cohort_day,
        CAST(date_diff('day', a.d0, a.d) AS INT) AS day_offset,
        count(*) AS n_users
 FROM (SELECT act.u, act.d, f.d0 FROM active act JOIN first f ON act.u = f.u) a

@@ -201,7 +201,10 @@ def test_label_centroid_sums_exact(spark):
     for (label, dim), row in got.set_index(["label", "dim"]).iterrows():
         sub = pdf[pdf["label"] == label]
         mat = np.stack(sub["embedding"].to_numpy()).astype(np.float64)
-        want = int(np.rint(mat[:, dim] * 1e6).astype(np.int64).sum())
+        scaled = mat[:, dim] * 1e6
+        want = int(
+            np.trunc(scaled + np.copysign(0.5, scaled)).astype(np.int64).sum()
+        )
         assert row["sum_micro"] == want, (label, dim)
         assert row["n_vectors"] == len(sub)
     # exact under repartition (order independence of integer sums)
@@ -209,6 +212,34 @@ def test_label_centroid_sums_exact(spark):
     a = got.sort_values(["label", "dim"]).reset_index(drop=True)
     b = got2.sort_values(["label", "dim"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_label_centroid_half_rounding_matches_duckdb(spark):
+    """Exact round-half values DO reach the quantizer: a float32 odd
+    multiple of 2^-7 scales to k + 1/2 (0.0078125 * 1e6 = 7812.5).
+    The engine must use half-away-from-zero to agree with DuckDB/Spark
+    round() — np.rint (half-even) would emit 7812 here."""
+    import duckdb
+    import numpy as np
+    from s2_geometry_rust_spark.operators.vocab import label_centroid_sums
+
+    vals = np.array([0.0078125, -0.0078125, 0.5, 0.25], dtype=np.float32)
+    embs = spark.createDataFrame(
+        [(0, [float(v) for v in vals], 7)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = (
+        label_centroid_sums(embs)
+        .toPandas()
+        .sort_values("dim")["sum_micro"]
+        .tolist()
+    )
+    want = duckdb.sql(
+        "SELECT CAST(round(CAST(v AS DOUBLE) * 1e6, 0) AS BIGINT) FROM "
+        "(SELECT unnest([0.0078125::FLOAT, -0.0078125::FLOAT, "
+        "0.5::FLOAT, 0.25::FLOAT]) AS v)"
+    ).fetchall()
+    assert got == [w[0] for w in want] == [7813, -7813, 500000, 250000]
 
 
 def test_decontaminate_matches_python(spark):
@@ -328,7 +359,9 @@ def test_retention_counts_matches_python(spark):
     want = {}
     for _, row in active.iterrows():
         d0 = first[row["user_id"]]
-        key = (d0, (row["d"] - d0).days)
+        # cohort_day is emitted as 'yyyy-MM-dd' text (dtype pinned so
+        # the ns-vs-us timestamp gap can't trip a strict comparator)
+        key = (d0.strftime("%Y-%m-%d"), (row["d"] - d0).days)
         want[key] = want.get(key, 0) + 1
     assert got == want
     # offset-0 cell counts every user exactly once across cohorts

@@ -23,11 +23,22 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
+            # Mirror the driver canonicalizer: it sorts RAW object
+            # columns, so list/array values crash it.  Fail loudly here
+            # instead of silently str-casting past the problem (that
+            # masking is exactly how media_features went red in r2).
+            head = df[c].dropna().head(50)
+            if any(isinstance(v, (list, np.ndarray)) for v in head):
+                raise TypeError(
+                    f"column {c!r} carries list/array values — not "
+                    "driver-canonicalizable; emit scalars (explode or "
+                    "serialize) instead"
+                )
             df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None) -> int:
     import __spark_entry__ as e
     from s2_geometry_rust_spark.session import get_spark
 
@@ -38,13 +49,17 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    print("== entry smoke ==")
-    df = e.entry(spark)
-    n = df.count()
-    print(f"entry rows: {n}  schema: {df.schema.simpleString()}")
-    assert n >= 0
+    if only is None:
+        print("== entry smoke ==")
+        df = e.entry(spark)
+        n = df.count()
+        print(f"entry rows: {n}  schema: {df.schema.simpleString()}")
+        assert n >= 0
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if only is not None:
+        names = [s.strip() for s in only.split(",")]
+        qs = {k: v for k, v in qs.items() if k in names}
     failures = 0
     for name, fn in qs.items():
         try:
@@ -62,7 +77,12 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
             failures += 1
             print(f"{name:28s} ORACLE-ERROR {str(ex)[:200]}")
             continue
-        g, w = norm(got), norm(want)
+        try:
+            g, w = norm(got), norm(want)
+        except TypeError as ex:
+            failures += 1
+            print(f"{name:28s} CANON-ERROR {ex}")
+            continue
         ok_rows = len(g) == len(w)
         ok_cols = list(g.columns) == list(w.columns)
         ok_vals = False
