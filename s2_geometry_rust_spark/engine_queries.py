@@ -731,6 +731,22 @@ def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN over the Rademacher (±1) hyperplane family: buckets
+    are signs of EXACT int64 dot products on the 1e-6 grid, so the
+    DuckDB oracle replays the full pipeline (bucket -> collision join ->
+    exact cosine re-rank) bit-for-bit; the Gaussian-plane variant is the
+    recall-tested production default."""
+    from .operators.similarity import lsh_bucketed_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return lsh_bucketed_topk(
+        queries, emb, 10, n_bits=8, dim=64, n_tables=4, seed=7,
+        planes="rademacher",
+    ).select("query_id", "neighbor_id", "rank")
+
+
 def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals — zero-shuffle per-row
     array math (see text.with_repetition_stats)."""
@@ -926,6 +942,7 @@ QUERIES = {
     "corpus_filter": corpus_filter_q,
     "ann_cosine": ann_cosine_q,
     "ann_ivf": ann_ivf_q,
+    "ann_lsh": ann_lsh_q,
     "emb_near_dup": emb_near_dup_q,
     "media_features": media_features_q,
     "loop_stats": loop_stats_q,
@@ -978,6 +995,7 @@ ORACLES = {
     "knn_cell_ring": oracle.knn_cell_ring_sql(),
     "ann_cosine": oracle.ann_cosine_sql(),
     "ann_ivf": oracle.ann_ivf_sql(),
+    "ann_lsh": oracle.ann_lsh_sql(),
     "media_features": oracle.media_features_sql(),
     "edge_crossings": oracle.edge_crossings_sql(),
     "polyline_crossings": oracle.polyline_crossings_sql(),

@@ -54,6 +54,13 @@ def knn_bruteforce(queries: DataFrame, candidates: DataFrame, k: int,
 
     Output: (query_id, neighbor_id, rank, chord2), rank 1..k ordered by
     (chord2, neighbor_id).
+
+    BASELINE OPERATOR — the *query* side is collected to the driver and
+    broadcast as one numpy matrix, so it must stay driver-sized
+    (~<= 10^5 queries / ~2.4 MB per 10^5 at 3 doubles + id; the
+    candidate side streams once and is unbounded).  For query sets past
+    that bound use ``knn_cell_ring``, the fully-distributed scale twin
+    (same output contract, oracled separately).
     """
     spark = queries.sparkSession
     qrows = queries.select(

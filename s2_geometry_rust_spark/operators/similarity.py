@@ -50,7 +50,14 @@ def cosine_topk_bruteforce(queries: DataFrame, candidates: DataFrame,
                            query_id_col: str | None = None,
                            exclude_self: bool = True) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
-    Output: (query_id, neighbor_id, rank, cosine)."""
+    Output: (query_id, neighbor_id, rank, cosine).
+
+    BASELINE OPERATOR — the *query* side is collected and broadcast as
+    one numpy matrix: keep it driver-sized (~<= 10^5 queries at dim 64
+    ≈ 50 MB; the candidate side streams once, never shuffles, and is
+    unbounded).  Past that bound use ``ivf_topk`` or
+    ``lsh_bucketed_topk``, the fully-distributed scale twins.
+    """
     spark = queries.sparkSession
     q_ids, q_mat = _collect_matrix(queries, query_id_col or id_col, vec_col)
     bc = spark.sparkContext.broadcast((q_ids, q_mat))
@@ -128,18 +135,75 @@ def with_hyperplane_buckets(df: DataFrame, n_bits: int = 16, dim: int = 64,
     return df.mapInPandas(gen, schema)
 
 
+def rademacher_signs(n_tables: int, n_bits: int, dim: int,
+                     seed: int) -> np.ndarray:
+    """Deterministic ±1 hyperplane matrix shared by the engine and the
+    DuckDB oracle (which embeds it as sign-string literals)."""
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 2, size=(n_tables, n_bits, dim)) * 2 - 1).astype(
+        np.int64
+    )
+
+
+def with_rademacher_buckets(df: DataFrame, n_bits: int = 8, dim: int = 64,
+                            n_tables: int = 4, seed: int = 42,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Multi-table sign-LSH with ±1 (Rademacher) hyperplanes over the
+    1e-6 integer grid: each bucket bit is the sign of an EXACT int64
+    dot product, so an independent SQL engine replays the buckets
+    bit-for-bit (no float-summation-order hazard at the sign
+    threshold, unlike the Gaussian planes).  For cosine LSH the ±1
+    family has the same collision-probability guarantee as Gaussian
+    planes up to constants (sign patterns are what matter), so this is
+    a production-grade variant, not a test-only shim."""
+    signs = rademacher_signs(n_tables, n_bits, dim, seed)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(signs)
+    schema = StructType(
+        df.schema.fields
+        + [StructField("table", IntegerType()),
+           StructField("bucket", LongType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bc.value
+        n_t, n_b, _ = pl.shape
+        weights = np.uint64(1) << np.arange(n_b, dtype=np.uint64)
+        for b in batches:
+            if len(b) == 0:
+                continue
+            v = np.array(list(b[vec_col]), dtype=np.float64) * 1e6
+            vi = np.trunc(v + np.copysign(0.5, v)).astype(np.int64)
+            outs = []
+            for t in range(n_t):
+                bits = (vi @ pl[t].T) > 0
+                bucket = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
+                o = b.copy()
+                o["table"] = t
+                o["bucket"] = (
+                    bucket + (np.uint64(t) << np.uint64(48))
+                ).view(np.int64)
+                outs.append(o)
+            yield pd.concat(outs, ignore_index=True)
+
+    return df.mapInPandas(gen, schema)
+
+
 def lsh_bucketed_topk(queries: DataFrame, candidates: DataFrame, k: int,
                       n_bits: int = 12, dim: int = 64, n_tables: int = 8,
                       seed: int = 42,
-                      id_col: str = "vec_id", vec_col: str = "embedding"
-                      ) -> DataFrame:
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      planes: str = "gaussian") -> DataFrame:
     """ANN: equi-join on (table, bucket), exact cosine re-rank over the
     union of bucket collisions.  One shuffle keyed by the folded bucket
-    id (cardinality n_tables * 2^n_bits — high, so no skew hot-spot)."""
-    qb = with_hyperplane_buckets(queries, n_bits, dim, n_tables, seed,
-                                 id_col, vec_col)
-    cb = with_hyperplane_buckets(candidates, n_bits, dim, n_tables, seed,
-                                 id_col, vec_col)
+    id (cardinality n_tables * 2^n_bits — high, so no skew hot-spot).
+    ``planes="rademacher"`` switches to the exact-integer sign-LSH
+    variant whose buckets a SQL oracle can replay bit-for-bit."""
+    bucketer = (with_rademacher_buckets if planes == "rademacher"
+                else with_hyperplane_buckets)
+    qb = bucketer(queries, n_bits, dim, n_tables, seed, id_col, vec_col)
+    cb = bucketer(candidates, n_bits, dim, n_tables, seed, id_col, vec_col)
     q = qb.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "bucket"
     )

@@ -1690,6 +1690,71 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
 """
 
 
+def ann_lsh_sql(k: int = 10, n_queries: int = 20, n_bits: int = 8,
+                dim: int = 64, n_tables: int = 4, seed: int = 7) -> str:
+    """Sign-LSH ANN oracle (mirror of operators/similarity.py:
+    lsh_bucketed_topk with planes="rademacher").  The ±1 hyperplanes are
+    regenerated here with the same seed and embedded as '1'/'0' sign
+    strings; each bucket bit is the sign of an exact int64 dot product
+    over round(x*1e6) quantized components (DuckDB round() is
+    half-away-from-zero, matching the engine's trunc(x+copysign(.5,x))),
+    so bucket membership is bit-exact across engines.  The re-rank
+    compares ids/ranks only under the same >=1e-12 adjacent-cosine-gap
+    fixture margin as ann_cosine (a candidate subset inherits the
+    full-pair set's adjacent gaps)."""
+    from .operators.similarity import rademacher_signs
+
+    signs = rademacher_signs(n_tables, n_bits, dim, seed)
+    plane_rows = ",\n    ".join(
+        f"({t}, {b}, '{''.join('1' if s > 0 else '0' for s in signs[t, b])}')"
+        for t in range(n_tables)
+        for b in range(n_bits)
+    )
+    return f"""
+WITH planes(t, b, s) AS (
+  VALUES
+    {plane_rows}
+), e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT)) AS vi
+  FROM embeddings
+), n AS (
+  SELECT vec_id, v, vi, sqrt(list_dot_product(v, v)) AS nrm FROM e
+), bits AS (
+  SELECT n.vec_id, p.t, p.b,
+         list_sum(list_transform(range(1, {dim} + 1),
+           i -> CASE WHEN substr(p.s, CAST(i AS INT), 1) = '1'
+                     THEN vi[CAST(i AS INT)]
+                     ELSE -vi[CAST(i AS INT)] END)) > 0 AS bit
+  FROM n CROSS JOIN planes p
+), buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN bit THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+              AS BIGINT)
+           + (CAST(t AS BIGINT) << 48) AS bucket
+  FROM bits GROUP BY vec_id, t
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buckets q JOIN buckets c ON q.bucket = c.bucket
+  WHERE q.vec_id < {n_queries} AND q.vec_id <> c.vec_id
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(q.v, t.v) / (q.nrm * t.nrm) AS cos
+  FROM cand
+  JOIN n q ON q.vec_id = cand.query_id
+  JOIN n t ON t.vec_id = cand.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def media_features_sql() -> str:
     """Media-pipeline oracle (mirror of sources/interleaved.py
     interleave_flat_documents(with_media=True) -> operators/multimodal

@@ -159,6 +159,70 @@ def test_ann_ivf_fixture_margins():
         assert (gaps > 1e-12).all(), f"rank margin, query {qi}"
 
 
+def test_ann_lsh_fixture_margins():
+    """ann_lsh compares ids/ranks only.  Bucket membership is exact
+    (integer dots), so the only cross-engine float surface is the
+    cosine re-rank: pin a >=1e-12 adjacent-gap margin on the FULL
+    per-query cosine ordering — any LSH candidate subset inherits the
+    gaps of the full set (removing elements only widens adjacent
+    gaps), so every rank decision the oracle makes is margin-covered.
+    Also pin that no quantized component lands exactly on the .5
+    rounding boundary in float (belt-and-braces: the half-away rule is
+    already identical on both sides)."""
+    import duckdb
+
+    n_queries = 20
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM "
+        "'/root/testdata/sf0.01/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    nm = mat / np.linalg.norm(mat, axis=1)[:, None]
+    allcos = nm @ nm.T
+    for qi in np.where(ids < n_queries)[0]:
+        cos = np.sort(allcos[qi, ids != ids[qi]])[::-1]
+        gaps = -np.diff(cos)
+        distinct = gaps[gaps > 0]
+        assert (distinct > 1e-12).all(), f"adjacent-gap margin, query {qi}"
+        # ties must be exact duplicates (same double), which the
+        # neighbor_id tiebreak resolves identically in both engines
+        assert (gaps >= 0).all()
+
+    # exact integer bucket replay: engine quantizer vs DuckDB round()
+    scaled = mat * 1e6
+    vi = np.trunc(scaled + np.copysign(0.5, scaled)).astype(np.int64)
+    w = con.execute(
+        "SELECT list_transform(embedding, x -> "
+        "CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT)) FROM "
+        "'/root/testdata/sf0.01/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    np.testing.assert_array_equal(
+        vi, np.array([r[0] for r in w], dtype=np.int64)
+    )
+
+
+def test_rademacher_bucket_sign_exactness():
+    """The Rademacher bucket bit is the sign of an int64 dot: verify the
+    numpy matmul path equals a pure-Python exact sum on random data
+    (int64 overflow impossible at |vi|<=2^21, dim 64 -> |dot|<2^27)."""
+    from s2_geometry_rust_spark.operators.similarity import rademacher_signs
+
+    rng = np.random.default_rng(123)
+    signs = rademacher_signs(4, 8, 64, seed=7)
+    v = rng.normal(size=(50, 64))
+    scaled = v * 1e6
+    vi = np.trunc(scaled + np.copysign(0.5, scaled)).astype(np.int64)
+    for t in range(4):
+        got = vi @ signs[t].T
+        want = np.array(
+            [[sum(int(a) * int(s) for a, s in zip(row, signs[t, b]))
+              for b in range(8)] for row in vi]
+        )
+        np.testing.assert_array_equal(got, want)
+
+
 # ---------------------------------------------------------------------------
 # parity-coverer oracle (covering_cells_sql)
 # ---------------------------------------------------------------------------
