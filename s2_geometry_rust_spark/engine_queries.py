@@ -9,7 +9,7 @@ pure-SQL implementation in ``oracle.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import oracle
 from .functions import (
@@ -747,6 +747,75 @@ def ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "rank")
 
 
+def builder_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2Builder subsystem end-to-end at table scale: geo points are
+    chained into 32 polylines (builder add_polyline semantics), both
+    endpoints snapped with IntLatLngSnapFunction(scale=10), and the
+    snapped-edge Graph built — first-appearance vertex ids, degenerate
+    edges dropped, duplicates collapsed with input counts
+    (builder/graph.rs:236-560, snap_functions.rs:190-199).  The DuckDB
+    oracle replays the full build: snap grid, slot-rank vertex ids,
+    dedup, edge ranks.  Rounding/pole margins are pytest-pinned
+    (test_builder_oracle_margins)."""
+    from .operators.builder import (
+        SnapFunction,
+        build_graph,
+        edges_from_latlng,
+        with_int_grid,
+    )
+    from .sources import extract_geo_points, interleave_flat_documents
+
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = extract_geo_points(interleave_flat_documents(flat)).select(
+        "doc_id", "lat", "lng"
+    )
+    pts = pts.withColumn(
+        "doc_seq", F.substring("doc_id", 5, 8).cast("long")
+    ).withColumn(
+        "graph",
+        F.concat(F.lit("g-"), (F.col("doc_seq") % 32).cast("string")),
+    )
+    w = Window.partitionBy("graph").orderBy("doc_seq")
+    raw = (
+        pts.select(
+            "graph", "lat", "lng",
+            F.lead("lat").over(w).alias("lat2"),
+            F.lead("lng").over(w).alias("lng2"),
+            (F.row_number().over(w) - 1).alias("edge_ord"),
+        )
+        .filter(F.col("lat2").isNotNull())
+        .withColumn("edge_type", F.lit("directed"))
+    )
+    edges = edges_from_latlng(raw)
+    vertices, gedges = build_graph(
+        edges, SnapFunction("int_latlng", scale=10.0)
+    )
+    # the vertex table feeds BOTH endpoint joins below (and graph_edges
+    # shares its upstream) — without a checkpoint the whole snap +
+    # groupBy chain re-executes once per join branch (6 parquet scans
+    # observed); lazy localCheckpoint materializes each once, and its
+    # blocks free with the frame (no cacheManager entry to unpersist)
+    vg = with_int_grid(vertices, scale=10.0).localCheckpoint(eager=False)
+    gedges = gedges.localCheckpoint(eager=False)
+    src = vg.select(
+        "graph", F.col("vertex_id").alias("src_vid"),
+        F.col("lat_e").alias("src_lat_e"), F.col("lng_e").alias("src_lng_e"),
+    )
+    dst = vg.select(
+        "graph", F.col("vertex_id").alias("dst_vid"),
+        F.col("lat_e").alias("dst_lat_e"), F.col("lng_e").alias("dst_lng_e"),
+    )
+    return (
+        gedges.join(src, ["graph", "src_vid"])
+        .join(dst, ["graph", "dst_vid"])
+        .select(
+            "graph", "edge_id", "src_vid", "dst_vid",
+            "src_lat_e", "src_lng_e", "dst_lat_e", "dst_lng_e",
+            "n_inputs",
+        )
+    )
+
+
 def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals — zero-shuffle per-row
     array math (see text.with_repetition_stats)."""
@@ -943,6 +1012,7 @@ QUERIES = {
     "ann_cosine": ann_cosine_q,
     "ann_ivf": ann_ivf_q,
     "ann_lsh": ann_lsh_q,
+    "builder_graph": builder_graph_q,
     "emb_near_dup": emb_near_dup_q,
     "media_features": media_features_q,
     "loop_stats": loop_stats_q,
@@ -996,6 +1066,7 @@ ORACLES = {
     "ann_cosine": oracle.ann_cosine_sql(),
     "ann_ivf": oracle.ann_ivf_sql(),
     "ann_lsh": oracle.ann_lsh_sql(),
+    "builder_graph": oracle.builder_graph_sql(),
     "media_features": oracle.media_features_sql(),
     "edge_crossings": oracle.edge_crossings_sql(),
     "polyline_crossings": oracle.polyline_crossings_sql(),

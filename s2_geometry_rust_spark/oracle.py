@@ -1000,6 +1000,88 @@ u AS (
 )"""
 
 
+def builder_graph_sql(n_graphs: int = 32, scale: int = 10,
+                      seed: int = 42) -> str:
+    """Full SQL replay of the S2Builder table build (mirror of
+    engine_queries.builder_graph_q -> operators/builder.py:build_graph
+    with IntLatLngSnapFunction(scale=10), reference builder/graph.rs:
+    236-560):
+
+    - geo synthesis CTEs re-derive every document's POINT lat/lng;
+    - points are chained into ``n_graphs`` polylines ordered by doc id;
+    - snap = round(deg * scale) integer grid (DuckDB round is half-
+      away-from-zero = Rust f64::round; the engine's snapped-xyz round
+      trip is margin-pinned in test_builder_oracle_margins);
+    - degenerate edges (both endpoints on the same snap site) dropped —
+      equal to the engine's angle < 1e-15 rule away from the poles
+      (margin-pinned: no point within 0.05 deg of a pole);
+    - vertex ids = rank of first appearance over (edge order, source
+      before target) — find_or_create_vertex insertion order;
+    - duplicates collapsed with counts, edge ids = rank of surviving
+      min edge order."""
+    return f"""
+WITH {_geo_synth_ctes(seed)},
+pts AS (
+  SELECT id, id % {n_graphs} AS grp, lat, lng FROM ll
+),
+seq AS (
+  SELECT grp,
+         row_number() OVER (PARTITION BY grp ORDER BY id) - 1 AS rn,
+         lat, lng,
+         lead(lat) OVER (PARTITION BY grp ORDER BY id) AS lat2,
+         lead(lng) OVER (PARTITION BY grp ORDER BY id) AS lng2
+  FROM pts
+),
+raw_edges AS (
+  SELECT grp, rn AS edge_ord,
+         CAST(round(lat * {scale}, 0) AS BIGINT) AS sa,
+         CAST(round(lng * {scale}, 0) AS BIGINT) AS so,
+         CAST(round(lat2 * {scale}, 0) AS BIGINT) AS ta,
+         CAST(round(lng2 * {scale}, 0) AS BIGINT) AS tb
+  FROM seq WHERE lat2 IS NOT NULL
+),
+nondeg AS (
+  SELECT * FROM raw_edges WHERE NOT (sa = ta AND so = tb)
+),
+slots AS (
+  SELECT grp, edge_ord * 2 AS slot, sa AS la, so AS lo FROM nondeg
+  UNION ALL
+  SELECT grp, edge_ord * 2 + 1 AS slot, ta AS la, tb AS lo FROM nondeg
+),
+vids AS (
+  SELECT grp, la, lo,
+         CAST(row_number() OVER (PARTITION BY grp ORDER BY first_slot)
+              - 1 AS INT) AS vid
+  FROM (SELECT grp, la, lo, min(slot) AS first_slot
+        FROM slots GROUP BY grp, la, lo)
+),
+eids AS (
+  SELECT n.grp, n.edge_ord,
+         v1.vid AS src_vid, v2.vid AS dst_vid,
+         v1.la AS src_lat_e, v1.lo AS src_lng_e,
+         v2.la AS dst_lat_e, v2.lo AS dst_lng_e
+  FROM nondeg n
+  JOIN vids v1 ON v1.grp = n.grp AND v1.la = n.sa AND v1.lo = n.so
+  JOIN vids v2 ON v2.grp = n.grp AND v2.la = n.ta AND v2.lo = n.tb
+),
+dedup AS (
+  SELECT grp, src_vid, dst_vid,
+         src_lat_e, src_lng_e, dst_lat_e, dst_lng_e,
+         min(edge_ord) AS edge_ord, count(*) AS n_inputs
+  FROM eids
+  GROUP BY grp, src_vid, dst_vid,
+           src_lat_e, src_lng_e, dst_lat_e, dst_lng_e
+)
+SELECT 'g-' || CAST(grp AS VARCHAR) AS graph,
+       CAST(row_number() OVER (PARTITION BY grp ORDER BY edge_ord) - 1
+            AS INT) AS edge_id,
+       src_vid, dst_vid,
+       src_lat_e, src_lng_e, dst_lat_e, dst_lng_e,
+       n_inputs
+FROM dedup
+"""
+
+
 def point_in_region_sql(loop_names: list[str] | None = None,
                         seed: int = 42) -> str:
     import numpy as np

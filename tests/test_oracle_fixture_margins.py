@@ -203,6 +203,39 @@ def test_ann_lsh_fixture_margins():
     )
 
 
+def test_builder_oracle_margins():
+    """builder_graph equivalence pins (engine snaps from round-tripped
+    xyz; the oracle rounds the raw generator lat/lng):
+
+    1. no geo point's lat*10 / lng*10 sits within 1e-9 of a rounding
+       half-boundary — the xyz round trip perturbs by ~1e-12 degrees,
+       so both sides round identically;
+    2. no snapped point within 0.05 deg of a pole — away from the
+       poles, distinct 0.1-degree grid sites are >= ~1e-6 rad apart,
+       so the engine's angle < 1e-15 degenerate rule equals the
+       oracle's same-grid-site rule."""
+    import duckdb
+
+    from s2_geometry_rust_spark import oracle
+
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'"
+        )
+        rows = con.execute(f"""
+WITH {oracle._geo_synth_ctes(42)}
+SELECT lat, lng FROM ll
+""").fetchnumpy()
+        for deg in (rows["lat"], rows["lng"]):
+            frac = np.abs((deg * 10.0) % 1.0 - 0.5)
+            assert frac.min() > 1e-9, (sf_dir, frac.min())
+        lat_e = np.trunc(rows["lat"] * 10.0 +
+                         np.copysign(0.5, rows["lat"] * 10.0))
+        assert np.abs(lat_e).max() < 900, sf_dir
+
+
 def test_rademacher_bucket_sign_exactness():
     """The Rademacher bucket bit is the sign of an int64 dot: verify the
     numpy matmul path equals a pure-Python exact sum on random data
