@@ -747,6 +747,53 @@ def ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "rank")
 
 
+# multi-chain shape split for the chain_crossing_pairs contract query:
+# sorted(name) order in edges_from_chains gives a_lines=0, b_lines=1.
+MULTI_CHAIN_A = ["arctic_arc", "diag", "equator_w"]
+MULTI_CHAIN_B = ["meridian_10", "meridian_90", "mid_lat"]
+
+
+def chain_crossing_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-crossing join between two MULTI-CHAIN polyline shapes
+    (S2MultiPolylineShape, polyline_shape.rs:66-199): one shape_id owns
+    several chains, edge ids are cumulative over chains (chain_starts
+    layout), and the join propagates ChainPosition.chain_id on both
+    sides.  Fixture lines are transversal (margins pytest-pinned), so
+    the oracle replays crossing_sign in plain f64."""
+    from .operators.shape_index import edge_crossing_join, edges_from_chains
+
+    shapes = {
+        "a_lines": [POLYLINE_LINES[n] for n in MULTI_CHAIN_A],
+        "b_lines": [POLYLINE_LINES[n] for n in MULTI_CHAIN_B],
+    }
+    edges = edges_from_chains(spark, shapes, dim=1, closed=False)
+    a = edges.filter(F.col("shape_id") == 0)
+    b = edges.filter(F.col("shape_id") == 1)
+    return edge_crossing_join(
+        a, b, candidates_via_index=True, candidate_level=0,
+        with_chains=True,
+    )
+
+
+def point_in_polygon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon-with-holes join: the polygon fixtures carry
+    shell+hole loop lists (S2PolygonShape semantics — first loop per
+    poly index is the shell, the rest holes, multi-poly contains == any;
+    polygon_shape.rs:78-95, 236-258, 389-393).  Rides the same
+    filter-and-refine path as point_in_region: conservative shell
+    coverings filter, exact shell-minus-holes winding PIP refine."""
+    from . import fixtures
+    from .operators.spatial_join import point_in_region_join
+    from .sources import extract_geo_points, interleave_flat_documents
+
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = extract_geo_points(interleave_flat_documents(flat))
+    regions = fixtures.polygon_regions(spark)
+    return point_in_region_join(pts, regions, max_cells=8).select(
+        "doc_id", "span_idx", "region_id"
+    )
+
+
 def builder_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2Builder subsystem end-to-end at table scale: geo points are
     chained into 32 polylines (builder add_polyline semantics), both
@@ -1013,6 +1060,8 @@ QUERIES = {
     "ann_ivf": ann_ivf_q,
     "ann_lsh": ann_lsh_q,
     "builder_graph": builder_graph_q,
+    "point_in_polygon": point_in_polygon_q,
+    "chain_crossing_pairs": chain_crossing_pairs_q,
     "emb_near_dup": emb_near_dup_q,
     "media_features": media_features_q,
     "loop_stats": loop_stats_q,
@@ -1067,6 +1116,8 @@ ORACLES = {
     "ann_ivf": oracle.ann_ivf_sql(),
     "ann_lsh": oracle.ann_lsh_sql(),
     "builder_graph": oracle.builder_graph_sql(),
+    "point_in_polygon": oracle.point_in_polygon_sql(),
+    "chain_crossing_pairs": oracle.chain_crossing_pairs_sql(),
     "media_features": oracle.media_features_sql(),
     "edge_crossings": oracle.edge_crossings_sql(),
     "polyline_crossings": oracle.polyline_crossings_sql(),

@@ -49,6 +49,21 @@ CAPS: dict[str, tuple[float, float, float]] = {
     "cap_sydney_5deg": (-33.87, 151.21, 5.0),
 }
 
+# polygon-with-holes fixtures (polygon_shape.rs:78-95 semantics: within
+# each poly index, the FIRST loop is the shell, the rest are holes;
+# multiple poly indices form an S2MultiPolygonShape, contains == any).
+# Loop geometry reuses the LOOPS catalog above so the existing oracle
+# sign-margin guarantees carry over.
+POLYGONS: dict[str, list[tuple[int, str]]] = {
+    # northern hemisphere with the >80-degree arctic cap removed
+    "north_hole_arctic": [(0, "north_hemi"), (0, "arctic_80")],
+    # both polar caps as one multi-polygon
+    "bipolar_caps": [(0, "arctic_80"), (1, "antarctic_80")],
+    # candy cane with a hole, plus the antarctic cap as a second poly
+    "cane_hole_multi": [(0, "north_hemi"), (0, "candy_cane"),
+                        (1, "antarctic_80")],
+}
+
 RECTS: dict[str, tuple[float, float, float, float]] = {
     "rect_equator_band": (-5.0, 5.0, -30.0, 30.0),
     "rect_antimeridian": (-10.0, 10.0, 170.0, -170.0),  # wraps
@@ -75,6 +90,29 @@ REGIONS_SCHEMA = StructType(
             ),
         ),
         StructField("cell_ids", ArrayType(LongType())),
+        # polygon kind: loops grouped by poly index; within one poly the
+        # first loop is the shell, later ones holes (polygon_shape.rs)
+        StructField(
+            "loops",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("poly", LongType()),
+                        StructField(
+                            "vertices",
+                            ArrayType(
+                                StructType(
+                                    [
+                                        StructField("lat", DoubleType()),
+                                        StructField("lng", DoubleType()),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        ),
     ]
 )
 
@@ -83,7 +121,7 @@ def loop_regions(spark: SparkSession, names: list[str] | None = None) -> DataFra
     names = names or list(LOOPS)
     rows = [
         (n, "loop", None, None, None, None,
-         [(float(a), float(b)) for a, b in LOOPS[n]], None)
+         [(float(a), float(b)) for a, b in LOOPS[n]], None, None)
         for n in names
     ]
     return spark.createDataFrame(rows, REGIONS_SCHEMA)
@@ -92,7 +130,7 @@ def loop_regions(spark: SparkSession, names: list[str] | None = None) -> DataFra
 def cap_regions(spark: SparkSession, names: list[str] | None = None) -> DataFrame:
     names = names or list(CAPS)
     rows = [
-        (n, "cap", *map(float, CAPS[n]), None, None, None)
+        (n, "cap", *map(float, CAPS[n]), None, None, None, None)
         for n in names
     ]
     return spark.createDataFrame(rows, REGIONS_SCHEMA)
@@ -101,7 +139,20 @@ def cap_regions(spark: SparkSession, names: list[str] | None = None) -> DataFram
 def rect_regions(spark: SparkSession, names: list[str] | None = None) -> DataFrame:
     names = names or list(RECTS)
     rows = [
-        (n, "rect", *map(float, RECTS[n]), None, None)
+        (n, "rect", *map(float, RECTS[n]), None, None, None)
+        for n in names
+    ]
+    return spark.createDataFrame(rows, REGIONS_SCHEMA)
+
+
+def polygon_regions(spark: SparkSession,
+                    names: list[str] | None = None) -> DataFrame:
+    names = names or list(POLYGONS)
+    rows = [
+        (n, "polygon", None, None, None, None, None, None,
+         [(int(poly),
+           [(float(a), float(b)) for a, b in LOOPS[loop_name]])
+          for poly, loop_name in POLYGONS[n]])
         for n in names
     ]
     return spark.createDataFrame(rows, REGIONS_SCHEMA)

@@ -258,3 +258,72 @@ class S2Loop:
     def normalize(self) -> None:
         if not self.is_normalized():
             self.invert()
+
+
+@dataclass
+class S2Polygon:
+    """Polygon with holes: loops[0] is the shell, every further loop a
+    hole — positional semantics, exactly S2PolygonShape
+    (polygon_shape.rs:78-95, 236-258).  ``is_hole`` on a loop is
+    depth & 1 (loop.rs:269-281); the reference's shape container
+    ignores depth for containment and trusts position, so this does
+    too."""
+
+    loops: list
+
+    def num_loops(self) -> int:
+        return len(self.loops)
+
+    def shell(self):
+        return self.loops[0] if self.loops else None
+
+    def holes(self) -> list:
+        return self.loops[1:]
+
+    def is_empty(self) -> bool:
+        return not self.loops or all(
+            lp.num_vertices() == 0 for lp in self.loops
+        )
+
+    @staticmethod
+    def from_degrees(loops_latlng) -> "S2Polygon":
+        return S2Polygon([S2Loop.from_degrees(v) for v in loops_latlng])
+
+    def contains_points_batch(self, x, y, z) -> np.ndarray:
+        """polygon_shape.rs:236-258: inside the shell AND not inside
+        any hole — each loop test is the winding PIP
+        (loop.rs:372-394)."""
+        if not self.loops:
+            return np.zeros(np.shape(np.asarray(x)), dtype=bool)
+        keep = self.loops[0].contains_points_batch(x, y, z)
+        for hole in self.loops[1:]:
+            if keep.any():
+                keep &= ~hole.contains_points_batch(x, y, z)
+        return keep
+
+    def contains_point(self, x: float, y: float, z: float) -> bool:
+        return bool(self.contains_points_batch(
+            np.asarray([x]), np.asarray([y]), np.asarray([z]))[0])
+
+
+@dataclass
+class S2MultiPolygon:
+    """Disconnected polygons: contains == any member polygon contains
+    (polygon_shape.rs:389-393, S2MultiPolygonShape)."""
+
+    polygons: list
+
+    def is_empty(self) -> bool:
+        return not self.polygons or all(p.is_empty() for p in self.polygons)
+
+    def contains_points_batch(self, x, y, z) -> np.ndarray:
+        out = np.zeros(np.shape(np.asarray(x)), dtype=bool)
+        for poly in self.polygons:
+            if out.all():
+                break
+            out |= poly.contains_points_batch(x, y, z)
+        return out
+
+    def contains_point(self, x: float, y: float, z: float) -> bool:
+        return bool(self.contains_points_batch(
+            np.asarray([x]), np.asarray([y]), np.asarray([z]))[0])

@@ -38,7 +38,7 @@ from ..kernels.coverer import (
     RectRegion,
     S2RegionCoverer,
 )
-from ..kernels.loops import S2Loop
+from ..kernels.loops import S2Loop, S2MultiPolygon, S2Polygon
 from ..kernels.rects import S2LatLngRect
 
 from ..kernels import cells_true as ct
@@ -74,7 +74,75 @@ def region_from_row(row) -> object:
     if kind == "union":
         ids = np.asarray(row["cell_ids"], dtype=np.int64).view(np.uint64)
         return CellUnionRegion(ids)
+    if kind == "polygon":
+        return PolygonRegion(multipolygon_from_loops_col(row["loops"]))
     raise ValueError(f"unknown region kind: {kind}")
+
+
+def multipolygon_from_loops_col(loops_col) -> S2MultiPolygon:
+    """regions.loops (array<struct<poly, vertices>>) -> S2MultiPolygon;
+    within a poly index the array order decides shell-vs-hole
+    (polygon_shape.rs:81-87: first loop is the shell)."""
+    by_poly: dict[int, list] = {}
+    order: list[int] = []
+    for entry in loops_col:
+        p = int(entry["poly"])
+        if p not in by_poly:
+            by_poly[p] = []
+            order.append(p)
+        by_poly[p].append(
+            S2Loop.from_degrees([(v["lat"], v["lng"])
+                                 for v in entry["vertices"]])
+        )
+    return S2MultiPolygon([S2Polygon(by_poly[p]) for p in order])
+
+
+class PolygonRegion:
+    """Adapter over S2MultiPolygonShape semantics
+    (polygon_shape.rs:236-258, 389-393)."""
+
+    def __init__(self, multi: S2MultiPolygon):
+        self.multi = multi
+
+    def contains_points_batch(self, x, y, z) -> np.ndarray:
+        return self.multi.contains_points_batch(x, y, z)
+
+    def contains(self, x, y, z) -> bool:
+        return self.multi.contains_point(x, y, z)
+
+
+class TruePolygonRegion:
+    """Conservative polygon adapter for join filters: a covering of the
+    SHELLS is a sound superset of the polygon (holes only remove
+    points), so may_intersect is the union of the shells'
+    TrueLoopRegion tests; the exact refine stays the full
+    shell-minus-holes PIP."""
+
+    def __init__(self, multi: S2MultiPolygon):
+        self.multi = multi
+        self._shells = [
+            TrueLoopRegion(poly.shell()) for poly in multi.polygons
+            if poly.shell() is not None
+        ]
+
+    def contains_points_batch(self, x, y, z) -> np.ndarray:
+        return self.multi.contains_points_batch(x, y, z)
+
+    def contains(self, x, y, z) -> bool:
+        return self.multi.contains_point(x, y, z)
+
+    def may_intersect_cells(self, ids: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(ids), dtype=bool)
+        for shell in self._shells:
+            rest = ~out
+            if not rest.any():
+                break
+            out |= shell.may_intersect_cells(ids)
+        return out
+
+    def may_intersect_cell(self, cell) -> bool:
+        return bool(self.may_intersect_cells(
+            np.asarray([cell.id], np.uint64))[0])
 
 
 _UV_PAD = 1e-12
@@ -562,6 +630,8 @@ def conservative_region_from_row(row) -> object:
         return TrueCapRegion(base.cap)
     if kind == "rect":
         return TrueRectRegion(base.rect)
+    if kind == "polygon":
+        return TruePolygonRegion(base.multi)
     return base  # union: id-space containment is exact already
 
 

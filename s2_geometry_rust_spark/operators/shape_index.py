@@ -43,6 +43,12 @@ EDGES_SCHEMA = StructType(
         StructField("shape_id", LongType()),
         StructField("edge_id", LongType()),
         StructField("dim", IntegerType()),
+        # chain ownership (shape.rs:56-101: Chain / ChainPosition) —
+        # one shape may own several chains; edge ids are cumulative
+        # over chains exactly like the reference chain_starts layout
+        # (polyline_shape.rs:75-92, polygon_shape.rs:81-95)
+        StructField("chain_id", LongType()),
+        StructField("chain_offset", LongType()),
         StructField("v0x", DoubleType()),
         StructField("v0y", DoubleType()),
         StructField("v0z", DoubleType()),
@@ -53,25 +59,71 @@ EDGES_SCHEMA = StructType(
 )
 
 
+def _chain_edge_rows(sid: int, chains: list, dim: int,
+                     closed: bool) -> list[tuple]:
+    rows = []
+    edge_id = 0  # cumulative chain_starts layout
+    for chain_id, pts in enumerate(chains):
+        lat = lk.degrees_to_radians(
+            np.array([p[0] for p in pts], np.float64))
+        lng = lk.degrees_to_radians(
+            np.array([p[1] for p in pts], np.float64))
+        x, y, z = lk.latlng_to_xyz(lat, lng)
+        n = len(pts)
+        n_edges = n if closed else max(0, n - 1)
+        for e in range(n_edges):
+            ne = (e + 1) % n
+            rows.append(
+                (sid, edge_id, dim, chain_id, e,
+                 float(x[e]), float(y[e]), float(z[e]),
+                 float(x[ne]), float(y[ne]), float(z[ne]))
+            )
+            edge_id += 1
+    return rows
+
+
 def edges_from_loops(spark: SparkSession, loops: dict[str, list],
                      dim: int = 2) -> DataFrame:
     """Fixture loops (name -> [(lat_deg, lng_deg), ...]) -> edge table;
     vertex conversion matches make_loop_from_degrees
-    (tests/test_s2loop_port.rs:144-153)."""
+    (tests/test_s2loop_port.rs:144-153).  One chain per shape
+    (S2LoopShape, polygon_shape.rs:13-67)."""
     rows = []
     for sid, (name, pts) in enumerate(sorted(loops.items())):
-        lat = lk.degrees_to_radians(np.array([p[0] for p in pts], np.float64))
-        lng = lk.degrees_to_radians(np.array([p[1] for p in pts], np.float64))
-        x, y, z = lk.latlng_to_xyz(lat, lng)
-        n = len(pts)
-        for e in range(n):
-            ne = (e + 1) % n
-            rows.append(
-                (sid, e, dim,
-                 float(x[e]), float(y[e]), float(z[e]),
-                 float(x[ne]), float(y[ne]), float(z[ne]))
-            )
+        rows.extend(_chain_edge_rows(sid, [pts], dim, closed=True))
     return spark.createDataFrame(rows, EDGES_SCHEMA)
+
+
+def edges_from_chains(spark: SparkSession,
+                      shapes: dict[str, list[list]],
+                      dim: int = 1, closed: bool = False) -> DataFrame:
+    """Multi-chain shape containers: one shape_id owns several chains
+    (S2MultiPolylineShape polyline_shape.rs:66-199 for dim=1 open
+    chains; S2PolygonShape / S2MultiPolygonShape polygon_shape.rs:
+    78-158 for dim=2 closed loops).  Edge ids are cumulative over the
+    chain list — the reference's chain_starts layout — and every edge
+    carries (chain_id, chain_offset) = ChainPosition
+    (shape.rs:82-101)."""
+    rows = []
+    for sid, (name, chains) in enumerate(sorted(shapes.items())):
+        rows.extend(_chain_edge_rows(sid, chains, dim, closed))
+    return spark.createDataFrame(rows, EDGES_SCHEMA)
+
+
+def shape_chains(edges: DataFrame) -> DataFrame:
+    """Chain accessor over the edge table: (shape_id, chain_id, start,
+    length) — Chain::new(start, end - start) over the cumulative
+    chain_starts layout (polyline_shape.rs:171-182,
+    polygon_shape.rs:205-216).  One groupBy; validates at table scale
+    because builders assign edge ids contiguously per chain."""
+    return (
+        edges.groupBy("shape_id", "chain_id")
+        .agg(
+            F.min("edge_id").alias("start"),
+            F.count("*").alias("length"),
+        )
+        .orderBy("shape_id", "chain_id")
+    )
 
 
 def build_shape_index(edges: DataFrame) -> DataFrame:
@@ -128,7 +180,8 @@ _CROSS_SCHEMA_FIELDS = [
 
 def edge_crossing_join(edges_a: DataFrame, edges_b: DataFrame,
                        candidates_via_index: bool = True,
-                       candidate_level: int = INDEX_LEVEL) -> DataFrame:
+                       candidate_level: int = INDEX_LEVEL,
+                       with_chains: bool = False) -> DataFrame:
     """Edge-crossing join (SURVEY.md §2.5): candidate pairs via shared
     index cell at ``candidate_level`` (default 15 = reference parity,
     mutable_shape_index.rs:169-193), refined with the reference's
@@ -140,13 +193,24 @@ def edge_crossing_join(edges_a: DataFrame, edges_b: DataFrame,
     so the join emits each candidate pair once (no dedup needed).
     candidates_via_index=False: exact all-pairs (broadcast the smaller
     side) — kept ONLY as the pytest oracle for index-path recall; never
-    use it in production plans (O(n*m))."""
+    use it in production plans (O(n*m)).
+
+    with_chains=True propagates each side's chain id into the output
+    (a_chain/b_chain — ChainPosition.chain_id, shape.rs:82-101) for
+    multi-chain shape containers."""
+    a_keys = [F.col("shape_id").alias("a_shape"),
+              F.col("edge_id").alias("a_edge")]
+    b_keys = [F.col("shape_id").alias("b_shape"),
+              F.col("edge_id").alias("b_edge")]
+    if with_chains:
+        a_keys.append(F.col("chain_id").alias("a_chain"))
+        b_keys.append(F.col("chain_id").alias("b_chain"))
     a = edges_a.select(
-        F.col("shape_id").alias("a_shape"), F.col("edge_id").alias("a_edge"),
+        *a_keys,
         *[F.col(c).alias(f"a_{c}") for c in ("v0x", "v0y", "v0z", "v1x", "v1y", "v1z")],
     )
     b = edges_b.select(
-        F.col("shape_id").alias("b_shape"), F.col("edge_id").alias("b_edge"),
+        *b_keys,
         *[F.col(c).alias(f"b_{c}") for c in ("v0x", "v0y", "v0z", "v1x", "v1y", "v1z")],
     )
     if candidates_via_index:
@@ -162,7 +226,16 @@ def edge_crossing_join(edges_a: DataFrame, edges_b: DataFrame,
     else:
         pairs = a.crossJoin(F.broadcast(b))
 
-    schema = StructType(_CROSS_SCHEMA_FIELDS)
+    id_cols = ["a_shape", "a_edge", "b_shape", "b_edge"]
+    fields = list(_CROSS_SCHEMA_FIELDS)
+    if with_chains:
+        id_cols += ["a_chain", "b_chain"]
+        fields = fields[:-1] + [
+            StructField("a_chain", LongType()),
+            StructField("b_chain", LongType()),
+            fields[-1],
+        ]
+    schema = StructType(fields)
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for p in batches:
@@ -173,15 +246,9 @@ def edge_crossing_join(edges_a: DataFrame, edges_b: DataFrame,
             bv0 = p[["b_v0x", "b_v0y", "b_v0z"]].to_numpy(np.float64)
             bv1 = p[["b_v1x", "b_v1y", "b_v1z"]].to_numpy(np.float64)
             cr = pred.crossing_sign_batch(av0, av1, bv0, bv1)
-            yield pd.DataFrame(
-                {
-                    "a_shape": p["a_shape"].to_numpy(np.int64),
-                    "a_edge": p["a_edge"].to_numpy(np.int64),
-                    "b_shape": p["b_shape"].to_numpy(np.int64),
-                    "b_edge": p["b_edge"].to_numpy(np.int64),
-                    "crossing": cr.astype(np.int32),
-                }
-            )
+            out = {c: p[c].to_numpy(np.int64) for c in id_cols}
+            out["crossing"] = cr.astype(np.int32)
+            yield pd.DataFrame(out)[[f.name for f in fields]]
 
     return pairs.mapInPandas(refine, schema)
 

@@ -35,7 +35,7 @@ from ..functions import cell_parent
 from ..kernels import latlng as lk
 from .coverings import region_from_row
 
-_REFINABLE = {"loop", "cap", "rect"}
+_REFINABLE = {"loop", "cap", "rect", "polygon"}
 
 # Conservative coverings are deterministic per (region, max_cells);
 # repeated joins against the same region set (interactive use, the
@@ -295,6 +295,9 @@ def point_in_region_join(points: DataFrame, regions: DataFrame,
                     keep[idx] = reg.loop.contains_points_batch(x[idx], y[idx], z[idx])
                 elif row["kind"] == "cap":
                     keep[idx] = reg.cap.contains_points_batch(x[idx], y[idx], z[idx])
+                elif row["kind"] == "polygon":
+                    # shell-minus-holes, any-poly (polygon_shape.rs)
+                    keep[idx] = reg.contains_points_batch(x[idx], y[idx], z[idx])
                 else:  # rect
                     keep[idx] = reg.rect.contains_latlng_batch(lat_r[idx], lng_r[idx])
             yield b[keep]
@@ -339,9 +342,12 @@ def point_in_region_join_distributed(points: DataFrame, regions: DataFrame,
         return cand
 
     acc_total, acc_exact = _session_accumulators(spark)
-    geom = regions.select(
-        "region_id", "kind", "p0", "p1", "p2", "p3", "vertices", "cell_ids"
-    )
+    geom_cols = [
+        c for c in ("region_id", "kind", "p0", "p1", "p2", "p3",
+                    "vertices", "cell_ids", "loops")
+        if c in regions.columns
+    ]
+    geom = regions.select(*geom_cols)
     joined = cand.join(geom, "region_id")
     out_schema = cand.schema
 
@@ -393,6 +399,9 @@ def point_in_region_join_distributed(points: DataFrame, regions: DataFrame,
                     reg = regions_cache[rid]
                     if kind == "loop":
                         keep[idx] = reg.loop.contains_points_batch(
+                            x[idx], y[idx], z[idx])
+                    elif kind == "polygon":
+                        keep[idx] = reg.contains_points_batch(
                             x[idx], y[idx], z[idx])
                     else:  # rect
                         keep[idx] = reg.rect.contains_latlng_batch(

@@ -780,6 +780,68 @@ WHERE a.shape_id IN ({in_a}) AND b.shape_id NOT IN ({in_a})
     )
 
 
+def chain_crossing_pairs_sql(level: int = 0) -> str:
+    """Mirror of the chain_crossing_pairs contract query: multi-chain
+    polyline shapes (edge ids cumulative over chains, chain_starts
+    layout — polyline_shape.rs:75-92), candidates via shared v0-parent
+    cell, crossing_sign replay, chain ids propagated."""
+    import numpy as np
+
+    from .engine_queries import MULTI_CHAIN_A, MULTI_CHAIN_B, POLYLINE_LINES
+    from .kernels import latlng as lk
+
+    shapes = {
+        "a_lines": [POLYLINE_LINES[n] for n in MULTI_CHAIN_A],
+        "b_lines": [POLYLINE_LINES[n] for n in MULTI_CHAIN_B],
+    }
+    rows = []
+    for sid, (name, chains) in enumerate(sorted(shapes.items())):
+        edge_id = 0
+        for chain_id, pts in enumerate(chains):
+            lat = lk.degrees_to_radians(
+                np.array([p[0] for p in pts], np.float64))
+            lng = lk.degrees_to_radians(
+                np.array([p[1] for p in pts], np.float64))
+            x, y, z = lk.latlng_to_xyz(lat, lng)
+            for e in range(len(pts) - 1):
+                rows.append(
+                    (sid, edge_id, chain_id,
+                     float(x[e]), float(y[e]), float(z[e]),
+                     float(x[e + 1]), float(y[e + 1]), float(z[e + 1]))
+                )
+                edge_id += 1
+    vals = ", ".join(
+        f"({s}, {e}, {c}, {v0x!r}, {v0y!r}, {v0z!r}, "
+        f"{v1x!r}, {v1y!r}, {v1z!r})"
+        for (s, e, c, v0x, v0y, v0z, v1x, v1y, v1z) in rows
+    )
+    pts_sql = ("SELECT shape_id*100 + edge_id AS point_id, v0x AS x, "
+               "v0y AS y, v0z AS z FROM edges")
+    p = parent_sql("cell_id", level)
+    av0 = ("a.v0x", "a.v0y", "a.v0z")
+    av1 = ("a.v1x", "a.v1y", "a.v1z")
+    bv0 = ("b.v0x", "b.v0y", "b.v0z")
+    bv1 = ("b.v1x", "b.v1y", "b.v1z")
+    return (
+        f"WITH edges(shape_id, edge_id, chain_id, v0x, v0y, v0z, "
+        f"v1x, v1y, v1z) AS (VALUES {vals}),\n"
+        f"lut(idx, r) AS (VALUES {lookup_pos_sql_values()}),"
+        + _hilbert_chain(pts_sql, "")
+        + f"""
+, cells AS (
+  SELECT e.*, {p} AS cell
+  FROM edges e JOIN leaf l ON l.point_id = e.shape_id*100 + e.edge_id
+)
+SELECT a.shape_id AS a_shape, a.edge_id AS a_edge,
+       b.shape_id AS b_shape, b.edge_id AS b_edge,
+       a.chain_id AS a_chain, b.chain_id AS b_chain,
+       {_crossing_sql(av0, av1, bv0, bv1)} AS crossing
+FROM cells a JOIN cells b ON a.cell = b.cell
+WHERE a.shape_id = 0 AND b.shape_id = 1
+"""
+    )
+
+
 def polyline_crossings_sql() -> str:
     """Mirror of the polyline_crossings contract query: pairs (a < b)
     where any edge pair crosses (polyline.rs:316-338: crossing_sign > 0
@@ -998,6 +1060,68 @@ u AS (
   SELECT id, rx / n AS px, ry / n AS py, rz / n AS pz
   FROM (SELECT id, rx, ry, rz, sqrt(rx*rx + ry*ry + rz*rz) AS n FROM pt)
 )"""
+
+
+def point_in_polygon_sql(seed: int = 42) -> str:
+    """Mirror of engine_queries.point_in_polygon_q: per-loop winding
+    sums (the same tiered sign replay as point_in_region_sql), combined
+    with S2PolygonShape semantics — member of a poly iff inside its
+    first (shell) loop and inside NO later (hole) loop; member of the
+    region iff member of any poly (polygon_shape.rs:236-258,
+    389-393)."""
+    import numpy as np
+
+    from . import fixtures
+    from .kernels import latlng as lk
+
+    rows = []
+    for region_id, loop_list in fixtures.POLYGONS.items():
+        loop_seq: dict[int, int] = {}
+        for poly, loop_name in loop_list:
+            loop_idx = loop_seq.get(poly, 0)
+            loop_seq[poly] = loop_idx + 1
+            pts = fixtures.LOOPS[loop_name]
+            lat = lk.degrees_to_radians(
+                np.array([p[0] for p in pts], np.float64))
+            lng = lk.degrees_to_radians(
+                np.array([p[1] for p in pts], np.float64))
+            x, y, z = lk.latlng_to_xyz(lat, lng)
+            n = len(pts)
+            for e in range(n):
+                ne = (e + 1) % n
+                rows.append(
+                    (region_id, poly, loop_idx,
+                     float(x[e]), float(y[e]), float(z[e]),
+                     float(x[ne]), float(y[ne]), float(z[ne]))
+                )
+    vals = ", ".join(
+        f"('{rid}', {poly}, {li}, {x0!r}, {y0!r}, {z0!r}, "
+        f"{x1!r}, {y1!r}, {z1!r})"
+        for (rid, poly, li, x0, y0, z0, x1, y1, z1) in rows
+    )
+    p = ("p.px", "p.py", "p.pz")
+    v0 = ("pv.x0", "pv.y0", "pv.z0")
+    v1 = ("pv.x1", "pv.y1", "pv.z1")
+    return f"""
+WITH {_geo_synth_ctes(seed)},
+polyverts(region_id, poly, loop_idx, x0, y0, z0, x1, y1, z1)
+  AS (VALUES {vals}),
+loop_inside AS (
+  SELECT p.id, pv.region_id, pv.poly, pv.loop_idx,
+         (sum({_pip_sign_sql(p, v0, v1)}) > 0) AS ins
+  FROM p, polyverts pv
+  GROUP BY p.id, pv.region_id, pv.poly, pv.loop_idx, p.px, p.py, p.pz
+),
+poly_member AS (
+  SELECT id, region_id, poly,
+         bool_and(CASE WHEN loop_idx = 0 THEN ins ELSE NOT ins END)
+           AS member
+  FROM loop_inside GROUP BY id, region_id, poly
+)
+SELECT DISTINCT printf('doc-%08d', id) AS doc_id,
+       1 AS span_idx, region_id
+FROM poly_member WHERE member
+"""
 
 
 def builder_graph_sql(n_graphs: int = 32, scale: int = 10,

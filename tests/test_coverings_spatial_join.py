@@ -149,7 +149,8 @@ def test_point_in_region_join_auto_distributed_large_regions(spark, points):
         lat = float(rng.uniform(-80, 80))
         lng = float(rng.uniform(-180, 180))
         rad = float(rng.uniform(0.5, 6.0))
-        rows.append((f"cap{i:05d}", "cap", lat, lng, rad, None, None, None))
+        rows.append((f"cap{i:05d}", "cap", lat, lng, rad, None, None, None,
+                     None))
     regions = spark.createDataFrame(rows, fixtures.REGIONS_SCHEMA)
     old = sj.DISTRIBUTED_REGION_THRESHOLD
     sj.DISTRIBUTED_REGION_THRESHOLD = 100  # force the auto switch
