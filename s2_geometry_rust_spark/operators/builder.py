@@ -662,8 +662,7 @@ def with_int_grid(vertices: DataFrame, scale: float) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-class BuilderError(ValueError):
-    """S2Error::BuilderError (error.rs) equivalent."""
+from ..errors import BuilderError  # noqa: E402  (S2Error taxonomy)
 
 
 class S2Builder:

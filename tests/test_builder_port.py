@@ -484,3 +484,42 @@ def test_assemble_layers_match_local(spark):
         for r in sorted(polys, key=lambda r: r["seq"])
     ]
     assert got == chain
+
+
+def test_s2error_taxonomy_messages():
+    """Error taxonomy parity (error.rs:13-210): one class per variant,
+    the reference's #[error] message formats, constructor helpers."""
+    from s2_geometry_rust_spark import errors as E
+
+    assert str(E.invalid_point("not normalized")) == (
+        "Invalid point: not normalized")
+    assert str(E.invalid_latitude(2.0)) == (
+        "Invalid latitude: 2.0 (must be in [-π/2, π/2])")
+    assert str(E.invalid_longitude(4.0)) == (
+        "Invalid longitude: 4.0 (must be in [-π, π])")
+    assert str(E.invalid_cell_id(0x123, "bad lsb")) == (
+        "Invalid S2CellId: 0x0000000000000123 - bad lsb")
+    assert str(E.invalid_cell_level(31)) == (
+        "Invalid cell level: 31 (must be in [0, 30])")
+    assert str(E.invalid_face(7)) == "Invalid face: 7 (must be in [0, 5])"
+    assert str(E.insufficient_precision("sign")) == (
+        "Computation failed: insufficient precision for sign")
+    assert str(E.geometric_degeneracy("zero area")) == (
+        "Geometric degeneracy: zero area")
+    assert str(E.internal_error("oops")) == (
+        "Internal error: oops - please report this bug")
+    assert str(E.invalid_loop("too few")) == "Invalid loop: too few"
+    assert str(E.BuilderError("dup")) == "Builder operation failed: dup"
+    assert str(E.BooleanOperationError("union", "bad")) == (
+        "Boolean operation failed: union - bad")
+    # every variant is an S2Error and a ValueError
+    for err in (E.invalid_point("x"), E.BuilderError("x"),
+                E.QueryError("x"), E.IndexError_("x"),
+                E.InvalidPolygonError("x"), E.InvalidPolylineError("x"),
+                E.InvalidAngleError("x")):
+        assert isinstance(err, E.S2Error) and isinstance(err, ValueError)
+    # the builder facade raises taxonomy errors
+    from s2_geometry_rust_spark.operators.builder import (
+        BuilderError as FacadeBuilderError,
+    )
+    assert FacadeBuilderError is E.BuilderError
