@@ -523,3 +523,31 @@ def test_s2error_taxonomy_messages():
         BuilderError as FacadeBuilderError,
     )
     assert FacadeBuilderError is E.BuilderError
+
+
+def test_build_graph_sibling_pair_removal(spark):
+    """graph.rs:458-491: with remove_sibling_pairs, BOTH members of
+    every (u->v, v->u) same-type pair are removed; unpaired edges
+    survive."""
+    rows = [
+        # pair: PX->PY and PY->PX  (both removed)
+        ("g", 0, "directed", *PX, *PY),
+        ("g", 1, "directed", *PY, *PX),
+        # unpaired: PX->PZ (survives)
+        ("g", 2, "directed", *PX, *PZ),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "graph string, edge_ord long, edge_type string, "
+        "sx double, sy double, sz double, "
+        "tx double, ty double, tz double",
+    )
+    _, edges = build_graph(
+        df, SnapFunction("identity"),
+        GraphOptions(remove_sibling_pairs=True),
+    )
+    got = [(r["src_vid"], r["dst_vid"]) for r in edges.collect()]
+    assert got == [(0, 2)]  # PX(vid 0) -> PZ(vid 2)
+    # without the option all three survive
+    _, edges2 = build_graph(df, SnapFunction("identity"))
+    assert edges2.count() == 3
