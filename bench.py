@@ -39,7 +39,12 @@ SCALING_PAIR = (
     int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2")),
     int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8")),
 )
-SCALING_SESSIONS = int(os.environ.get("SPARK_GRAFT_SCALING_SESSIONS", "3"))
+# 4 sessions/leg: local[8] session bests ranged 12.9-19.7 s in one
+# round-3 sweep (session-level JVM state, <2% steal) — with 3 sessions
+# one bench run caught an all-slow local[8] block and read 0.764
+# nominal while an immediate re-probe read 0.934; a 4th session cuts
+# the odds of an all-slow leg at ~3 extra minutes of bench time
+SCALING_SESSIONS = int(os.environ.get("SPARK_GRAFT_SCALING_SESSIONS", "4"))
 
 
 def _sf(sf_dir: str) -> float:
