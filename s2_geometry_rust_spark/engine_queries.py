@@ -835,7 +835,8 @@ def builder_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = edges_from_latlng(raw)
     vertices, gedges = build_graph(
-        edges, SnapFunction("int_latlng", scale=10.0)
+        edges, SnapFunction("int_latlng", scale=10.0),
+        materialize_snapped=True,
     )
     # the vertex table feeds BOTH endpoint joins below (and graph_edges
     # shares its upstream) — without a checkpoint the whole snap +

@@ -110,6 +110,26 @@ def edges_from_chains(spark: SparkSession,
     return spark.createDataFrame(rows, EDGES_SCHEMA)
 
 
+def edges_from_points(spark: SparkSession,
+                      shapes: dict[str, list]) -> DataFrame:
+    """Point-cloud shapes (S2PointShape / S2MultiPointShape /
+    S2PointCloudShape, point_shape.rs:12-160): every point is one
+    DEGENERATE edge (v0 == v1, point_shape.rs:37/:84 Edge::new(point,
+    point)), dim=0, all edges in the default single chain
+    (shape.rs:159-172: num_chains == 1 covering [0, num_edges))."""
+    rows = []
+    for sid, (name, pts) in enumerate(sorted(shapes.items())):
+        lat = lk.degrees_to_radians(
+            np.array([p[0] for p in pts], np.float64))
+        lng = lk.degrees_to_radians(
+            np.array([p[1] for p in pts], np.float64))
+        x, y, z = lk.latlng_to_xyz(lat, lng)
+        for e in range(len(pts)):
+            p = (float(x[e]), float(y[e]), float(z[e]))
+            rows.append((sid, e, 0, 0, e, *p, *p))
+    return spark.createDataFrame(rows, EDGES_SCHEMA)
+
+
 def shape_chains(edges: DataFrame) -> DataFrame:
     """Chain accessor over the edge table: (shape_id, chain_id, start,
     length) — Chain::new(start, end - start) over the cumulative

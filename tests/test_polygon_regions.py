@@ -220,3 +220,52 @@ def test_chain_crossing_join_propagates_chains(spark):
     # equator_w (chain 2 of shape a) crosses meridian_10 (chain 0 of b)
     assert any(r["a_chain"] == 2 and r["b_chain"] == 0
                and r["crossing"] == 1 for r in got)
+
+
+def test_point_cloud_shapes(spark):
+    """Point shapes: one degenerate edge per point, dim 0, single
+    default chain (point_shape.rs:29-47/:74-95, shape.rs:159-172) —
+    and the cloud indexes/queries through the same shape index."""
+    from s2_geometry_rust_spark.operators.shape_index import (
+        INDEX_LEVEL,
+        build_shape_index,
+        edges_from_points,
+        query_point_candidates,
+        shape_chains,
+    )
+    from s2_geometry_rust_spark.functions import cell_id_from_latlng_deg
+    from pyspark.sql import functions as F
+
+    shapes = {
+        "cloud_a": [(10.0, 10.0), (10.1, 10.1), (80.0, -100.0)],
+        "cloud_b": [(-45.0, 60.0)],
+    }
+    edges = edges_from_points(spark, shapes)
+    rows = sorted(
+        (r["shape_id"], r["edge_id"], r["dim"], r["chain_id"],
+         r["chain_offset"],
+         r["v0x"] == r["v1x"] and r["v0y"] == r["v1y"]
+         and r["v0z"] == r["v1z"])
+        for r in edges.collect()
+    )
+    assert rows == [
+        (0, 0, 0, 0, 0, True), (0, 1, 0, 0, 1, True),
+        (0, 2, 0, 0, 2, True), (1, 0, 0, 0, 0, True),
+    ]
+    chains = [(r["shape_id"], r["chain_id"], r["start"], r["length"])
+              for r in shape_chains(edges).collect()]
+    assert chains == [(0, 0, 0, 3), (1, 0, 0, 1)]
+
+    # the cloud participates in the standard index -> candidate query
+    index = build_shape_index(edges)
+    probes = spark.createDataFrame(
+        [("near_a", 10.0, 10.0), ("near_b", -45.0, 60.0),
+         ("far", -10.0, -170.0)],
+        "probe string, lat double, lng double",
+    ).withColumn("cell_id", cell_id_from_latlng_deg("lat", "lng"))
+    got = {
+        (r["probe"], r["shape_id"])
+        for r in query_point_candidates(index, probes).collect()
+    }
+    assert ("near_a", 0) in got and ("near_b", 1) in got
+    assert not any(p == "far" for p, _ in got)
