@@ -34,7 +34,7 @@ def main(n_caps: int = 8000, n_loops: int = 40000, seed: int = 7) -> int:
     cap_r = rng.uniform(0.5, 6.0, n_caps)
     a_rows = [
         (f"cap-{i:06d}", "cap", float(cap_lat[i]), float(cap_lng[i]),
-         float(cap_r[i]), None, None, None)
+         float(cap_r[i]), None, None, None, None)
         for i in range(n_caps)
     ]
     a = spark.createDataFrame(a_rows, REGIONS_SCHEMA).repartition(32)
@@ -47,7 +47,8 @@ def main(n_caps: int = 8000, n_loops: int = 40000, seed: int = 7) -> int:
         la, ln, s = float(c_lat[i]), float(c_lng[i]), float(sz[i])
         b_rows.append(
             (f"loop-{i:06d}", "loop", None, None, None, None,
-             [(la - s, ln - s), (la - s, ln + s), (la + s, ln)], None)
+             [(la - s, ln - s), (la - s, ln + s), (la + s, ln)], None,
+             None)
         )
     b = spark.createDataFrame(b_rows, REGIONS_SCHEMA).repartition(32)
 
