@@ -1026,6 +1026,27 @@ def retention_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_counts(ev)
 
 
+def point_cloud_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-cloud shapes at table scale (S2PointCloudShape,
+    point_shape.rs:12-160): derived points grouped into 32 clouds, each
+    point a degenerate edge in its within-shape order, rolled up to
+    per-(shape, level-15 index cell) clipped-shape stats.  One window
+    shuffle + one partial-agg shuffle; cell math is codegen bit ops."""
+    from .operators.shape_index import point_cloud_index
+
+    pts = leaf_assign(spark, sf_dir).withColumn(
+        "shape_id", F.pmod("point_id", F.lit(32)).cast("long")
+    )
+    return point_cloud_index(pts).select(
+        "shape_id",
+        F.col("index_cell_id").alias("cell_id"),
+        cell_token("index_cell_id").alias("cell_token"),
+        "n_edges",
+        "min_edge_id",
+        "max_edge_id",
+    )
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -1083,6 +1104,7 @@ QUERIES = {
     "funnel_counts": funnel_counts_q,
     "tile_lang_counts": tile_lang_counts_q,
     "retention_counts": retention_counts_q,
+    "point_cloud_index": point_cloud_index_q,
 }
 
 ORACLES = {
@@ -1146,4 +1168,5 @@ ORACLES = {
     "funnel_counts": oracle.funnel_counts_sql(),
     "tile_lang_counts": oracle.tile_lang_counts_sql(),
     "retention_counts": oracle.retention_counts_sql(),
+    "point_cloud_index": oracle.point_cloud_index_sql(),
 }

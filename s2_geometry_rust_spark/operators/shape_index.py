@@ -146,6 +146,43 @@ def shape_chains(edges: DataFrame) -> DataFrame:
     )
 
 
+def point_cloud_index(points: DataFrame, shape_col: str = "shape_id",
+                      id_col: str = "point_id",
+                      cell_col: str = "cell_id",
+                      level: int = INDEX_LEVEL) -> DataFrame:
+    """Table-scale point-cloud shape index: point_shape.rs:12-160
+    lifted from the driver-side fixture builder (edges_from_points) to
+    a DataFrame source, the shape point clouds actually take at scale.
+
+    Every input row is one DEGENERATE edge (v0 == v1,
+    point_shape.rs:37/:84) of its ``shape_col`` cloud; edge ids are the
+    within-shape ``id_col`` order (cumulative over the single default
+    chain, shape.rs:159-172), and each edge lands in its v0 leaf's
+    level-15 parent cell (mutable_shape_index.rs:169-193).
+
+    Returns the clipped-shape roll-up (shape_id, cell_id, n_edges,
+    min_edge_id, max_edge_id).  Scale shape: one window shuffle on
+    shape_id for edge ranks + one partial-agg shuffle on (shape, cell)
+    — the parent-cell math is a codegen bit expression, no Python.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(shape_col).orderBy(id_col)
+    edges = points.withColumn(
+        "edge_id", (F.row_number().over(w) - 1).cast("long")
+    )
+    return (
+        edges.withColumn("_icell", cell_parent(cell_col, level))
+        .groupBy(shape_col, "_icell")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.min("edge_id").alias("min_edge_id"),
+            F.max("edge_id").alias("max_edge_id"),
+        )
+        .withColumnRenamed("_icell", "index_cell_id")
+    )
+
+
 def build_shape_index(edges: DataFrame) -> DataFrame:
     """(cell_id, shape_id, edge_id) rows, Hilbert-sorted.
 

@@ -133,6 +133,31 @@ def face_counts_sql(table: str = "customer", key: str = "c_custkey") -> str:
     return cte + "SELECT face, count(*) AS n_points FROM leaf GROUP BY face"
 
 
+def point_cloud_index_sql(n_shapes: int = 32, level: int = 15,
+                          table: str = "customer",
+                          key: str = "c_custkey") -> str:
+    """Table-scale point-cloud shape index: degenerate edges (v0 == v1,
+    point_shape.rs:37/:84) grouped into ``n_shapes`` clouds, edge ids =
+    within-shape point order (single default chain, shape.rs:159-172),
+    index cell = v0 leaf's level-15 parent
+    (mutable_shape_index.rs:169-193) — all replayed over the SQL
+    Hilbert encoder."""
+    cte = hilbert_leaf_cte(derived_points_sql(table, key))
+    p = parent_sql("cell_id", level)
+    return cte + f""",
+shaped AS (
+  SELECT CAST(point_id % {n_shapes} AS BIGINT) AS shape_id,
+         {p} AS icell,
+         CAST(row_number() OVER (
+             PARTITION BY point_id % {n_shapes} ORDER BY point_id
+           ) - 1 AS BIGINT) AS edge_id
+  FROM leaf)
+SELECT shape_id, icell AS cell_id, {token_sql('icell')} AS cell_token,
+       count(*) AS n_edges,
+       min(edge_id) AS min_edge_id, max(edge_id) AS max_edge_id
+FROM shaped GROUP BY 1, 2, 3"""
+
+
 # ---------------------------------------------------------------------------
 # geometry joins on derived lat/lng (affine from keys — no trig, bit-exact)
 # ---------------------------------------------------------------------------

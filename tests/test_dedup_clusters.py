@@ -82,6 +82,26 @@ def test_cc_disjoint_components_and_duplicate_edges(spark):
 def test_cc_empty_edges(spark):
     df = spark.createDataFrame([], "doc_a long, doc_b long")
     assert connected_components(df).count() == 0
+    assert connected_components(df, driver_max_edges=0).count() == 0
+
+
+def test_cc_distributed_path_matches_driver_path(spark):
+    """driver_max_edges=0 forces the alternating-star scale path; its
+    labels must be identical to the driver union-find fast path on the
+    same graph (chain + triangles + singleton-heavy random edges)."""
+    rng = np.random.default_rng(7)
+    edges = [(i, i + 1) for i in range(50)]
+    edges += [
+        (int(a), int(b))
+        for a, b in rng.integers(100, 400, size=(300, 2))
+        if a != b
+    ]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = {r["node"]: r["component"]
+            for r in connected_components(df).collect()}
+    dist = {r["node"]: r["component"]
+            for r in connected_components(df, driver_max_edges=0).collect()}
+    assert fast == dist == _union_find_components(edges)
 
 
 def test_duplicate_clusters_consistent_with_pairs(spark, sf_dir):

@@ -269,3 +269,59 @@ def test_point_cloud_shapes(spark):
     }
     assert ("near_a", 0) in got and ("near_b", 1) in got
     assert not any(p == "far" for p, _ in got)
+
+
+def test_point_cloud_index_matches_fixture_path(spark):
+    """The table-scale point_cloud_index roll-up must agree with the
+    driver-side fixture path (edges_from_points -> build_shape_index)
+    on the same clouds: same (shape, cell) keys, same per-cell edge
+    multiplicity of v0-parents, same cumulative edge-id layout."""
+    from pyspark.sql import functions as F
+
+    from s2_geometry_rust_spark.functions import (
+        cell_id_from_latlng_deg,
+        cell_parent,
+    )
+    from s2_geometry_rust_spark.operators.shape_index import (
+        INDEX_LEVEL,
+        edges_from_points,
+        point_cloud_index,
+    )
+
+    rng = np.random.default_rng(11)
+    pts = [(float(la), float(ln))
+           for la, ln in zip(rng.uniform(-80, 80, 60),
+                             rng.uniform(-179, 179, 60))]
+    shapes = {"cloud_a": pts[:40], "cloud_b": pts[40:]}
+
+    # fixture path: per-edge v0-parent cells (keep multiplicity)
+    from s2_geometry_rust_spark.kernels import cellid as ck
+
+    edges = edges_from_points(spark, shapes)
+    fixture = {}
+    for r in edges.collect():
+        leaf = ck.from_point(
+            np.array([r["v0x"]]), np.array([r["v0y"]]),
+            np.array([r["v0z"]]))[0]
+        cell = int(ck.parent(np.array([leaf]), INDEX_LEVEL)[0])
+        if cell >= 1 << 63:          # kernel u64 -> Spark i64 bits
+            cell -= 1 << 64
+        key = (r["shape_id"], cell)
+        n, mn, mx = fixture.get(key, (0, 1 << 62, -1))
+        fixture[key] = (n + 1, min(mn, r["edge_id"]),
+                        max(mx, r["edge_id"]))
+
+    # table path: same points as a DataFrame source, same shape split
+    table_rows = []
+    for sid, (name, cloud) in enumerate(sorted(shapes.items())):
+        for j, (la, ln) in enumerate(cloud):
+            table_rows.append((sid, j, la, ln))
+    tbl = spark.createDataFrame(
+        table_rows, "shape_id long, point_id long, lat double, lng double"
+    ).withColumn("cell_id", cell_id_from_latlng_deg("lat", "lng"))
+    got = {
+        (r["shape_id"], r["index_cell_id"]):
+            (r["n_edges"], r["min_edge_id"], r["max_edge_id"])
+        for r in point_cloud_index(tbl).collect()
+    }
+    assert got == fixture

@@ -82,7 +82,9 @@ def main() -> None:
     edf.count()  # materialize input before timing
 
     t0 = time.time()
-    cc = connected_components(edf)
+    # force the distributed alternating-star path — this soak validates
+    # the scale algorithm, not the small-graph driver union-find
+    cc = connected_components(edf, driver_max_edges=0)
     rows = cc.collect()
     wall = time.time() - t0
 
