@@ -1047,6 +1047,20 @@ def point_cloud_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-set Jaccard near-dup pairs via PPJoin-style prefix
+    filtering — the exact counterpart of the probabilistic minhash path
+    (near_dup_pairs).  Candidates come only from each doc's rarest-
+    n-gram prefix (provably lossless at the threshold), so the join key
+    distribution is anti-skewed by construction."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -1076,6 +1090,7 @@ QUERIES = {
     "point_in_region": point_in_region_q,
     "knn_cell_ring": knn_cell_ring_q,
     "near_dup_pairs": near_dup_pairs_q,
+    "ngram_jaccard": ngram_jaccard_q,
     "dedup_clusters": dedup_clusters_q,
     "corpus_filter": corpus_filter_q,
     "ann_cosine": ann_cosine_q,
@@ -1132,6 +1147,7 @@ ORACLES = {
     "fingerprints": oracle.fingerprints_sql(),
     "simhash": oracle.simhash_sql(),
     "near_dup_pairs": oracle.near_dup_pairs_sql(),
+    "ngram_jaccard": oracle.ngram_jaccard_sql(),
     "dedup_clusters": oracle.dedup_clusters_sql(),
     "corpus_filter": oracle.corpus_filter_sql(),
     "knn_cell_ring": oracle.knn_cell_ring_sql(),

@@ -530,3 +530,96 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
             )
 
     return docs.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
+                        n: int = 3, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        materialize_grams: bool = False) -> DataFrame:
+    """Exact word-n-gram-set Jaccard near-dup pairs at ``threshold``,
+    via prefix filtering (SSJoin/PPJoin): order each doc's distinct
+    n-grams by ascending global document frequency and generate
+    candidates ONLY from the first ``sz - ceil(t*sz) + 1`` n-grams.
+
+    Losslessness: if Jaccard(A,B) >= t then |A∩B| >= t*|A∪B| >=
+    ceil(t*|A|) (integer count), so A∩B cannot fit entirely in A's
+    suffix of ceil(t*|A|)-1 elements — the globally-smallest shared
+    n-gram lies in BOTH prefixes.  The ceil is computed with a -1e-9
+    slack so float error can only LENGTHEN the prefix (sound direction).
+
+    Scale shape: unlike the minhash path (probabilistic, fixed-cost)
+    this is exact; the candidate self-join keys are each doc's RAREST
+    n-grams (df-ascending prefix), so the join key distribution is
+    anti-skewed by construction — ubiquitous n-grams never become join
+    keys.  Verification materializes the two gram sets only for
+    candidate pairs (sorted-array intersect, JVM-side).  Everything is
+    whole-stage-codegen DataFrame ops; no Python.
+    """
+    from pyspark.sql import Window
+
+    from .vocab import _ngrams_of, _tokens
+
+    grams = (
+        docs.withColumn("_toks", _tokens(text_col))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(_ngrams_of(F.col("_toks"), n))
+            ).alias("ngram"),
+        )
+    )
+    # The grams subtree feeds six consumers (df counts, sizes, both
+    # prefix sides, both verify arrays); by default each re-runs the
+    # pruned 2-column scan + tokenize.  materialize_grams=True
+    # checkpoints the (doc_id, ngram) frame once — right when the
+    # tokenize pass dominates re-reading, same tradeoff as
+    # build_graph(materialize_snapped=...).
+    if materialize_grams:
+        grams = grams.localCheckpoint(eager=False)
+    df_counts = grams.groupBy("ngram").agg(F.count("*").alias("df"))
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    w = Window.partitionBy("doc_id").orderBy("df", "ngram")
+    pref = (
+        grams.join(df_counts, "ngram")
+        .withColumn("rk", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(
+            F.col("rk")
+            <= F.col("sz")
+            - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+            + 1
+        )
+        .select("doc_id", "ngram")
+    )
+    cand = (
+        pref.select(F.col("doc_id").alias("doc_a"), "ngram")
+        .join(pref.select(F.col("doc_id").alias("doc_b"), "ngram"), "ngram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets = grams.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("ngram")).alias("grams")
+    )
+    return (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga")
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb")
+            ),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("ga") + F.size("gb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -3003,3 +3003,39 @@ SELECT strftime(a.d0, '%Y-%m-%d') AS cohort_day,
 FROM (SELECT act.u, act.d, f.d0 FROM active act JOIN first f ON act.u = f.u) a
 GROUP BY 1, 2
 """
+
+
+def ngram_jaccard_sql(threshold: float = 0.5) -> str:
+    """Ground-truth exact all-pairs 3-gram Jaccard (no prefix filter:
+    the oracle brute-forces what the engine prunes losslessly).  Both
+    sides divide the same exact integers in f64, so the jaccard doubles
+    and the threshold decisions are bit-identical.  Fixture margin: at
+    sf0.01 every qualifying pair sits at jaccard >= 0.98 and the next
+    pair below is < 0.1 — the 0.5 cut has no float-sensitive rows."""
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(len(toks) - 2),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])))
+           AS ngram
+  FROM t WHERE len(toks) >= 3
+), sz AS (
+  SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM g a JOIN g b USING (ngram)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT inter.doc_a, inter.doc_b,
+       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = inter.doc_a
+JOIN sz sb ON sb.doc_id = inter.doc_b
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {threshold}
+"""
