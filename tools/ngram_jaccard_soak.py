@@ -1,0 +1,51 @@
+"""Exact n-gram-Jaccard (PPJoin prefix filter) soak: throughput +
+planted-dup exactness at configurable scale.
+
+Reuses dedup_soak's deterministic corpus: every 20th doc is a planted
+near-copy of its predecessor (1 of 50 words mutated — 3-gram Jaccard
+~0.88).  Because the operator is EXACT, the result must be exactly the
+n/20 planted pairs (unrelated 50k-vocab docs share no 3-grams at
+jaccard >= 0.5), so recall AND precision are both checkable to equality
+— unlike the probabilistic minhash path, which only bounds recall.
+
+Usage: python tools/ngram_jaccard_soak.py [n_docs] [cpus]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.dedup_soak import synth_text_docs  # noqa: E402
+
+
+def main(n: int = 200_000, cpus: int = 16) -> None:
+    from s2_geometry_rust_spark.operators.dedup import ngram_jaccard_pairs
+    from s2_geometry_rust_spark.session import get_spark
+
+    spark = get_spark("ngjac-soak", cpus=cpus)
+    docs = synth_text_docs(spark, n)
+    docs.persist().count()
+    t0 = time.time()
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.5, materialize_grams=True
+    )
+    got = pairs.select("doc_a", "doc_b").toPandas()
+    dt = time.time() - t0
+    expected = {(i - 1, i) for i in range(n) if i % 20 == 19}
+    found = {(int(a), int(b)) for a, b in got.itertuples(index=False)}
+    print(f"n={n} pairs_found={len(found)} expected={len(expected)}")
+    print(f"missing={len(expected - found)} spurious={len(found - expected)}")
+    print(f"wall={dt:.1f}s  docs/s={n / dt:,.0f}")
+    assert found == expected, "exact operator must return exactly the planted pairs"
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 200_000,
+        int(sys.argv[2]) if len(sys.argv) > 2 else 16,
+    )
