@@ -155,7 +155,8 @@ def main() -> None:
         "vocab_topk", "decontaminate", "funnel_counts",
         "region_contains_loop", "tile_lang_counts", "retention_counts",
         "ann_lsh", "builder_graph", "point_in_polygon",
-        "point_cloud_index", "ngram_jaccard",
+        "point_cloud_index", "ngram_jaccard", "asof_last_error",
+        "range_join_windows",
     ]
     # steady-state protocol: min of 2 runs per query — the first run pays
     # one-time per-query costs (whole-stage-codegen JIT, Arrow worker

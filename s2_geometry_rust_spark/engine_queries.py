@@ -1061,6 +1061,50 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.5, n=3)
 
 
+
+
+def asof_last_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click event gains the most recent prior-or-
+    equal error event of the same user (union + sorted carry-forward —
+    one shuffle, no row amplification).  Oracle: DuckDB's native
+    ASOF JOIN, an independent implementation of the same semantics."""
+    from .operators.events import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click")
+    errors = ev.filter(F.col("event_type") == "error")
+    return asof_join(
+        clicks, errors, right_payload=("event_id", "value")
+    ).select("event_id", "asof_event_id", "asof_value")
+
+
+def range_join_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval range join: clicks falling in each error
+    event's 6-hour window, counted per window — interval replicated to
+    its <=2 overlapped buckets, equi-join on (user, bucket), exact
+    microsecond range filter; never the equi-join-then-filter
+    explosion."""
+    from .operators.events import range_join_buckets
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click")
+    windows = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("window_event_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("end_ts"),
+        )
+    )
+    joined = range_join_buckets(
+        clicks, windows, bucket_us=6 * 3600 * 1_000_000
+    )
+    return joined.groupBy("window_event_id").agg(
+        F.count("*").alias("n_clicks")
+    )
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -1091,6 +1135,8 @@ QUERIES = {
     "knn_cell_ring": knn_cell_ring_q,
     "near_dup_pairs": near_dup_pairs_q,
     "ngram_jaccard": ngram_jaccard_q,
+    "asof_last_error": asof_last_error_q,
+    "range_join_windows": range_join_windows_q,
     "dedup_clusters": dedup_clusters_q,
     "corpus_filter": corpus_filter_q,
     "ann_cosine": ann_cosine_q,
@@ -1148,6 +1194,8 @@ ORACLES = {
     "simhash": oracle.simhash_sql(),
     "near_dup_pairs": oracle.near_dup_pairs_sql(),
     "ngram_jaccard": oracle.ngram_jaccard_sql(),
+    "asof_last_error": oracle.asof_last_error_sql(),
+    "range_join_windows": oracle.range_join_windows_sql(),
     "dedup_clusters": oracle.dedup_clusters_sql(),
     "corpus_filter": oracle.corpus_filter_sql(),
     "knn_cell_ring": oracle.knn_cell_ring_sql(),

@@ -3039,3 +3039,35 @@ JOIN sz sa ON sa.doc_id = inter.doc_a
 JOIN sz sb ON sb.doc_id = inter.doc_b
 WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {threshold}
 """
+
+
+def asof_last_error_sql() -> str:
+    """DuckDB's native ASOF JOIN — an independent implementation of the
+    as-of semantics (latest right row with r.ts <= l.ts per key,
+    inclusive).  Determinism requires the right side unique on
+    (user_id, ts): true for the error rows (checked; microsecond
+    timestamps)."""
+    return """
+SELECT c.event_id,
+       e.event_id AS asof_event_id,
+       e.value    AS asof_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+"""
+
+
+def range_join_windows_sql() -> str:
+    """Ground-truth inequality join (the oracle brute-forces what the
+    engine buckets): clicks in [error.ts, error.ts + 6h) per user,
+    counted per error window.  Timestamp comparisons are exact integer
+    microseconds on both sides."""
+    return """
+SELECT e.event_id AS window_event_id, count(*) AS n_clicks
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = e.user_id
+ AND c.ts >= e.ts
+ AND c.ts < e.ts + INTERVAL 6 HOUR
+GROUP BY e.event_id
+"""
