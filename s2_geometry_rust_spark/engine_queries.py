@@ -1105,6 +1105,18 @@ def range_join_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def events_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour/day/week counts and
+    exact cent sums per event_type in ONE pass (GROUPING SETS — one
+    scan + one shuffle instead of one scan per granularity)."""
+    from .operators.events import multi_granularity_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return multi_granularity_rollup(ev)
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -1137,6 +1149,7 @@ QUERIES = {
     "ngram_jaccard": ngram_jaccard_q,
     "asof_last_error": asof_last_error_q,
     "range_join_windows": range_join_windows_q,
+    "events_rollup": events_rollup_q,
     "dedup_clusters": dedup_clusters_q,
     "corpus_filter": corpus_filter_q,
     "ann_cosine": ann_cosine_q,
@@ -1196,6 +1209,7 @@ ORACLES = {
     "ngram_jaccard": oracle.ngram_jaccard_sql(),
     "asof_last_error": oracle.asof_last_error_sql(),
     "range_join_windows": oracle.range_join_windows_sql(),
+    "events_rollup": oracle.events_rollup_sql(),
     "dedup_clusters": oracle.dedup_clusters_sql(),
     "corpus_filter": oracle.corpus_filter_sql(),
     "knn_cell_ring": oracle.knn_cell_ring_sql(),

@@ -275,3 +275,49 @@ def range_join_buckets(events: DataFrame, intervals: DataFrame,
         )
         .drop("_bucket")
     )
+
+
+def multi_granularity_rollup(events: DataFrame,
+                             granularities: tuple[str, ...] =
+                             ("hour", "day", "week"),
+                             ts_col: str = "ts",
+                             dim_col: str = "event_type",
+                             value_col: str = "value") -> DataFrame:
+    """Hypertable-style continuous aggregate: counts + exact cent sums
+    per ``dim`` at EVERY granularity, in ONE pass over the input via
+    GROUPING SETS — one scan and one shuffle instead of one scan per
+    granularity (len(granularities) scans at 100 TB is the difference
+    that matters).
+
+    Output: (granularity, bucket_start, <dim>, n, sum_cents), with
+    bucket_start pinned to 'yyyy-MM-dd HH:mm:ss' text so the result is
+    dtype-stable across engines.  Null timestamps are dropped first so
+    a grouping-set null is unambiguous (bucket coalescing relies on
+    exactly one non-null trunc column per output row).
+    """
+    truncs = {g: f"_b_{g}" for g in granularities}
+    d = events.filter(F.col(ts_col).isNotNull())
+    for g, c in truncs.items():
+        d = d.withColumn(c, F.date_trunc(g, F.col(ts_col)))
+    d = d.withColumn(
+        "_cents", F.round(F.col(value_col) * 100, 0).cast("long")
+    )
+    sets = [[truncs[g], dim_col] for g in granularities]
+    agg = d.groupingSets(sets, *truncs.values(), dim_col).agg(
+        F.count("*").alias("n"),
+        F.sum("_cents").alias("sum_cents"),
+    )
+    granularity = None
+    for g, c in truncs.items():
+        cond = F.when(F.col(c).isNotNull(), F.lit(g))
+        granularity = cond if granularity is None else granularity.when(
+            F.col(c).isNotNull(), F.lit(g)
+        )
+    bucket = F.coalesce(*[F.col(c) for c in truncs.values()])
+    return agg.select(
+        granularity.alias("granularity"),
+        F.date_format(bucket, "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        F.col(dim_col),
+        "n",
+        "sum_cents",
+    )

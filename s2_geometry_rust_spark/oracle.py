@@ -3071,3 +3071,32 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
  AND c.ts < e.ts + INTERVAL 6 HOUR
 GROUP BY e.event_id
 """
+
+
+def events_rollup_sql() -> str:
+    """Mirror of events.multi_granularity_rollup: GROUPING SETS over
+    hour/day/week truncs (DuckDB date_trunc weeks also start Monday),
+    bucket pinned to text, cent sums via round-half-away (the
+    session_stats convention — Spark round() matches for these
+    positive values)."""
+    return """
+WITH e AS (
+  SELECT event_type,
+         date_trunc('hour', ts) AS hour_b,
+         date_trunc('day',  ts) AS day_b,
+         date_trunc('week', ts) AS week_b,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT CASE WHEN hour_b IS NOT NULL THEN 'hour'
+            WHEN day_b  IS NOT NULL THEN 'day'
+            ELSE 'week' END AS granularity,
+       strftime(coalesce(hour_b, day_b, week_b),
+                '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       event_type,
+       count(*) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM e
+GROUP BY GROUPING SETS ((hour_b, event_type), (day_b, event_type),
+                        (week_b, event_type))
+"""
