@@ -156,7 +156,7 @@ def main() -> None:
         "region_contains_loop", "tile_lang_counts", "retention_counts",
         "ann_lsh", "builder_graph", "point_in_polygon",
         "point_cloud_index", "ngram_jaccard", "asof_last_error",
-        "range_join_windows", "events_rollup",
+        "range_join_windows", "events_rollup", "ann_pq",
     ]
     # steady-state protocol: min of 2 runs per query — the first run pays
     # one-time per-query costs (whole-stage-codegen JIT, Arrow worker

@@ -1117,6 +1117,22 @@ def events_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi_granularity_rollup(ev)
 
 
+
+
+def ann_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN in the compressed domain (8 int codes
+    per 64-dim vector — 32x less scan I/O at 100 TB): exact-integer-
+    grid codebooks (first-ids init), integer LUT sums, deterministic
+    tie-breaks — the whole encode -> ADC -> top-k pipeline replays
+    bit-for-bit in SQL.  The kmeans-codebook path is the production
+    default, recall-tested in pytest."""
+    from .operators.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return pq_topk(queries, emb, 10, m=8, ks=16, init="first_ids")
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -1150,6 +1166,7 @@ QUERIES = {
     "asof_last_error": asof_last_error_q,
     "range_join_windows": range_join_windows_q,
     "events_rollup": events_rollup_q,
+    "ann_pq": ann_pq_q,
     "dedup_clusters": dedup_clusters_q,
     "corpus_filter": corpus_filter_q,
     "ann_cosine": ann_cosine_q,
@@ -1210,6 +1227,7 @@ ORACLES = {
     "asof_last_error": oracle.asof_last_error_sql(),
     "range_join_windows": oracle.range_join_windows_sql(),
     "events_rollup": oracle.events_rollup_sql(),
+    "ann_pq": oracle.ann_pq_sql(),
     "dedup_clusters": oracle.dedup_clusters_sql(),
     "corpus_filter": oracle.corpus_filter_sql(),
     "knn_cell_ring": oracle.knn_cell_ring_sql(),

@@ -3100,3 +3100,53 @@ FROM e
 GROUP BY GROUPING SETS ((hour_b, event_type), (day_b, event_type),
                         (week_b, event_type))
 """
+
+
+def ann_pq_sql(k: int = 10, m: int = 8, ks: int = 16,
+               n_queries: int = 20) -> str:
+    """Full PQ replay in SQL: 1e-6 integer grid, per-subspace squared-L2
+    to the first-``ks``-ids codebook, argmin = lowest centroid on ties
+    (row_number ORDER BY d2, cid), ADC = integer LUT sums, rank ties by
+    neighbor_id — every step exact integer arithmetic, so this matches
+    the engine bit-for-bit, not approximately."""
+    sub = 64 // m
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT)) AS v
+  FROM embeddings
+), ed AS (
+  SELECT vec_id, CAST(unnest(range(64)) AS INT) AS d, unnest(v) AS x
+  FROM e
+), cd AS (
+  SELECT vec_id AS cid, d, x FROM ed WHERE vec_id < {ks}
+), dist AS (
+  SELECT ed.vec_id, cd.cid, ed.d // {sub} AS j,
+         CAST(SUM((ed.x - cd.x) * (ed.x - cd.x)) AS BIGINT) AS d2
+  FROM ed JOIN cd USING (d)
+  GROUP BY 1, 2, 3
+), codes AS (
+  SELECT vec_id, j, cid, d2
+  FROM (SELECT vec_id, j, cid, d2,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d2, cid) AS rn
+        FROM dist)
+  WHERE rn = 1
+), lut AS (
+  SELECT vec_id AS query_id, j, cid, d2 FROM dist
+  WHERE vec_id < {n_queries}
+), adist AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(l.d2) AS BIGINT) AS adist
+  FROM codes c JOIN lut l ON l.j = c.j AND l.cid = c.cid
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rank, adist
+FROM (SELECT query_id, neighbor_id, adist,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adist, neighbor_id)
+                  AS INT) AS rank
+      FROM adist WHERE query_id <> neighbor_id)
+WHERE rank <= {k}
+"""
