@@ -157,6 +157,7 @@ def main() -> None:
         "ann_lsh", "builder_graph", "point_in_polygon",
         "point_cloud_index", "ngram_jaccard", "asof_last_error",
         "range_join_windows", "events_rollup", "ann_pq",
+        "boilerplate_spans", "kmv_distinct",
     ]
     # steady-state protocol: min of 2 runs per query — the first run pays
     # one-time per-query costs (whole-stage-codegen JIT, Arrow worker

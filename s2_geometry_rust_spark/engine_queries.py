@@ -1133,6 +1133,34 @@ def ann_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(queries, emb, 10, m=8, ks=16, init="first_ids")
 
 
+def boilerplate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document boilerplate coverage: tokens covered
+    by any exact 8-gram that occurs in >= 2 distinct documents (the
+    planted near-duplicate corpus makes the shared spans)."""
+    from .operators.text import boilerplate_coverage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return boilerplate_coverage(docs, n=8, min_docs=2)
+
+
+def pack_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing prep: fixed 64-token training chunks per
+    document with tail-pad bookkeeping.  Zero-shuffle codegen."""
+    from .operators.text import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, window=64)
+
+
+def kmv_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-token sketch per language, exact-replayable
+    registers (md5-prefix hash) — estimate vs exact side by side."""
+    from .operators.sketches import kmv_distinct_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return kmv_distinct_per_group(docs, k=64)
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -1196,6 +1224,9 @@ QUERIES = {
     "tile_lang_counts": tile_lang_counts_q,
     "retention_counts": retention_counts_q,
     "point_cloud_index": point_cloud_index_q,
+    "boilerplate_spans": boilerplate_spans_q,
+    "pack_chunks": pack_chunks_q,
+    "kmv_distinct": kmv_distinct_q,
 }
 
 ORACLES = {
@@ -1265,4 +1296,7 @@ ORACLES = {
     "tile_lang_counts": oracle.tile_lang_counts_sql(),
     "retention_counts": oracle.retention_counts_sql(),
     "point_cloud_index": oracle.point_cloud_index_sql(),
+    "boilerplate_spans": oracle.boilerplate_sql(8, 2),
+    "pack_chunks": oracle.chunk_documents_sql(64),
+    "kmv_distinct": oracle.kmv_distinct_sql(64),
 }

@@ -205,3 +205,116 @@ def with_bpe_token_count(docs: DataFrame, text_col: str = "text",
             f'regexp_extract_all({text_col}, "{BPE_PATTERN}", 0)'
         )),
     )
+
+
+def boilerplate_coverage(docs: DataFrame, n: int = 8, min_docs: int = 2,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """CCNet/RefinedWeb-style cross-document boilerplate detection
+    (engine addition — no reference counterpart; a standard
+    training-corpus cleaning pass): an ``n``-token window is
+    *boilerplate* when its exact text occurs in >= ``min_docs``
+    distinct documents (headers, footers, license blocks, mirrored
+    spans).  Output per document: total tokens, tokens covered by at
+    least one boilerplate window (union of overlapping window
+    intervals), and the clean remainder.
+
+    Scale shape (100 TB): everything stays JVM-side.  One pass builds
+    (doc, pos, md5-of-window) rows inside whole-stage codegen (no
+    Python); the global gram frequency is ONE hash aggregation with
+    map-side partial aggregation (count(DISTINCT doc) per gram is
+    rewritten by Spark into two-level partial aggs); the join back is a
+    hash equi-join on the gram digest — uniformly distributed keys by
+    construction (md5), and the frequent-gram probe skew is exactly
+    what AQE skew-join splitting handles.  Coverage is a per-doc
+    count(DISTINCT position): positions <= doc length, so the final
+    aggregation state is bounded by document size, never corpus size.
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    base = (
+        docs.select(id_col, toks.alias("_toks"))
+        .withColumn("n_tokens", F.size("_toks").cast("long"))
+    )
+    wins = base.filter(F.col("n_tokens") >= n).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), (F.col("n_tokens") - n + 1).cast("int")),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("_toks", i, n))),
+            )
+        ).alias("pos0", "gram"),
+    )
+    bp = (
+        wins.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        wins.join(bp, "gram")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos0"), F.col("pos0") + n - 1)
+            ).alias("p"),
+        )
+        .groupBy(id_col)
+        .agg(F.countDistinct("p").alias("covered_tokens"))
+    )
+    return (
+        base.join(covered, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("covered_tokens", F.lit(0).cast("long")).alias(
+                "covered_tokens"
+            ),
+            (F.col("n_tokens")
+             - F.coalesce("covered_tokens", F.lit(0).cast("long"))
+             ).alias("clean_tokens"),
+        )
+    )
+
+
+def chunk_documents(docs: DataFrame, window: int = 64,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Sequence packing / sharding prep (engine addition): split every
+    document's token stream into fixed ``window``-token training
+    chunks.  Emits one row per chunk with its length, first/last token
+    and the pad waste of the tail chunk — the exact bookkeeping a
+    context-window packer needs before writing training shards.
+
+    Scale shape: zero shuffle — pure per-row array math (sequence +
+    posexplode) in whole-stage codegen; output partitioning inherits
+    the scan, so a downstream shard writer can repartition once by
+    (doc_id, chunk_idx) range.
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    base = (
+        docs.select(id_col, toks.alias("_toks"))
+        .withColumn("n_tokens", F.size("_toks").cast("long"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    n_chunks = ((F.col("n_tokens") + window - 1) / window).cast("long")
+    exploded = base.select(
+        id_col,
+        "_toks",
+        "n_tokens",
+        F.posexplode(
+            F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+        ).alias("_i", "chunk_idx"),
+    )
+    start = F.col("chunk_idx") * window  # 0-based token offset
+    chunk_len = F.least(F.lit(window).cast("long"), F.col("n_tokens") - start)
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        "n_tokens",
+        chunk_len.alias("chunk_len"),
+        (F.lit(window) - chunk_len).alias("pad_tokens"),
+        F.element_at("_toks", (start + 1).cast("int")).alias("first_token"),
+        F.element_at("_toks", (start + chunk_len).cast("int")).alias(
+            "last_token"
+        ),
+    )

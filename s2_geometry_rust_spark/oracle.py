@@ -3150,3 +3150,103 @@ FROM (SELECT query_id, neighbor_id, adist,
       FROM adist WHERE query_id <> neighbor_id)
 WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# training-pipeline oracles (round 3, session 4): boilerplate coverage,
+# sequence chunking, KMV distinct sketch.
+
+
+def boilerplate_sql(n: int = 8, min_docs: int = 2) -> str:
+    """Mirror of operators/text.py:boilerplate_coverage — an n-token
+    window is boilerplate when its exact text (md5 of the
+    space-joined slice, identical string on both engines) occurs in
+    >= min_docs distinct documents; coverage is the union of the
+    overlapping [pos, pos+n) intervals per document."""
+    return rf"""
+WITH words AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+), base AS (
+  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM words
+), wins AS (
+  SELECT doc_id, (u).pos0 AS pos0, (u).gram AS gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, n - {n} + 2), i ->
+             {{'pos0': i - 1,
+               'gram': md5(array_to_string(ws[i:i+{n - 1}], ' '))}})) AS u
+    FROM base WHERE n >= {n})
+), bp AS (
+  SELECT gram FROM wins GROUP BY gram
+  HAVING count(DISTINCT doc_id) >= {min_docs}
+), cov AS (
+  SELECT doc_id, count(DISTINCT p) AS covered FROM (
+    SELECT w.doc_id, unnest(range(w.pos0, w.pos0 + {n})) AS p
+    FROM wins w JOIN bp USING (gram))
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.n AS n_tokens,
+       coalesce(c.covered, 0) AS covered_tokens,
+       b.n - coalesce(c.covered, 0) AS clean_tokens
+FROM base b LEFT JOIN cov c USING (doc_id)
+"""
+
+
+def chunk_documents_sql(window: int = 64) -> str:
+    """Mirror of operators/text.py:chunk_documents — fixed
+    window-token training chunks per document."""
+    w = window
+    return rf"""
+WITH words AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+), base AS (
+  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM words
+  WHERE len(ws) > 0
+), ch AS (
+  SELECT doc_id, ws, n, unnest(range(0, (n + {w} - 1) // {w})) AS chunk_idx
+  FROM base
+)
+SELECT doc_id, chunk_idx, n AS n_tokens,
+       least({w}, n - chunk_idx * {w}) AS chunk_len,
+       {w} - least({w}, n - chunk_idx * {w}) AS pad_tokens,
+       ws[CAST(chunk_idx * {w} + 1 AS INT)] AS first_token,
+       ws[CAST(chunk_idx * {w} + least({w}, n - chunk_idx * {w}) AS INT)]
+         AS last_token
+FROM ch
+"""
+
+
+def kmv_distinct_sql(k: int = 64, ngram: int = 2) -> str:
+    """Mirror of operators/sketches.py:kmv_distinct_per_group — KMV
+    (k-minimum-values) distinct-count sketch per language over document
+    token n-grams.  The hash is the first 15 hex digits of md5(gram)
+    parsed as a 60-bit integer — both engines render md5 as lowercase
+    hex and parse it exactly, so registers (and therefore the estimate,
+    a single exact division in f64) replay bit-for-bit."""
+    m = (1 << 60) - 1  # max 15-hex-digit value; hash domain [0, m]
+    return rf"""
+WITH words AS (
+  SELECT lang, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+), toks AS (
+  SELECT lang, unnest(list_transform(range(1, len(ws) - {ngram} + 2),
+    i -> array_to_string(ws[i:i+{ngram - 1}], ' '))) AS tok
+  FROM words WHERE len(ws) >= {ngram}
+), hashed AS (
+  SELECT DISTINCT lang,
+         CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+  FROM toks
+), ranked AS (
+  SELECT lang, h,
+         row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n_exact
+  FROM hashed
+)
+SELECT lang, CAST(n_exact AS BIGINT) AS n_distinct_exact,
+       CAST(CASE WHEN n_exact <= {k} THEN n_exact
+            ELSE CAST(round(CAST({k} - 1 AS DOUBLE) * {m}.0 / h, 0) AS BIGINT)
+            END AS BIGINT) AS kmv_estimate
+FROM ranked
+WHERE rn = least(n_exact, {k})
+"""
