@@ -1161,6 +1161,19 @@ def kmv_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct_per_group(docs, k=64)
 
 
+def cap_intersect_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region-to-region intersection join via the S2RegionTermIndexer
+    pattern: (marker, cell) inverted-index terms -> one hash equi-join
+    -> exact chord-space refine (cap.rs intersects).  The all-pairs
+    DuckDB oracle catches both missed candidates and refine drift."""
+    from . import fixtures
+    from .operators.term_index import cap_intersect_join_terms
+
+    q = fixtures.cap_regions(spark, catalog=fixtures.TERM_QUERY_CAPS)
+    i = fixtures.cap_regions(spark, catalog=fixtures.TERM_INDEX_CAPS)
+    return cap_intersect_join_terms(q, i)
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -1227,6 +1240,7 @@ QUERIES = {
     "boilerplate_spans": boilerplate_spans_q,
     "pack_chunks": pack_chunks_q,
     "kmv_distinct": kmv_distinct_q,
+    "cap_intersect_terms": cap_intersect_terms_q,
 }
 
 ORACLES = {
@@ -1299,4 +1313,5 @@ ORACLES = {
     "boilerplate_spans": oracle.boilerplate_sql(8, 2),
     "pack_chunks": oracle.chunk_documents_sql(64),
     "kmv_distinct": oracle.kmv_distinct_sql(64),
+    "cap_intersect_terms": oracle.cap_intersect_terms_sql(),
 }

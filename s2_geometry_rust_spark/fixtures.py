@@ -49,6 +49,28 @@ CAPS: dict[str, tuple[float, float, float]] = {
     "cap_sydney_5deg": (-33.87, 151.21, 5.0),
 }
 
+# term-index join fixtures (operators/term_index.py): deterministic cap
+# grids with exact-decimal params (integer arithmetic +- .5/.25, all
+# binary-exact doubles, so engine and oracle consume identical
+# literals).  Radii up to 20/19 degrees force multi-level coverings
+# incl. coarse cells, exercising the ancestor-term direction both ways.
+TERM_INDEX_CAPS: dict[str, tuple[float, float, float]] = {
+    f"idx-{i:02d}": (
+        float(((i * 37) % 141) - 70) + 0.5,
+        float(((i * 73) % 360) - 180) + 0.5,
+        2.0 + (i % 7) * 3.0,
+    )
+    for i in range(16)
+}
+TERM_QUERY_CAPS: dict[str, tuple[float, float, float]] = {
+    f"qry-{j:02d}": (
+        float(((j * 53) % 141) - 70) + 0.25,
+        float(((j * 97) % 360) - 180) + 0.25,
+        3.0 + (j % 5) * 4.0,
+    )
+    for j in range(10)
+}
+
 # polygon-with-holes fixtures (polygon_shape.rs:78-95 semantics: within
 # each poly index, the FIRST loop is the shell, the rest are holes;
 # multiple poly indices form an S2MultiPolygonShape, contains == any).
@@ -127,10 +149,13 @@ def loop_regions(spark: SparkSession, names: list[str] | None = None) -> DataFra
     return spark.createDataFrame(rows, REGIONS_SCHEMA)
 
 
-def cap_regions(spark: SparkSession, names: list[str] | None = None) -> DataFrame:
-    names = names or list(CAPS)
+def cap_regions(spark: SparkSession, names: list[str] | None = None,
+                catalog: dict[str, tuple[float, float, float]] | None = None,
+                ) -> DataFrame:
+    catalog = catalog if catalog is not None else CAPS
+    names = names or list(catalog)
     rows = [
-        (n, "cap", *map(float, CAPS[n]), None, None, None, None)
+        (n, "cap", *map(float, catalog[n]), None, None, None, None)
         for n in names
     ]
     return spark.createDataFrame(rows, REGIONS_SCHEMA)

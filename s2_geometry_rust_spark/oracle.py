@@ -3250,3 +3250,59 @@ SELECT lang, CAST(n_exact AS BIGINT) AS n_distinct_exact,
 FROM ranked
 WHERE rn = least(n_exact, {k})
 """
+
+
+def cap_intersect_terms_sql() -> str:
+    """Brute-force exact cap-intersection join over the term-index
+    fixture cap sets (mirror of
+    operators/term_index.py:cap_intersect_join_terms).  Because the
+    engine's term candidates are a lossless superset (module docstring
+    proof) and its refine is the chord_angle.rs Add predicate replayed
+    here on the SAME literal cap params, the all-pairs SQL matches the
+    indexed join exactly — a hash mismatch would expose either a missed
+    candidate or a refine divergence."""
+    import numpy as np
+
+    from . import fixtures
+    from .kernels import latlng as lk
+    from .kernels.caps import S2Cap
+
+    def vals(catalog) -> str:
+        rows = []
+        for name, (clat, clng, rdeg) in catalog.items():
+            lat = lk.degrees_to_radians(np.float64(clat))
+            lng = lk.degrees_to_radians(np.float64(clng))
+            x, y, z = lk.latlng_to_xyz(np.float64(lat), np.float64(lng))
+            cap = S2Cap.from_center_degrees(
+                (float(x), float(y), float(z)), float(rdeg)
+            )
+            # ::DOUBLE — short reprs (e.g. 0.5) would otherwise land as
+            # DECIMAL and overflow the chord algebra's scale
+            rows.append(
+                f"('{name}', {cap.cx!r}::DOUBLE, {cap.cy!r}::DOUBLE,"
+                f" {cap.cz!r}::DOUBLE, {float(cap.radius_l2)!r}::DOUBLE)"
+            )
+        return ", ".join(rows)
+
+    return f"""
+WITH q(query_id, cx, cy, cz, r2) AS (VALUES {vals(fixtures.TERM_QUERY_CAPS)}),
+i(region_id, cx, cy, cz, r2) AS (VALUES {vals(fixtures.TERM_INDEX_CAPS)}),
+pairs AS (
+  SELECT q.query_id, i.region_id, q.r2 AS a2, i.r2 AS b2,
+         LEAST((q.cx-i.cx)*(q.cx-i.cx) + (q.cy-i.cy)*(q.cy-i.cy)
+               + (q.cz-i.cz)*(q.cz-i.cz), 4.0) AS d2
+  FROM q, i
+), added AS (
+  SELECT query_id, region_id, d2,
+    CASE WHEN a2 + b2 >= 4.0 THEN 4.0
+         WHEN b2 = 0.0 THEN a2
+         ELSE LEAST(a2*(1.0 - 0.25*b2) + b2*(1.0 - 0.25*a2)
+                    + 2.0*sqrt(GREATEST(a2*(1.0 - 0.25*b2)
+                                        * (b2*(1.0 - 0.25*a2)), 0.0)), 4.0)
+         END AS s2,
+    a2, b2
+  FROM pairs
+)
+SELECT query_id, region_id FROM added
+WHERE a2 >= 0.0 AND b2 >= 0.0 AND s2 >= d2
+"""
