@@ -1174,6 +1174,23 @@ def cap_intersect_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_intersect_join_terms(q, i)
 
 
+def closest_edge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest great-circle edge per derived point — the engine's
+    S2ClosestEdgeQuery surface (the reference stubs its query system).
+    Broadcast exact path; the indexed variant is parity-tested against
+    it in tests/test_closest_edge.py."""
+    from . import fixtures
+    from .operators.closest_edge import closest_edge_join
+
+    pts = _derived_points(spark, sf_dir)
+    edges = spark.createDataFrame(
+        fixtures.closest_edge_fixture(),
+        "edge_id long, ax double, ay double, az double,"
+        " bx double, by double, bz double",
+    )
+    return closest_edge_join(pts, edges)
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -1241,6 +1258,7 @@ QUERIES = {
     "pack_chunks": pack_chunks_q,
     "kmv_distinct": kmv_distinct_q,
     "cap_intersect_terms": cap_intersect_terms_q,
+    "closest_edge": closest_edge_q,
 }
 
 ORACLES = {
@@ -1314,4 +1332,5 @@ ORACLES = {
     "pack_chunks": oracle.chunk_documents_sql(64),
     "kmv_distinct": oracle.kmv_distinct_sql(64),
     "cap_intersect_terms": oracle.cap_intersect_terms_sql(),
+    "closest_edge": oracle.closest_edge_sql(),
 }

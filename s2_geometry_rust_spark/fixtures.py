@@ -62,6 +62,23 @@ TERM_INDEX_CAPS: dict[str, tuple[float, float, float]] = {
     )
     for i in range(16)
 }
+def closest_edge_fixture(n: int = 12, seed: int = 5):
+    """Deterministic unit-vector edge set for closest-edge queries:
+    [(edge_id, ax, ay, az, bx, by, bz)].  Both the engine DataFrame and
+    the DuckDB oracle VALUES consume these exact doubles (repr
+    round-trips), so there is no trig divergence between the sides."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, 2, 3))
+    v /= np.linalg.norm(v, axis=2, keepdims=True)
+    return [
+        (i, float(v[i, 0, 0]), float(v[i, 0, 1]), float(v[i, 0, 2]),
+         float(v[i, 1, 0]), float(v[i, 1, 1]), float(v[i, 1, 2]))
+        for i in range(n)
+    ]
+
+
 TERM_QUERY_CAPS: dict[str, tuple[float, float, float]] = {
     f"qry-{j:02d}": (
         float(((j * 53) % 141) - 70) + 0.25,

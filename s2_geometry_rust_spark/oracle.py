@@ -3306,3 +3306,60 @@ pairs AS (
 SELECT query_id, region_id FROM added
 WHERE a2 >= 0.0 AND b2 >= 0.0 AND s2 >= d2
 """
+
+
+def closest_edge_sql(table: str = "customer", key: str = "c_custkey") -> str:
+    """Brute-force nearest great-circle edge per derived point (mirror
+    of operators/closest_edge.py:closest_edge_join — same formula, same
+    op order, only +,-,*,/,sqrt: IEEE-identical on both engines).  The
+    edge endpoints are the fixture's exact doubles inlined as VALUES."""
+    from . import fixtures
+
+    evals = ", ".join(
+        f"({i}, {ax!r}::DOUBLE, {ay!r}::DOUBLE, {az!r}::DOUBLE,"
+        f" {bx!r}::DOUBLE, {by!r}::DOUBLE, {bz!r}::DOUBLE)"
+        for (i, ax, ay, az, bx, by, bz) in fixtures.closest_edge_fixture()
+    )
+    return f"""
+WITH pts AS ({derived_points_sql(table, key)}),
+p AS (
+  SELECT point_id,
+         x / sqrt(x*x + y*y + z*z) AS px,
+         y / sqrt(x*x + y*y + z*z) AS py,
+         z / sqrt(x*x + y*y + z*z) AS pz
+  FROM pts
+),
+e(edge_id, ax, ay, az, bx, by, bz) AS (VALUES {evals}),
+geom AS (
+  SELECT p.point_id, e.edge_id, p.px, p.py, p.pz,
+         e.ax, e.ay, e.az, e.bx, e.by, e.bz,
+         e.ay*e.bz - e.az*e.by AS nx,
+         e.az*e.bx - e.ax*e.bz AS ny,
+         e.ax*e.by - e.ay*e.bx AS nz
+  FROM p CROSS JOIN e
+),
+scored AS (
+  SELECT point_id, edge_id,
+    LEAST(
+      CASE WHEN ((ny*az - nz*ay)*px + (nz*ax - nx*az)*py
+                 + (nx*ay - ny*ax)*pz) >= 0.0
+            AND ((by*nz - bz*ny)*px + (bz*nx - bx*nz)*py
+                 + (bx*ny - by*nx)*pz) >= 0.0
+           THEN 2.0 - 2.0*sqrt(GREATEST(0.0,
+                1.0 - ((px*nx + py*ny + pz*nz)*(px*nx + py*ny + pz*nz))
+                      / (nx*nx + ny*ny + nz*nz)))
+           ELSE LEAST(
+                (px-ax)*(px-ax) + (py-ay)*(py-ay) + (pz-az)*(pz-az),
+                (px-bx)*(px-bx) + (py-by)*(py-by) + (pz-bz)*(pz-bz))
+      END, 4.0) AS d2
+  FROM geom
+),
+ranked AS (
+  SELECT point_id, edge_id, d2,
+         row_number() OVER (PARTITION BY point_id
+                            ORDER BY d2, edge_id) AS rn
+  FROM scored
+)
+SELECT point_id, edge_id, CAST(round(d2 * 1e9, 0) AS BIGINT) AS d2_nano
+FROM ranked WHERE rn = 1
+"""
