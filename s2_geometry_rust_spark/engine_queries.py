@@ -1191,6 +1191,17 @@ def closest_edge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closest_edge_join(pts, edges)
 
 
+def wrs_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample (A-ES, deterministic hash randomness):
+    20 docs per source, probability proportional to n_chars."""
+    from .operators.sampling import weighted_sample_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_sample_per_group(docs, k=20).select(
+        "source", "doc_id", "n_chars", "sample_rank"
+    )
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -1259,6 +1270,7 @@ QUERIES = {
     "kmv_distinct": kmv_distinct_q,
     "cap_intersect_terms": cap_intersect_terms_q,
     "closest_edge": closest_edge_q,
+    "wrs_sample": wrs_sample_q,
 }
 
 ORACLES = {
@@ -1333,4 +1345,5 @@ ORACLES = {
     "kmv_distinct": oracle.kmv_distinct_sql(64),
     "cap_intersect_terms": oracle.cap_intersect_terms_sql(),
     "closest_edge": oracle.closest_edge_sql(),
+    "wrs_sample": oracle.wrs_sample_sql(20),
 }

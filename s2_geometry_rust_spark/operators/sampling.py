@@ -46,3 +46,44 @@ def bernoulli_sample(df: DataFrame, rate_ppm: int,
     ).cast("long")
     threshold = (rate_ppm * (1 << 32)) // 1_000_000
     return df.filter(bucket < F.lit(threshold))
+
+
+def weighted_sample_per_group(df: DataFrame, k: int = 20,
+                              group_col: str = "source",
+                              weight_col: str = "n_chars",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted reservoir sample (Efraimidis-Spirakis
+    A-ES): within each group, keep the ``k`` rows with the largest
+    ln(u)/w, where u is a hash-derived uniform in (0,1) and w the row
+    weight — equivalent to sampling without replacement with
+    probability proportional to weight, but replayable bit-for-bit
+    (the u values are md5-of-id, so the draw is the same on every run
+    and every cluster size, and the DuckDB oracle reproduces it).
+
+    Scale shape: identical to stratified_sample — one shuffle on the
+    group key with Spark's WindowGroupLimit pushing the rank<=k cut
+    below the exchange (partial per-partition top-k map-side), so a
+    hot group never materializes beyond its local top-k per task.
+
+    Ranking note: ln() is the one non-IEEE-pinned op (libm may differ
+    in the last ulp across engines); keys are ratios of
+    hash-uniform randoms, so adjacent-key gaps are macroscopic
+    (~1e-3) and a last-ulp drift cannot flip the selection — asserted
+    against the fixture corpus in tests/test_pipeline_round3b.py.
+
+    Output: input columns + ``sample_rank`` (1..k per group).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    u = (h.cast("double") + 0.5) / float(1 << 60)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("_wrs_key"), F.col(id_col)
+    )
+    return (
+        df.withColumn("_wrs_key", key)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .drop("_wrs_key")
+    )

@@ -3363,3 +3363,29 @@ ranked AS (
 SELECT point_id, edge_id, CAST(round(d2 * 1e9, 0) AS BIGINT) AS d2_nano
 FROM ranked WHERE rn = 1
 """
+
+
+def wrs_sample_sql(k: int = 20) -> str:
+    """Mirror of operators/sampling.py:weighted_sample_per_group over
+    the documents table (group = source, weight = n_chars): A-ES keys
+    ln((h + 0.5) / 2^60) / w from the md5-of-id hash, top-k per group.
+    Key gaps are macroscopic (margin-guarded in pytest), so the last-ulp
+    libm ln() difference between engines cannot flip the cut."""
+    two60 = float(1 << 60)
+    return f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS DOUBLE) + 0.5) / {two60!r})
+           / CAST(n_chars AS DOUBLE) AS wkey
+  FROM documents
+), ranked AS (
+  SELECT source, doc_id, n_chars,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY wkey DESC, doc_id) AS INT)
+           AS sample_rank
+  FROM keyed
+)
+SELECT source, doc_id, n_chars, sample_rank FROM ranked
+WHERE sample_rank <= {k}
+"""

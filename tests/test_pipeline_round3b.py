@@ -149,3 +149,48 @@ def test_kmv_small_group_exact(spark):
     assert len(got) == 1
     assert got[0]["n_distinct_exact"] == 3
     assert got[0]["kmv_estimate"] == 3
+
+
+def test_wrs_sample_matches_python_with_margins(spark):
+    """A-ES selection replayed in python: ranking parity AND the
+    adjacent-key-gap margin that makes the libm ln() last-ulp
+    difference between engines irrelevant."""
+    import math
+
+    from s2_geometry_rust_spark.operators.sampling import (
+        weighted_sample_per_group)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = docs.select("source", "doc_id", "n_chars").collect()
+    got = {}
+    for r in weighted_sample_per_group(docs, k=10).select(
+            "source", "doc_id", "sample_rank").collect():
+        got[(r["source"], r["sample_rank"])] = r["doc_id"]
+
+    groups: dict[str, list] = {}
+    for r in rows:
+        h = _py_kmv_hash(str(r["doc_id"]))
+        u = (float(h) + 0.5) / float(1 << 60)
+        key = math.log(u) / float(r["n_chars"])
+        groups.setdefault(r["source"], []).append((key, r["doc_id"]))
+    for src, items in groups.items():
+        items.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (key, doc_id) in enumerate(items[:10], start=1):
+            assert got[(src, rank)] == doc_id
+        # margin: adjacent keys around the cut differ macroscopically
+        gaps = [items[i][0] - items[i + 1][0]
+                for i in range(min(11, len(items) - 1))]
+        assert min(abs(g) for g in gaps) > 1e-9
+
+
+def test_wrs_weight_dominance(spark):
+    """A row with overwhelming weight is effectively always chosen:
+    its key ln(u)/w approaches 0 from below while every unit-weight
+    key is < ln(u_max) << 0."""
+    from s2_geometry_rust_spark.operators.sampling import (
+        weighted_sample_per_group)
+
+    rows = [(i, "g", 1) for i in range(200)] + [(999, "g", 10**9)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = weighted_sample_per_group(df, k=5).select("doc_id").collect()
+    assert 999 in {r["doc_id"] for r in got}
