@@ -157,7 +157,8 @@ def main() -> None:
         "ann_lsh", "builder_graph", "point_in_polygon",
         "point_cloud_index", "ngram_jaccard", "asof_last_error",
         "range_join_windows", "events_rollup", "ann_pq",
-        "boilerplate_spans", "kmv_distinct",
+        "boilerplate_spans", "kmv_distinct", "cap_intersect_terms",
+        "closest_edge", "wrs_sample",
     ]
     # steady-state protocol: min of 2 runs per query — the first run pays
     # one-time per-query costs (whole-stage-codegen JIT, Arrow worker
