@@ -1202,6 +1202,109 @@ def wrs_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hex_tile_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts per aperture-7 hex cell (kernels/hexgrid.py) — the H3
+    side of the north rule's "H3/S2 index".  Fully JVM: projection,
+    rotation, cube rounding and packing are Column arithmetic inside
+    whole-stage codegen (functions/hexcols.py); one shuffle (the agg)."""
+    from .functions.hexcols import hex_token, with_hex_cell
+
+    pts = _derived_points(spark, sf_dir)
+    return (
+        with_hex_cell(pts, "x", "y", "z", 2, keep=[])
+        .groupBy("hex_id")
+        .agg(F.count("*").alias("n_points"))
+        .select("hex_id", hex_token("hex_id").alias("hex_token"), "n_points")
+    )
+
+
+def hex_parent_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aperture-7 hierarchy rollup: assign at res 3, rebin each child's
+    center at res 2 (center-containment parenthood, like H3
+    child->parent), aggregate points and distinct children per parent."""
+    from .functions.hexcols import hex_token, with_hex_cell, with_hex_parent
+
+    pts = _derived_points(spark, sf_dir)
+    df = with_hex_cell(pts, "x", "y", "z", 3, out="child_id", keep=[])
+    df = with_hex_parent(df, "child_id", 3)
+    return (
+        df.groupBy("parent_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.countDistinct("child_id").alias("n_children"),
+        )
+        .select(
+            "parent_id",
+            hex_token("parent_id").alias("parent_token"),
+            "n_points",
+            "n_children",
+        )
+    )
+
+
+def hex_ring_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-style kRing query: per query point, count data points whose
+    hex lies within lattice distance 2 on the same face.  Scale shape:
+    the query side expands to its 19-cell disk (JVM explode of literal
+    offsets) and broadcast-equi-joins the billion-row point side on
+    hex_id — the point side is never shuffled."""
+    from .functions.hexcols import (
+        hex_face,
+        hex_pack,
+        hex_q,
+        hex_r,
+        with_hex_cell,
+    )
+    from .kernels.hexgrid import disk_offsets
+
+    res, k = 2, 2
+    pts = with_hex_cell(
+        _derived_points(spark, sf_dir), "x", "y", "z", res,
+        keep=["point_id"],
+    )
+    qs = with_hex_cell(
+        _derived_points(spark, sf_dir, "supplier", "s_suppkey").filter(
+            F.col("point_id") <= 20
+        ),
+        "x", "y", "z", res, out="qhex", keep=["point_id"],
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dq).alias("dq"), F.lit(dr).alias("dr"))
+            for dq, dr in disk_offsets(k)
+        ]
+    )
+    neigh = qs.select(
+        F.col("point_id").alias("query_id"),
+        hex_face("qhex").alias("face"),
+        hex_q("qhex").alias("q"),
+        hex_r("qhex").alias("r"),
+        F.explode(offs).alias("o"),
+    ).select(
+        "query_id",
+        hex_pack(
+            F.col("face"),
+            res,
+            F.col("q") + F.col("o.dq"),
+            F.col("r") + F.col("o.dr"),
+        ).alias("hex_id"),
+    )
+    # eqNullSafe, not "==": an inner equi-join makes Catalyst infer
+    # isnotnull(hex_id) and push it below every chained projection,
+    # re-inlining the whole hex pipeline into one >64KB expression that
+    # fails janino and de-optimizes the stage (keys are non-null by
+    # construction, so <=> is semantically identical and still a BHJ).
+    counts = (
+        pts.join(F.broadcast(neigh), pts.hex_id.eqNullSafe(neigh.hex_id))
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_points"))
+    )
+    qid = qs.select(F.col("point_id").alias("query_id"))
+    return qid.join(counts, "query_id", "left").select(
+        "query_id", F.coalesce("n_points", F.lit(0)).alias("n_points")
+    )
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -1271,6 +1374,9 @@ QUERIES = {
     "cap_intersect_terms": cap_intersect_terms_q,
     "closest_edge": closest_edge_q,
     "wrs_sample": wrs_sample_q,
+    "hex_tile_counts": hex_tile_counts_q,
+    "hex_parent_rollup": hex_parent_rollup_q,
+    "hex_ring_counts": hex_ring_counts_q,
 }
 
 ORACLES = {
@@ -1346,4 +1452,7 @@ ORACLES = {
     "cap_intersect_terms": oracle.cap_intersect_terms_sql(),
     "closest_edge": oracle.closest_edge_sql(),
     "wrs_sample": oracle.wrs_sample_sql(20),
+    "hex_tile_counts": oracle.hex_tile_counts_sql(2),
+    "hex_parent_rollup": oracle.hex_parent_rollup_sql(3),
+    "hex_ring_counts": oracle.hex_ring_counts_sql(2, 2),
 }

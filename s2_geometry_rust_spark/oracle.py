@@ -3389,3 +3389,124 @@ WITH keyed AS (
 SELECT source, doc_id, n_chars, sample_rank FROM ranked
 WHERE sample_rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Aperture-7 hex grid (kernels/hexgrid.py) — the H3 side of "H3/S2 index"
+# ---------------------------------------------------------------------------
+
+def _hex_consts(res: int):
+    from .kernels import hexgrid as hg
+    return {k: repr(v[res]) for k, v in
+            dict(c=hg.COS, s=hg.SIN, c1=hg.C1, c2=hg.C2, c3=hg.C3,
+                 d1=hg.D1, d2=hg.D2, d3=hg.D3).items()}
+
+
+def _face_uv_fragment(points_sql: str, prefix: str) -> str:
+    """CTE fragments (no WITH) from (point_id, x, y, z) to
+    ``{prefix}uv(point_id, face, u, v)`` — textually identical to the
+    proven fragments inside _hilbert_chain (cell_id.rs:507-537
+    variant), so hex and Hilbert oracles share one face geometry."""
+    p = prefix
+    return f"""
+{p}pts AS ({points_sql}),
+{p}fuv AS (
+  SELECT point_id,
+    CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN (CASE WHEN x >= 0 THEN 0 ELSE 3 END)
+         WHEN abs(y) >= abs(z) THEN (CASE WHEN y >= 0 THEN 1 ELSE 4 END)
+         ELSE (CASE WHEN z >= 0 THEN 2 ELSE 5 END) END AS face,
+    x, y, z FROM {p}pts),
+{p}uv AS (
+  SELECT point_id, face,
+    CASE face WHEN 0 THEN y/x WHEN 3 THEN -z/(-x) WHEN 1 THEN -x/y WHEN 4 THEN z/(-y) WHEN 2 THEN -y/z ELSE -x/(-z) END AS u,
+    CASE face WHEN 0 THEN z/x WHEN 3 THEN -y/(-x) WHEN 1 THEN z/y WHEN 4 THEN x/(-y) WHEN 2 THEN -x/z ELSE y/(-z) END AS v
+  FROM {p}fuv)
+"""
+
+
+def _hex_axial_fragment(src: str, res: int, prefix: str,
+                        carry: list[str]) -> str:
+    """CTE fragments from ``src(..carry.., face, u, v)`` to
+    ``{prefix}hex(..carry.., face, q, r)`` at ``res`` — the exact op
+    order of kernels.hexgrid.uv_to_axial / cube_round, constants
+    injected as the same double literals the Spark Columns use."""
+    k = _hex_consts(res)
+    p, cols = prefix, ", ".join(carry)
+    return f"""
+{p}h1 AS (SELECT {cols}, face, {k['c']}*u + {k['s']}*v AS xp, {k['c']}*v - {k['s']}*u AS yp FROM {src}),
+{p}h2 AS (SELECT {cols}, face, {k['c1']}*xp - {k['c2']}*yp AS qf, {k['c3']}*yp AS rf FROM {p}h1),
+{p}h3 AS (SELECT {cols}, face, qf, rf, (-qf) - rf AS yf FROM {p}h2),
+{p}h4 AS (SELECT {cols}, face, qf, rf, yf,
+          CAST(floor(qf + 0.5) AS BIGINT) AS rx,
+          CAST(floor(yf + 0.5) AS BIGINT) AS ry,
+          CAST(floor(rf + 0.5) AS BIGINT) AS rz FROM {p}h3),
+{p}h5 AS (SELECT {cols}, face, rx, ry, rz,
+          abs(rx - qf) AS dx, abs(ry - yf) AS dy, abs(rz - rf) AS dz FROM {p}h4),
+{p}hex AS (SELECT {cols}, face,
+          CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS q,
+          CASE WHEN dx > dy AND dx > dz THEN rz WHEN dy > dz THEN rz ELSE -rx - ry END AS r
+          FROM {p}h5)
+"""
+
+
+def _hex_pack_sql(face: str, res: int, q: str, r: str) -> str:
+    """Packed id (kernels/hexgrid.py layout); always positive BIGINT."""
+    off = 1 << 27
+    return (f"((CAST({face} AS BIGINT) << 60) | {res << 56} | "
+            f"(({q} + {off}) << 28) | ({r} + {off}))")
+
+
+def hex_tile_counts_sql(res: int = 5, table: str = "customer",
+                        key: str = "c_custkey") -> str:
+    frag = (_face_uv_fragment(derived_points_sql(table, key), "")
+            + "," + _hex_axial_fragment("uv", res, "", ["point_id"]))
+    pk = _hex_pack_sql("face", res, "q", "r")
+    return f"""WITH {frag}
+SELECT {pk} AS hex_id, printf('%x', {pk}) AS hex_token,
+       count(*) AS n_points
+FROM hex GROUP BY 1, 2"""
+
+
+def hex_parent_rollup_sql(child_res: int = 6, table: str = "customer",
+                          key: str = "c_custkey") -> str:
+    """Assign at child_res, roll up to the aperture-7 parent
+    (center-rebin at child_res-1; kernels.hexgrid.parent)."""
+    k = _hex_consts(child_res)
+    child_pk = _hex_pack_sql("face", child_res, "q", "r")
+    frag = (_face_uv_fragment(derived_points_sql(table, key), "")
+            + "," + _hex_axial_fragment("uv", child_res, "c", ["point_id"]))
+    parent_frag = _hex_axial_fragment("cuv", child_res - 1, "p",
+                                      ["point_id", "child_id"])
+    parent_pk = _hex_pack_sql("face", child_res - 1, "q", "r")
+    return f"""WITH {frag},
+cent AS (SELECT point_id, {child_pk} AS child_id, face,
+         {k['d1']}*CAST(q AS DOUBLE) + {k['d2']}*CAST(r AS DOUBLE) AS xl,
+         {k['d3']}*CAST(r AS DOUBLE) AS yl FROM chex),
+cuv AS (SELECT point_id, child_id, face,
+        {k['c']}*xl - {k['s']}*yl AS u,
+        {k['s']}*xl + {k['c']}*yl AS v FROM cent),
+{parent_frag}
+SELECT {parent_pk} AS parent_id, printf('%x', {parent_pk}) AS parent_token,
+       count(*) AS n_points, count(DISTINCT child_id) AS n_children
+FROM phex GROUP BY 1, 2"""
+
+
+def hex_ring_counts_sql(res: int = 5, k: int = 2, n_queries: int = 20) -> str:
+    """k-ring (lattice-disk) count join: for each query point's hex,
+    count data points whose hex lies within lattice distance k on the
+    same face — the H3 kRing neighborhood query.  Face-local semantics
+    (no cross-face stitching) on both sides by construction."""
+    pts = (_face_uv_fragment(derived_points_sql("customer", "c_custkey"), "a")
+           + "," + _hex_axial_fragment("auv", res, "a", ["point_id"]))
+    qsub = derived_points_sql(
+        f"(SELECT * FROM supplier WHERE s_suppkey <= {n_queries})",
+        "s_suppkey")
+    qs = (_face_uv_fragment(qsub, "b")
+          + "," + _hex_axial_fragment("buv", res, "b", ["point_id"]))
+    return f"""WITH {pts},
+{qs}
+SELECT b.point_id AS query_id, count(a.point_id) AS n_points
+FROM bhex b LEFT JOIN ahex a
+  ON a.face = b.face
+ AND abs(a.q - b.q) + abs(a.r - b.r) + abs((a.q - b.q) + (a.r - b.r)) <= {2 * k}
+GROUP BY 1"""
