@@ -1202,6 +1202,16 @@ def wrs_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. exact-substring
+    dedup, Spark-native): maximal runs of 8-token windows recurring in
+    >= 2 distinct documents."""
+    from .operators.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_spans(docs, window=8, min_docs=2)
+
+
 def hex_tile_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Counts per aperture-7 hex cell (kernels/hexgrid.py) — the H3
     side of the north rule's "H3/S2 index".  Fully JVM: projection,
@@ -1377,6 +1387,7 @@ QUERIES = {
     "hex_tile_counts": hex_tile_counts_q,
     "hex_parent_rollup": hex_parent_rollup_q,
     "hex_ring_counts": hex_ring_counts_q,
+    "dup_spans": dup_spans_q,
 }
 
 ORACLES = {
@@ -1455,4 +1466,5 @@ ORACLES = {
     "hex_tile_counts": oracle.hex_tile_counts_sql(2),
     "hex_parent_rollup": oracle.hex_parent_rollup_sql(3),
     "hex_ring_counts": oracle.hex_ring_counts_sql(2, 2),
+    "dup_spans": oracle.dup_spans_sql(8, 2),
 }

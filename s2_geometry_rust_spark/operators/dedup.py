@@ -623,3 +623,71 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def duplicate_spans(docs: DataFrame, window: int = 8, min_docs: int = 2,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Exact duplicated-substring spans: maximal runs of ``window``-token
+    sliding windows whose text recurs in >= ``min_docs`` DISTINCT
+    documents (the "Deduplicating Training Data Makes Language Models
+    Better" operator, re-expressed Spark-native: hash-shuffle window
+    dedup instead of a single-node suffix array).
+
+    Returns (doc_id, span_start, span_end, n_windows): token-index
+    spans, end exclusive (span covers tokens [span_start,
+    span_end)); adjacent/overlapping duplicated windows are merged into
+    maximal spans via the islands trick (pos - row_number).
+
+    Intra-document repeats alone do NOT flag a window (cross-doc
+    distinct count); see repetition_stats for intra-doc quality.
+
+    Scale shape: the windows relation is O(total tokens) rows but only
+    (md5, doc_id, pos) wide; it is shuffled twice (distinct-hash
+    partial-agg -> count, then the dup-hash semi-join back), both on
+    the md5 key — uniform by construction, no skew.  The islands
+    window+agg shuffles by doc_id once.  Everything is JVM built-ins
+    (split/slice/concat_ws/md5); the token array is materialized
+    BEFORE the higher-order transform (interpreted-HOF re-tokenization
+    pitfall, see ROUND_NOTES round-2 post-review fixes).
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    base = (
+        docs.select(id_col, toks.alias("__tk"))
+        .filter(F.size("__tk") >= window)
+    )
+    wins = base.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__tk") - window + 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__tk"), i, window)),
+            )
+        ).alias("pos", "__wtext"),
+    ).select(id_col, "pos", F.md5("__wtext").alias("__h"))
+
+    dup_hashes = (
+        wins.select("__h", id_col)
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count("*").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    flagged = wins.join(dup_hashes, "__h").select(id_col, "pos")
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = flagged.withColumn(
+        "__isl", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + window).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_windows")
+    )

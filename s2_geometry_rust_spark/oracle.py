@@ -3510,3 +3510,34 @@ FROM bhex b LEFT JOIN ahex a
   ON a.face = b.face
  AND abs(a.q - b.q) + abs(a.r - b.r) + abs((a.q - b.q) + (a.r - b.r)) <= {2 * k}
 GROUP BY 1"""
+
+
+def dup_spans_sql(window: int = 8, min_docs: int = 2) -> str:
+    """Mirror of operators/dedup.py:duplicate_spans — exact duplicated
+    window spans with islands merge, brute-forced in SQL."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), wins0 AS (
+  SELECT doc_id, unnest(range(1, len(tk) - {window} + 2)) AS i, tk
+  FROM toks WHERE len(tk) >= {window}
+), wins AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         md5(array_to_string(tk[i:i+{window - 1}], ' ')) AS h
+  FROM wins0
+), dup AS (
+  SELECT h FROM (SELECT DISTINCT h, doc_id FROM wins)
+  GROUP BY h HAVING count(*) >= {min_docs}
+), flagged AS (
+  SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (h)
+), isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM flagged
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + {window} AS span_end,
+       count(*) AS n_windows
+FROM isl GROUP BY doc_id, g
+"""
