@@ -202,3 +202,29 @@ def hex_token(hid) -> Column:
     """Lower-case hex string of the id (no leading zeros; ids are
     always positive so Spark HEX == printf('%x') in DuckDB)."""
     return F.lower(F.hex(_c(hid)))
+
+
+def with_hex_from_latlng(df, lat: str, lng: str, res: int,
+                         out: str = "hex_id",
+                         keep: list[str] | None = None):
+    """df + hex id from latitude/longitude degrees — JVM trig
+    (radians/sin/cos) then the chained hex pipeline.
+
+    Used by the geo-extraction tilers (batch + streaming twins), where
+    parity is engine-internal Spark-vs-Spark; the cross-engine
+    (DuckDB-oracled) contract queries go through xyz derived points
+    instead, because libm trig is the one op class without a bitwise
+    cross-engine guarantee."""
+    keep = df.columns if keep is None else keep
+    d = df.select(
+        *keep,
+        F.radians(F.col(lat)).alias("__phi"),
+        F.radians(F.col(lng)).alias("__lam"),
+    )
+    d = d.select(
+        *keep,
+        (F.cos("__phi") * F.cos("__lam")).alias("__gx"),
+        (F.cos("__phi") * F.sin("__lam")).alias("__gy"),
+        F.sin("__phi").alias("__gz"),
+    )
+    return with_hex_cell(d, "__gx", "__gy", "__gz", res, out=out, keep=keep)

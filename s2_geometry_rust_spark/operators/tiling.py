@@ -45,3 +45,17 @@ def raster_vector_join(raster_tiles: DataFrame, points: DataFrame,
     hot tiles (backstopped by explicit salting in plans.salting)."""
     pts = with_tile(points, level, cell_col, tile_col)
     return pts.join(raster_tiles, tile_col)
+
+
+def hex_tile_counts_geo(points: DataFrame, res: int = 3,
+                        lat_col: str = "lat",
+                        lng_col: str = "lng") -> DataFrame:
+    """Per-hex-cell counts of geo points (lat/lng degrees) — the
+    aperture-7 twin of tile_counts; one shuffle, all JVM."""
+    from ..functions.hexcols import with_hex_from_latlng
+
+    return (
+        with_hex_from_latlng(points, lat_col, lng_col, res, keep=[])
+        .groupBy("hex_id")
+        .agg(F.count("*").alias("n_points"))
+    )

@@ -63,3 +63,31 @@ def streaming_tile_assign(doc_stream: DataFrame, level: int = 8) -> DataFrame:
     )
     s = s.withColumn("cell_id", cell_id_from_latlng_deg("lat", "lng"))
     return s.withColumn("tile_id", cell_parent("cell_id", level))
+
+
+def streaming_hex_tile_counts(doc_stream: DataFrame, res: int = 3,
+                              ts_col: str = "event_time",
+                              watermark: str = "10 minutes",
+                              window: str = "5 minutes") -> DataFrame:
+    """Aperture-7 hex twin of streaming_tile_counts: geo extraction ->
+    JVM hex assignment (functions/hexcols.py) -> watermarked windowed
+    per-hex counts.  Shares the batch operator chain
+    (operators/tiling.py:hex_tile_counts_geo) so a backfill and a live
+    feed agree exactly."""
+    from ..functions.hexcols import with_hex_from_latlng
+
+    s = doc_stream.withWatermark(ts_col, watermark)
+    s = s.select("doc_id", ts_col,
+                 F.posexplode("spans").alias("span_idx", "span"))
+    s = s.filter(F.col("span.kind") == "geo").select(
+        "doc_id",
+        ts_col,
+        F.regexp_extract("span.text", _POINT_RE, 1).cast("double").alias("lat"),
+        F.regexp_extract("span.text", _POINT_RE, 2).cast("double").alias("lng"),
+    )
+    s = with_hex_from_latlng(s, "lat", "lng", res,
+                             keep=["doc_id", ts_col])
+    return (
+        s.groupBy(F.window(ts_col, window), "hex_id")
+        .agg(F.count("*").alias("n_points"))
+    )

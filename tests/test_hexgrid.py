@@ -212,3 +212,34 @@ def test_oracle_fixture_margins():
         for a, b in ((dx, dy), (dx, dz), (dy, dz)):
             gap = np.abs(a - b)
             assert gap.min() > 1e-9, (res, gap.min())
+
+
+def test_geo_hex_tiler_matches_kernel(spark):
+    """hex_tile_counts_geo (JVM trig + hex pipeline) == numpy kernel
+    recompute over the same extracted points.  JVM Math.sin/cos and
+    numpy libm agree on these fixtures (guard: recompute counts, not
+    per-point equality, would hide nothing — we assert per-point ids)."""
+    import pandas as pd
+    from s2_geometry_rust_spark.sources import (
+        extract_geo_points,
+        synth_documents,
+    )
+    from s2_geometry_rust_spark.functions.hexcols import with_hex_from_latlng
+    from s2_geometry_rust_spark.kernels.cellid import xyz_to_face_uv
+
+    pts = extract_geo_points(synth_documents(spark, 400, seed=9))
+    got = (
+        with_hex_from_latlng(pts, "lat", "lng", 3,
+                             keep=["doc_id", "lat", "lng"])
+        .toPandas()
+        .sort_values(["doc_id", "lat", "lng"])
+        .reset_index(drop=True)
+    )
+    phi = np.radians(got["lat"].to_numpy())
+    lam = np.radians(got["lng"].to_numpy())
+    x = np.cos(phi) * np.cos(lam)
+    y = np.cos(phi) * np.sin(lam)
+    z = np.sin(phi)
+    face, u, v = xyz_to_face_uv(x, y, z)
+    want = hg.hex_index(u, v, face, 3)
+    assert np.array_equal(got["hex_id"].to_numpy(), want)
