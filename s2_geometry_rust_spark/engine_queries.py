@@ -1315,6 +1315,48 @@ def hex_ring_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tile_pyramid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level tile-count pyramid (levels 4/8/12) in ONE pass via
+    GROUPING SETS — one scan + Expand + single shuffle instead of one
+    scan per zoom level (the heatmap-pyramid shape every map tiler
+    needs; at 100 TB the saved scans dominate)."""
+    from .operators.tiling import tile_pyramid
+
+    pts = leaf_assign(spark, sf_dir)
+    return tile_pyramid(pts, levels=(4, 8, 12))
+
+
+def trajectory_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-trajectory hop stats in squared-chord space
+    (chord_angle.rs:90-95): lineitem lines are fixes (traj =
+    l_orderkey, order = l_linenumber) with normalized derived
+    directions; hop lengths are integer-scaled before summing so the
+    totals are order-independent and exactly oracled."""
+    from .operators.geom_aggs import trajectory_stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    k = F.col("l_orderkey") * 7 + F.col("l_linenumber")
+    raw = li.select(
+        F.col("l_orderkey").alias("traj_id"),
+        F.col("l_linenumber").alias("seq"),
+        ((k * 37 % 997) / 498.5 - 1.0).alias("rx"),
+        ((k * 73 % 991) / 495.5 - 1.0).alias("ry"),
+        ((k * 101 % 983) / 491.5 - 1.0).alias("rz"),
+    )
+    n = F.sqrt(
+        F.col("rx") * F.col("rx")
+        + F.col("ry") * F.col("ry")
+        + F.col("rz") * F.col("rz")
+    )
+    pts = raw.select(
+        "traj_id", "seq",
+        (F.col("rx") / n).alias("x"),
+        (F.col("ry") / n).alias("y"),
+        (F.col("rz") / n).alias("z"),
+    )
+    return trajectory_stats(pts)
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -1388,6 +1430,8 @@ QUERIES = {
     "hex_parent_rollup": hex_parent_rollup_q,
     "hex_ring_counts": hex_ring_counts_q,
     "dup_spans": dup_spans_q,
+    "tile_pyramid": tile_pyramid_q,
+    "trajectory_stats": trajectory_stats_q,
 }
 
 ORACLES = {
@@ -1467,4 +1511,6 @@ ORACLES = {
     "hex_parent_rollup": oracle.hex_parent_rollup_sql(3),
     "hex_ring_counts": oracle.hex_ring_counts_sql(2, 2),
     "dup_spans": oracle.dup_spans_sql(8, 2),
+    "tile_pyramid": oracle.tile_pyramid_sql((4, 8, 12)),
+    "trajectory_stats": oracle.trajectory_stats_sql(),
 }

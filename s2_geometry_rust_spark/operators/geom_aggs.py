@@ -220,3 +220,43 @@ def union_bounds(cells: DataFrame) -> DataFrame:
         )
 
     return cells.groupBy("union_id").applyInPandas(fn, UNION_BOUNDS_SCHEMA)
+
+
+def trajectory_stats(points: DataFrame, traj_col: str = "traj_id",
+                     seq_col: str = "seq", scale: float = 1e15) -> DataFrame:
+    """Per-trajectory hop statistics in squared-chord space.
+
+    Input: (traj_col, seq_col, x, y, z) unit vectors, one row per fix.
+    For each trajectory the consecutive-hop "length" is the squared
+    chord |a-b|^2 (chord_angle.rs:90-95) — purely algebraic, so unlike
+    a haversine path sum it is exactly reproducible across engines.
+    Each hop is scaled to an integer (round(hop2 * scale)) before
+    summing so the per-trajectory totals are order-independent exact
+    int64 sums (the same trick as the atto-scaled union areas).
+
+    Scale shape: ONE shuffle on traj_col feeds both the lag window and
+    the final aggregate (same partitioning, no second exchange); the
+    chord math is whole-stage codegen.
+
+    Output: (traj_col, n_fixes, n_hops, path_chord2_e15, max_hop_e15).
+    Single-fix trajectories yield n_hops=0 with zero sums.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(traj_col).orderBy(seq_col)
+    px, py, pz = (F.lag(c).over(w) for c in ("x", "y", "z"))
+    hop2 = (
+        (F.col("x") - px) * (F.col("x") - px)
+        + (F.col("y") - py) * (F.col("y") - py)
+        + (F.col("z") - pz) * (F.col("z") - pz)
+    )
+    hop_e15 = F.round(hop2 * F.lit(scale), 0).cast("long")
+    d = points.withColumn("_hop_e15", hop_e15)
+    return d.groupBy(traj_col).agg(
+        F.count("*").alias("n_fixes"),
+        F.count("_hop_e15").alias("n_hops"),
+        F.coalesce(F.sum("_hop_e15"), F.lit(0)).cast("long")
+         .alias("path_chord2_e15"),
+        F.coalesce(F.max("_hop_e15"), F.lit(0)).cast("long")
+         .alias("max_hop_e15"),
+    )

@@ -3541,3 +3541,69 @@ SELECT doc_id, min(pos) AS span_start, max(pos) + {window} AS span_end,
        count(*) AS n_windows
 FROM isl GROUP BY doc_id, g
 """
+
+
+def tile_pyramid_sql(levels: tuple[int, ...] = (4, 8, 12),
+                     table: str = "customer",
+                     key: str = "c_custkey") -> str:
+    """Mirror of tiling.tile_pyramid: counts per tile at every level in
+    one GROUPING SETS pass over the SQL-Hilbert leaf encoding."""
+    cte = hilbert_leaf_cte(derived_points_sql(table, key))
+    cols = {lv: f"p{lv}" for lv in levels}
+    proj = ", ".join(
+        f"{parent_sql('cell_id', lv)} AS {c}" for lv, c in cols.items()
+    )
+    sets = ", ".join(f"({c})" for c in cols.values())
+    level_case = "CASE " + " ".join(
+        f"WHEN {c} IS NOT NULL THEN {lv}" for lv, c in cols.items()
+    ) + " END"
+    tile = "coalesce(" + ", ".join(cols.values()) + ")"
+    return (
+        cte
+        + f""",
+par AS (SELECT point_id, {proj} FROM leaf),
+agg AS (
+  SELECT {', '.join(cols.values())}, count(*) AS n_points
+  FROM par GROUP BY GROUPING SETS ({sets})
+)
+SELECT CAST({level_case} AS INT) AS level,
+       {tile} AS tile_id,
+       {token_sql(tile)} AS tile_token,
+       n_points
+FROM agg
+"""
+    )
+
+
+def trajectory_stats_sql(scale: float = 1e15) -> str:
+    """Mirror of geom_aggs.trajectory_stats over lineitem-derived
+    trajectories: traj = l_orderkey, fix order = l_linenumber, point =
+    normalized derived direction of k = l_orderkey*7 + l_linenumber.
+    Every op (int mod, /, sqrt, -, *, round-to-int) is exactly rounded,
+    so the scaled int64 hop values are bit-identical to Spark's and the
+    sums are order-independent."""
+    return f"""
+WITH raw AS (
+  SELECT l_orderkey AS traj_id, l_linenumber AS seq,
+         ((l_orderkey*7 + l_linenumber)*37 % 997) / 498.5 - 1.0 AS x,
+         ((l_orderkey*7 + l_linenumber)*73 % 991) / 495.5 - 1.0 AS y,
+         ((l_orderkey*7 + l_linenumber)*101 % 983) / 491.5 - 1.0 AS z
+  FROM lineitem
+), unitv AS (
+  SELECT traj_id, seq, x/n AS x, y/n AS y, z/n AS z
+  FROM (SELECT traj_id, seq, x, y, z,
+               sqrt(x*x + y*y + z*z) AS n FROM raw)
+), hops AS (
+  SELECT traj_id,
+         CAST(round(((x - lag(x) OVER w) * (x - lag(x) OVER w)
+                   + (y - lag(y) OVER w) * (y - lag(y) OVER w)
+                   + (z - lag(z) OVER w) * (z - lag(z) OVER w))
+                    * {scale!r}) AS BIGINT) AS hop_e15
+  FROM unitv
+  WINDOW w AS (PARTITION BY traj_id ORDER BY seq)
+)
+SELECT traj_id, count(*) AS n_fixes, count(hop_e15) AS n_hops,
+       CAST(coalesce(sum(hop_e15), 0) AS BIGINT) AS path_chord2_e15,
+       CAST(coalesce(max(hop_e15), 0) AS BIGINT) AS max_hop_e15
+FROM hops GROUP BY traj_id
+"""

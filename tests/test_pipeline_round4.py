@@ -1,0 +1,105 @@
+"""Round-3 session-6 additions: multi-level tile pyramid, trajectory
+hop statistics — semantic ground truth computed independently in
+python/numpy (the DuckDB oracle covers SQL parity in the contract
+check)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+def test_tile_pyramid_matches_per_level_counts(spark):
+    """The one-pass GROUPING SETS pyramid must equal the per-level
+    tile_counts run separately."""
+    from s2_geometry_rust_spark.engine_queries import leaf_assign
+    from s2_geometry_rust_spark.operators.tiling import (
+        tile_counts,
+        tile_pyramid,
+    )
+
+    pts = leaf_assign(spark, "/root/testdata/sf0.001")
+    pyr = tile_pyramid(pts, levels=(4, 8, 12)).collect()
+    total = pts.count()
+    by_level = {}
+    for r in pyr:
+        by_level.setdefault(r["level"], {})[r["tile_id"]] = r["n_points"]
+    assert set(by_level) == {4, 8, 12}
+    for lv in (4, 8, 12):
+        # every level's pyramid slice partitions the full point set
+        assert sum(by_level[lv].values()) == total
+        want = {
+            r["tile_id"]: r["n_points"]
+            for r in tile_counts(pts, lv).collect()
+        }
+        assert by_level[lv] == want
+
+
+def test_tile_pyramid_single_pass_plan(spark):
+    """One Expand node and one shuffle — not one scan per level."""
+    from s2_geometry_rust_spark.engine_queries import leaf_assign
+    from s2_geometry_rust_spark.operators.tiling import tile_pyramid
+
+    pts = leaf_assign(spark, "/root/testdata/sf0.001")
+    plan = tile_pyramid(pts)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_trajectory_stats_numpy_parity(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for tid in range(20):
+        n = int(rng.integers(1, 6))
+        for s in range(n):
+            v = rng.normal(size=3)
+            v /= np.linalg.norm(v)
+            rows.append((tid, s, float(v[0]), float(v[1]), float(v[2])))
+    df = spark.createDataFrame(rows, ["traj_id", "seq", "x", "y", "z"])
+
+    from s2_geometry_rust_spark.operators.geom_aggs import trajectory_stats
+
+    got = {r["traj_id"]: r for r in trajectory_stats(df).collect()}
+
+    import collections
+
+    by_traj = collections.defaultdict(list)
+    for tid, s, x, y, z in rows:
+        by_traj[tid].append((s, np.array([x, y, z])))
+    for tid, fixes in by_traj.items():
+        fixes.sort(key=lambda t: t[0])
+        # Spark F.round / DuckDB round are half-away-from-zero (half-up
+        # for these non-negative values), NOT numpy's half-even.
+        hops = [
+            int(np.floor(float(np.sum((b - a) ** 2)) * 1e15 + 0.5))
+            for (_, a), (_, b) in zip(fixes, fixes[1:])
+        ]
+        r = got[tid]
+        assert r["n_fixes"] == len(fixes)
+        assert r["n_hops"] == len(hops)
+        assert r["path_chord2_e15"] == sum(hops)
+        assert r["max_hop_e15"] == (max(hops) if hops else 0)
+
+
+def test_trajectory_stats_single_fix_zero_hops(spark):
+    from s2_geometry_rust_spark.operators.geom_aggs import trajectory_stats
+
+    df = spark.createDataFrame(
+        [(1, 0, 1.0, 0.0, 0.0)], ["traj_id", "seq", "x", "y", "z"]
+    )
+    r = trajectory_stats(df).collect()[0]
+    assert (r["n_fixes"], r["n_hops"]) == (1, 0)
+    assert r["path_chord2_e15"] == 0 and r["max_hop_e15"] == 0
+
+
+def test_trajectory_stats_one_exchange_plan(spark):
+    """The lag window and the final agg must share ONE hash exchange on
+    traj_id (window partitioning == agg key)."""
+    from s2_geometry_rust_spark.operators.geom_aggs import trajectory_stats
+
+    df = spark.createDataFrame(
+        [(1, 0, 1.0, 0.0, 0.0), (1, 1, 0.0, 1.0, 0.0)],
+        ["traj_id", "seq", "x", "y", "z"],
+    )
+    plan = trajectory_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
