@@ -1357,6 +1357,27 @@ def trajectory_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trajectory_stats(pts)
 
 
+def group_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language doc-length quantiles via distinct-value
+    compression — the window touches only the distinct-length
+    histogram, never the rows, so exact quantiles stay cheap at
+    100 TB."""
+    from .operators.sketches import exact_group_quantiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_group_quantiles(docs, "lang", "n_chars")
+
+
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk training-sequence packing (capacity 256) with a
+    bucketed distributed prefix sum — the oracle's single-partition
+    running sum checks the distributed decomposition exactly."""
+    from .operators.text import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, capacity=256)
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -1432,6 +1453,8 @@ QUERIES = {
     "dup_spans": dup_spans_q,
     "tile_pyramid": tile_pyramid_q,
     "trajectory_stats": trajectory_stats_q,
+    "group_quantiles": group_quantiles_q,
+    "pack_sequences": pack_sequences_q,
 }
 
 ORACLES = {
@@ -1513,4 +1536,6 @@ ORACLES = {
     "dup_spans": oracle.dup_spans_sql(8, 2),
     "tile_pyramid": oracle.tile_pyramid_sql((4, 8, 12)),
     "trajectory_stats": oracle.trajectory_stats_sql(),
+    "group_quantiles": oracle.group_quantiles_sql(),
+    "pack_sequences": oracle.pack_sequences_sql(256),
 }

@@ -10,7 +10,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 # Tiny stopword lists per language for the n-gram/stopword heuristic.
@@ -317,4 +317,82 @@ def chunk_documents(docs: DataFrame, window: int = 64,
         F.element_at("_toks", (start + chunk_len).cast("int")).alias(
             "last_token"
         ),
+    )
+
+
+def pack_sequences(docs: DataFrame, capacity: int = 256,
+                   n_buckets: int = 64, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Concat-and-chunk sequence packing (the layout LLM pretraining
+    actually trains on): every document's token stream is concatenated
+    in ``id_col`` order into ONE global stream, which is cut into
+    fixed-``capacity`` bins; documents spill across bin boundaries, so
+    there is zero pad waste except in the final bin.
+
+    The crux is a global prefix sum over token counts — a naive
+    ``sum() over (order by id)`` window moves the whole table through a
+    SINGLE partition.  Distributed shape instead:
+
+    1. deterministic range buckets from the id value (no sampling, no
+       sort): bucket = floor(id * n_buckets / (max_id + 1)); the one
+       max(id) scalar lookup is a documented driver-side scalar agg;
+    2. within-bucket running sum — n_buckets parallel window
+       partitions;
+    3. per-bucket totals (n_buckets rows) get their exclusive running
+       offset in a single TINY window, broadcast-joined back.
+
+    start/end are exact int64 global token offsets; each doc explodes
+    to its <= (len/capacity + 1) overlapped bins in codegen.
+
+    Output: (bin_id, id_col, start_in_bin, len_in_bin, n_tokens) — one
+    row per (bin, doc) slice; sum(len_in_bin) per bin == capacity for
+    all bins but the last.
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    lens = (
+        docs.select(F.col(id_col), F.size(toks).cast("long").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    # documented driver-side SCALAR agg (same pattern as spatial_join's
+    # small-side probes): one number, not data
+    max_id = lens.agg(F.max(id_col)).collect()[0][0]
+    if max_id is None:
+        return lens.select(
+            F.lit(0).cast("long").alias("bin_id"),
+            F.col(id_col),
+            F.lit(0).cast("long").alias("start_in_bin"),
+            F.lit(0).cast("long").alias("len_in_bin"),
+            "n_tokens",
+        ).limit(0)
+    b = (F.col(id_col) * n_buckets / (int(max_id) + 1)).cast("long")
+    lens = lens.withColumn("_b", b)
+    w_in = Window.partitionBy("_b").orderBy(id_col)
+    lens = lens.withColumn("_end_in_b", F.sum("n_tokens").over(w_in))
+    # bucket total == max running end: reuses the window's exchange
+    # output (same partitioning) instead of re-scanning the input
+    btot = lens.groupBy("_b").agg(F.max("_end_in_b").alias("_tot"))
+    w_b = Window.orderBy("_b")  # n_buckets rows: tiny single partition
+    boff = btot.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(w_b) - F.col("_tot"),
+                           F.lit(0)).cast("long")
+    ).select("_b", "_off")
+    d = lens.join(F.broadcast(boff), "_b")
+    start = (F.col("_off") + F.col("_end_in_b") - F.col("n_tokens"))
+    end = F.col("_off") + F.col("_end_in_b")
+    d = d.withColumn("_start", start).withColumn("_end", end)
+    bin_id = F.explode(
+        F.sequence(
+            F.floor(F.col("_start") / capacity),
+            F.floor((F.col("_end") - 1) / capacity),
+        )
+    ).alias("bin_id")
+    d = d.select(F.col(id_col), "n_tokens", "_start", "_end", bin_id)
+    lo = F.greatest(F.col("_start"), F.col("bin_id") * capacity)
+    hi = F.least(F.col("_end"), (F.col("bin_id") + 1) * capacity)
+    return d.select(
+        "bin_id",
+        F.col(id_col),
+        (lo - F.col("bin_id") * capacity).cast("long").alias("start_in_bin"),
+        (hi - lo).cast("long").alias("len_in_bin"),
+        "n_tokens",
     )

@@ -3607,3 +3607,63 @@ SELECT traj_id, count(*) AS n_fixes, count(hop_e15) AS n_hops,
        CAST(coalesce(max(hop_e15), 0) AS BIGINT) AS max_hop_e15
 FROM hops GROUP BY traj_id
 """
+
+
+def group_quantiles_sql(ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+                        ) -> str:
+    """Mirror of sketches.exact_group_quantiles over documents
+    (group = lang, value = n_chars): lower-quantile ("disc") semantics
+    — smallest value whose cumulative count reaches ceil(p*n).  Pure
+    integer comparisons; the only float op, p*n, is one exactly-rounded
+    multiply in both engines."""
+    plist = ", ".join(repr(float(p)) for p in ps)
+    return f"""
+WITH hist AS (
+  SELECT lang, n_chars AS v, count(*) AS cnt FROM documents GROUP BY 1, 2
+), cum AS (
+  SELECT lang, v, cnt,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS cumc
+  FROM hist
+), tot AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY 1
+), ranks AS (
+  SELECT lang, n, p, CAST(ceil(p * n) AS BIGINT) AS target
+  FROM tot CROSS JOIN (SELECT unnest([{plist}]) AS p)
+)
+SELECT c.lang, r.p, min(c.v) AS q_value, r.n
+FROM cum c JOIN ranks r ON c.lang = r.lang AND c.cumc >= r.target
+GROUP BY 1, 2, 4
+"""
+
+
+def pack_sequences_sql(capacity: int = 256) -> str:
+    """Mirror of text.pack_sequences: global concat-and-chunk packing.
+    The oracle's single-partition ``sum() over (order by doc_id)`` is
+    semantically identical to the engine's bucketed distributed prefix
+    sum — that equivalence is exactly what this oracle checks."""
+    c = int(capacity)
+    return rf"""
+WITH lens AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+           AS n_tokens
+  FROM documents
+), nz AS (
+  SELECT * FROM lens WHERE n_tokens > 0
+), cumend AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id) AS e
+  FROM nz
+), spans AS (
+  SELECT doc_id, n_tokens, CAST(e - n_tokens AS BIGINT) AS st,
+         CAST(e AS BIGINT) AS en
+  FROM cumend
+)
+SELECT b.bin_id, s.doc_id,
+       greatest(s.st, b.bin_id * {c}) - b.bin_id * {c} AS start_in_bin,
+       least(s.en, (b.bin_id + 1) * {c})
+         - greatest(s.st, b.bin_id * {c}) AS len_in_bin,
+       s.n_tokens
+FROM spans s,
+     unnest(range(s.st // {c}, ((s.en - 1) // {c}) + 1)) AS b(bin_id)
+"""

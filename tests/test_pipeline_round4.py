@@ -103,3 +103,119 @@ def test_trajectory_stats_one_exchange_plan(spark):
     )
     plan = trajectory_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_exact_group_quantiles_numpy_parity(spark):
+    rng = np.random.default_rng(11)
+    rows = [
+        (["a", "b", "c"][int(rng.integers(0, 3))], int(rng.integers(0, 50)))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+
+    from s2_geometry_rust_spark.operators.sketches import (
+        exact_group_quantiles,
+    )
+
+    ps = (0.25, 0.5, 0.75, 0.9)
+    got = {
+        (r["g"], r["p"]): (r["q_value"], r["n"])
+        for r in exact_group_quantiles(df, "g", "v", ps).collect()
+    }
+    import collections
+    import math
+
+    vals = collections.defaultdict(list)
+    for g, v in rows:
+        vals[g].append(v)
+    for g, vs in vals.items():
+        vs.sort()
+        for p in ps:
+            # lower ("disc") quantile: smallest v with cum count >= ceil(p*n)
+            target = math.ceil(p * len(vs))
+            assert got[(g, p)] == (vs[target - 1], len(vs))
+    assert len(got) == len(vals) * len(ps)
+
+
+def test_exact_group_quantiles_histogram_window_plan(spark):
+    """The running-sum window must run over the compressed histogram
+    (after the partial-agg exchange), never over raw rows."""
+    from s2_geometry_rust_spark.operators.sketches import (
+        exact_group_quantiles,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 7).alias("v")
+    )
+    plan = (
+        exact_group_quantiles(df, "g", "v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # Window consumes HashAggregate output: no Sort over the raw scan
+    assert "Window" in plan and "HashAggregate" in plan
+
+
+def _py_pack(rows, capacity):
+    """Driver-side ground truth: trivial cumsum packing."""
+    import re
+
+    out, pos = [], 0
+    for doc_id, text in sorted(rows):
+        toks = [t for t in re.split(r"\s+", text) if t != ""]
+        n = len(toks)
+        if n == 0:
+            continue
+        start, end = pos, pos + n
+        for b in range(start // capacity, (end - 1) // capacity + 1):
+            lo, hi = max(start, b * capacity), min(end, (b + 1) * capacity)
+            out.append((b, doc_id, lo - b * capacity, hi - lo, n))
+        pos = end
+    return sorted(out)
+
+
+def test_pack_sequences_matches_serial_packing(spark):
+    rng = np.random.default_rng(13)
+    rows = [
+        (i, " ".join(f"t{j}" for j in range(int(rng.integers(0, 40)))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    from s2_geometry_rust_spark.operators.text import pack_sequences
+
+    got = sorted(
+        tuple(r) for r in pack_sequences(df, capacity=64, n_buckets=7)
+        .collect()
+    )
+    assert got == _py_pack(rows, 64)
+
+
+def test_pack_sequences_bucket_count_invariance(spark):
+    """The distributed prefix sum must not depend on the bucketing."""
+    rows = [(i, " ".join("x" * 1 for _ in range(i % 13))) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    from s2_geometry_rust_spark.operators.text import pack_sequences
+
+    a = sorted(tuple(r) for r in pack_sequences(df, 32, n_buckets=1).collect())
+    b = sorted(tuple(r) for r in pack_sequences(df, 32, n_buckets=64).collect())
+    assert a == b and len(a) > 0
+
+
+def test_pack_sequences_bin_fill_invariant(spark):
+    """Every bin but the last is filled to exactly `capacity` tokens."""
+    rows = [(i, " ".join(f"w{j}" for j in range(5 + i % 9)))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    from s2_geometry_rust_spark.operators.text import pack_sequences
+
+    fills = {
+        r["bin_id"]: r["fill"]
+        for r in pack_sequences(df, capacity=128)
+        .groupBy("bin_id").agg(F.sum("len_in_bin").alias("fill")).collect()
+    }
+    last = max(fills)
+    for b, fill in fills.items():
+        assert fill == 128 or b == last
+    assert set(fills) == set(range(last + 1))
