@@ -1378,6 +1378,46 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, capacity=256)
 
 
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rational-idf BM25 retrieval: top-10 corpus docs for 3 document
+    queries — query terms broadcast into the postings, corpus shuffled
+    exactly once, contributions integer-scaled so the ranking replays
+    bit-for-bit in SQL."""
+    from .operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = docs.filter(F.col("doc_id").isin(3, 7, 11)).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_topk(docs, queries, k=10)
+
+
+def tile_modality_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal geospatial rollup: the interleaved documents'
+    media spans routed by modality (FNV-1a, Arrow-vectorized) joined to
+    each document's geo tile — media counts per (tile, modality).
+    One extraction pass per span kind + one equi-join on doc_id + one
+    aggregate shuffle; span-sequence order is untouched (the join reads
+    spans, never rewrites them)."""
+    from .operators.multimodal import media_spans
+    from .sources import extract_geo_points, interleave_flat_documents
+
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    inter = interleave_flat_documents(flat, with_media=True)
+    geo = extract_geo_points(inter).select("doc_id", "cell_id")
+    med = media_spans(inter).select("doc_id", "modality")
+    return (
+        geo.join(med, "doc_id")
+        .withColumn("tile_id", cell_parent("cell_id", 5))
+        .groupBy("tile_id", "modality")
+        .agg(F.count("*").alias("n_media"))
+        .select(
+            "tile_id", cell_token("tile_id").alias("tile_token"),
+            "modality", "n_media",
+        )
+    )
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -1455,6 +1495,8 @@ QUERIES = {
     "trajectory_stats": trajectory_stats_q,
     "group_quantiles": group_quantiles_q,
     "pack_sequences": pack_sequences_q,
+    "bm25_topk": bm25_topk_q,
+    "tile_modality_counts": tile_modality_counts_q,
 }
 
 ORACLES = {
@@ -1538,4 +1580,6 @@ ORACLES = {
     "trajectory_stats": oracle.trajectory_stats_sql(),
     "group_quantiles": oracle.group_quantiles_sql(),
     "pack_sequences": oracle.pack_sequences_sql(256),
+    "bm25_topk": oracle.bm25_topk_sql((3, 7, 11), 10),
+    "tile_modality_counts": oracle.tile_modality_counts_sql(5),
 }

@@ -3667,3 +3667,87 @@ SELECT b.bin_id, s.doc_id,
 FROM spans s,
      unnest(range(s.st // {c}, ((s.en - 1) // {c}) + 1)) AS b(bin_id)
 """
+
+
+def bm25_topk_sql(query_ids: tuple[int, ...] = (3, 7, 11), k: int = 10,
+                  k1: float = 1.2, b: float = 0.75,
+                  scale: float = 1e12) -> str:
+    """Mirror of retrieval.bm25_topk with queries = the texts of
+    ``query_ids`` documents.  The ::DOUBLE casts on k1/b are load-
+    bearing: DuckDB parses bare decimal literals as DECIMAL and would
+    otherwise do exact-decimal arithmetic where Spark does double,
+    diverging by 1 ulp on some tf values.  avgdl is the
+    correctly-rounded quotient of exact integers in both engines."""
+    ids = ", ".join(str(int(i)) for i in query_ids)
+    return rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), post AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY 1
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+), dfreq AS (
+  SELECT term, count(*) AS df FROM post GROUP BY 1
+), q AS (
+  SELECT DISTINCT doc_id AS query_id, term
+  FROM tok WHERE doc_id IN ({ids})
+), m AS (
+  SELECT q.query_id, p.doc_id,
+         CAST(round(((s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * ((p.tf * ({k1!r}::DOUBLE + 1))
+              / (p.tf + {k1!r}::DOUBLE
+                 * (1.0 - {b!r}::DOUBLE
+                    + {b!r}::DOUBLE * l.dl / s.avgdl)))
+           * {scale!r}) AS BIGINT) AS c
+  FROM post p
+  JOIN q ON q.term = p.term
+  JOIN dfreq d ON d.term = p.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+), sc AS (
+  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_e12
+  FROM m GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score_e12, CAST(rnk AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY score_e12 DESC, doc_id) AS rnk FROM sc)
+WHERE rnk <= {int(k)}
+"""
+
+
+def tile_modality_counts_sql(level: int = 5, seed: int = 42) -> str:
+    """Cross-modal geospatial rollup (mirror of engine_queries
+    tile_modality_counts_q): each document's synthesized geo span ->
+    SQL Hilbert leaf -> parent tile, joined with the modality of the
+    document's media span (FNV-1a(ref) mod 3, the media_features
+    routing) — media counts per tile per modality.  Composed entirely
+    from already-proven sub-oracles."""
+    points_sql = "SELECT id AS point_id, px AS x, py AS y, pz AS z FROM p"
+    tile = parent_sql("cell_id", level)
+    return (
+        f"WITH lut(idx, r) AS (VALUES {lookup_pos_sql_values()}),\n"
+        + _geo_synth_ctes(seed)
+        + ","
+        + _hilbert_chain(points_sql, "")
+        + f""",
+tiles AS (SELECT point_id, {tile} AS tile_id FROM leaf),
+med AS (
+  SELECT doc_id AS point_id,
+         CAST({_fnv1a_sql("'media://' || lpad(lower(to_hex(doc_id)), 10, '0')")} % 3 AS INT) AS m3
+  FROM documents
+)
+SELECT t.tile_id, {token_sql('t.tile_id')} AS tile_token,
+       CASE m.m3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                 ELSE 'video' END AS modality,
+       count(*) AS n_media
+FROM tiles t JOIN med m ON m.point_id = t.point_id
+GROUP BY 1, 2, 3
+"""
+    )

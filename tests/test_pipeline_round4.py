@@ -219,3 +219,90 @@ def test_pack_sequences_bin_fill_invariant(spark):
     for b, fill in fills.items():
         assert fill == 128 or b == last
     assert set(fills) == set(range(last + 1))
+
+
+def test_bm25_planted_relevance(spark):
+    """A rare term must rank its docs above docs without it; among
+    equal-length docs, higher tf wins; the scores must be exact ints."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "zebra apple pear plum grape melon"),
+            (2, "zebra zebra apple pear plum grape"),
+            (3, "apple pear plum grape melon kiwi"),
+            (4, "apple pear plum grape melon kiwi"),
+        ],
+        ["doc_id", "text"],
+    )
+    queries = spark.createDataFrame([(100, "zebra")], ["query_id", "text"])
+
+    from s2_geometry_rust_spark.operators.retrieval import bm25_topk
+
+    got = bm25_topk(corpus, queries, k=4).orderBy("rank").collect()
+    # only docs 1 and 2 contain 'zebra'; doc 2 has tf=2 at equal length
+    assert [r["doc_id"] for r in got] == [2, 1]
+    assert all(isinstance(r["score_e12"], int) for r in got)
+    assert got[0]["score_e12"] > got[1]["score_e12"] > 0
+
+
+def test_bm25_rational_idf_downweights_common_terms(spark):
+    """With one common and one rare query term at identical tf and dl,
+    the rare-term doc must outrank the common-term doc (idf monotone
+    decreasing in df — the property the rational form preserves from
+    Robertson's log idf)."""
+    rows = [(i, "common filler%d pad" % i) for i in range(1, 9)]
+    rows += [(100, "common alpha beta"), (200, "rareword alpha beta")]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    queries = spark.createDataFrame(
+        [(1, "common rareword")], ["query_id", "text"]
+    )
+
+    from s2_geometry_rust_spark.operators.retrieval import bm25_topk
+
+    got = {r["doc_id"]: r["rank"] for r in
+           bm25_topk(corpus, queries, k=10).collect()}
+    assert got[200] < got[100]
+
+
+def test_bm25_corpus_single_shuffle_of_postings(spark):
+    """The corpus must be shuffled for the postings agg and the score
+    agg only — the query side rides broadcast joins (no corpus-sized
+    join exchange)."""
+    corpus = spark.createDataFrame(
+        [(i, "w%d w%d" % (i % 5, i % 3)) for i in range(50)],
+        ["doc_id", "text"],
+    )
+    queries = spark.createDataFrame([(1, "w1 w2")], ["query_id", "text"])
+
+    from s2_geometry_rust_spark.operators.retrieval import bm25_topk
+
+    plan = (
+        bm25_topk(corpus, queries)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tile_modality_counts_totals(spark):
+    """Every flat doc contributes exactly one (geo, media) pair, and
+    the per-modality totals must match the media router's own counts."""
+    from s2_geometry_rust_spark.engine_queries import tile_modality_counts_q
+    from s2_geometry_rust_spark.operators.multimodal import media_spans
+    from s2_geometry_rust_spark.sources import interleave_flat_documents
+
+    sf = "/root/testdata/sf0.001"
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    got = tile_modality_counts_q(spark, sf)
+    per_mod = {
+        r["modality"]: r["n"]
+        for r in got.groupBy("modality")
+        .agg(F.sum("n_media").alias("n")).collect()
+    }
+    assert sum(per_mod.values()) == n_docs
+    flat = spark.read.parquet(f"{sf}/documents.parquet")
+    want = {
+        r["modality"]: r["count"]
+        for r in media_spans(interleave_flat_documents(flat, with_media=True))
+        .groupBy("modality").count().collect()
+    }
+    assert per_mod == want
