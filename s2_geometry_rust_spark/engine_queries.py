@@ -1418,6 +1418,40 @@ def tile_modality_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _derived_traj_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitem-derived trajectory fixes with leaf cells: k =
+    l_orderkey*8 + l_linenumber (invertible), RAW direction vectors —
+    the gnomonic projection is ratio-based but not bit-invariant under
+    normalization, so both engines encode the raw vector."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    k = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    raw = li.select(
+        F.col("l_orderkey").alias("traj_id"),
+        F.col("l_linenumber").alias("seq"),
+        ((k * 37 % 997) / 498.5 - 1.0).alias("x"),
+        ((k * 73 % 991) / 495.5 - 1.0).alias("y"),
+        ((k * 101 % 983) / 491.5 - 1.0).alias("z"),
+    )
+    return raw.withColumn("cell_id", cell_id_from_xyz("x", "y", "z"))
+
+
+def tile_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-boundary crossing flows at level 8 over the lineitem
+    trajectories — the geofence/flow-graph primitive."""
+    from .operators.tiling import tile_transitions
+
+    return tile_transitions(_derived_traj_cells(spark, sf_dir), level=8)
+
+
+def od_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination tile matrix at level 4: first/last fix per
+    trajectory via min/max over (seq, tile) structs — aggregation only,
+    no sort window."""
+    from .operators.tiling import od_matrix
+
+    return od_matrix(_derived_traj_cells(spark, sf_dir), level=4)
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -1497,6 +1531,8 @@ QUERIES = {
     "pack_sequences": pack_sequences_q,
     "bm25_topk": bm25_topk_q,
     "tile_modality_counts": tile_modality_counts_q,
+    "tile_transitions": tile_transitions_q,
+    "od_matrix": od_matrix_q,
 }
 
 ORACLES = {
@@ -1582,4 +1618,6 @@ ORACLES = {
     "pack_sequences": oracle.pack_sequences_sql(256),
     "bm25_topk": oracle.bm25_topk_sql((3, 7, 11), 10),
     "tile_modality_counts": oracle.tile_modality_counts_sql(5),
+    "tile_transitions": oracle.tile_transitions_sql(8),
+    "od_matrix": oracle.od_matrix_sql(4),
 }

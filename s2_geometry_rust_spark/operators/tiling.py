@@ -98,3 +98,63 @@ def hex_tile_counts_geo(points: DataFrame, res: int = 3,
         .groupBy("hex_id")
         .agg(F.count("*").alias("n_points"))
     )
+
+
+def tile_transitions(points: DataFrame, level: int = 8,
+                     traj_col: str = "traj_id", seq_col: str = "seq",
+                     cell_col: str = "cell_id") -> DataFrame:
+    """Tile-boundary crossing flows: for every trajectory, each
+    consecutive fix pair whose parent tiles differ emits one
+    (from_tile -> to_tile) edge; edges are counted across all
+    trajectories — the geofence / flow-graph primitive.
+
+    ONE shuffle on traj_col feeds the lag window; the edge count is a
+    second (much smaller) shuffle on the tile pair.  Tile math is
+    codegen bit ops.
+
+    Output: (from_tile, from_token, to_tile, to_token, n_transitions).
+    """
+    from pyspark.sql import Window
+
+    d = with_tile(points, level, cell_col)
+    w = Window.partitionBy(traj_col).orderBy(seq_col)
+    d = d.withColumn("_prev", F.lag("tile_id").over(w))
+    return (
+        d.filter(F.col("_prev").isNotNull()
+                 & (F.col("_prev") != F.col("tile_id")))
+        .groupBy(F.col("_prev").alias("from_tile"),
+                 F.col("tile_id").alias("to_tile"))
+        .agg(F.count("*").alias("n_transitions"))
+        .select(
+            "from_tile", cell_token("from_tile").alias("from_token"),
+            "to_tile", cell_token("to_tile").alias("to_token"),
+            "n_transitions",
+        )
+    )
+
+
+def od_matrix(points: DataFrame, level: int = 4,
+              traj_col: str = "traj_id", seq_col: str = "seq",
+              cell_col: str = "cell_id") -> DataFrame:
+    """Origin-destination matrix: first-fix tile x last-fix tile counts
+    per trajectory.  first/last ride min/max over (seq, tile) structs —
+    pure aggregation (ONE shuffle on traj, map-side partial), no sort
+    window; the OD count is a second tiny shuffle.
+
+    Output: (origin_tile, origin_token, dest_tile, dest_token, n_trips).
+    """
+    d = with_tile(points, level, cell_col)
+    pair = F.struct(F.col(seq_col).alias("s"), F.col("tile_id").alias("t"))
+    od = d.groupBy(traj_col).agg(
+        F.min(pair).alias("_o"), F.max(pair).alias("_d")
+    )
+    return (
+        od.groupBy(F.col("_o.t").alias("origin_tile"),
+                   F.col("_d.t").alias("dest_tile"))
+        .agg(F.count("*").alias("n_trips"))
+        .select(
+            "origin_tile", cell_token("origin_tile").alias("origin_token"),
+            "dest_tile", cell_token("dest_tile").alias("dest_token"),
+            "n_trips",
+        )
+    )

@@ -3751,3 +3751,65 @@ FROM tiles t JOIN med m ON m.point_id = t.point_id
 GROUP BY 1, 2, 3
 """
     )
+
+
+def _traj_points_sql() -> str:
+    """Derived trajectory fixes over lineitem: k = l_orderkey*8 +
+    l_linenumber (invertible: traj = k/8, seq = k%8 since
+    l_linenumber <= 7), raw (unnormalized) direction — the gnomonic
+    Hilbert projection is ratio-based, so raw and normalized vectors
+    disagree in the last ulp; both engines therefore encode RAW."""
+    return """
+SELECT (l_orderkey*8 + l_linenumber) AS point_id,
+       ((l_orderkey*8 + l_linenumber)*37 % 997) / 498.5 - 1.0 AS x,
+       ((l_orderkey*8 + l_linenumber)*73 % 991) / 495.5 - 1.0 AS y,
+       ((l_orderkey*8 + l_linenumber)*101 % 983) / 491.5 - 1.0 AS z
+FROM lineitem
+"""
+
+
+def tile_transitions_sql(level: int = 8) -> str:
+    """Mirror of tiling.tile_transitions over the lineitem
+    trajectories."""
+    cte = hilbert_leaf_cte(_traj_points_sql())
+    tile = parent_sql("cell_id", level)
+    return (
+        cte
+        + f""",
+t AS (SELECT point_id // 8 AS traj_id, point_id % 8 AS seq,
+             {tile} AS tile FROM leaf),
+lagged AS (
+  SELECT traj_id, seq, tile,
+         lag(tile) OVER (PARTITION BY traj_id ORDER BY seq) AS prev
+  FROM t
+)
+SELECT prev AS from_tile, {token_sql('prev')} AS from_token,
+       tile AS to_tile, {token_sql('tile')} AS to_token,
+       count(*) AS n_transitions
+FROM lagged WHERE prev IS NOT NULL AND prev <> tile
+GROUP BY 1, 2, 3, 4
+"""
+    )
+
+
+def od_matrix_sql(level: int = 4) -> str:
+    """Mirror of tiling.od_matrix over the lineitem trajectories
+    (arg_min/arg_max on unique seq == Spark's min/max over
+    (seq, tile) structs)."""
+    cte = hilbert_leaf_cte(_traj_points_sql())
+    tile = parent_sql("cell_id", level)
+    return (
+        cte
+        + f""",
+t AS (SELECT point_id // 8 AS traj_id, point_id % 8 AS seq,
+             {tile} AS tile FROM leaf),
+od AS (
+  SELECT traj_id, arg_min(tile, seq) AS o_tile, arg_max(tile, seq) AS d_tile
+  FROM t GROUP BY 1
+)
+SELECT o_tile AS origin_tile, {token_sql('o_tile')} AS origin_token,
+       d_tile AS dest_tile, {token_sql('d_tile')} AS dest_token,
+       count(*) AS n_trips
+FROM od GROUP BY 1, 2, 3, 4
+"""
+    )

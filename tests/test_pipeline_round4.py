@@ -306,3 +306,62 @@ def test_tile_modality_counts_totals(spark):
         .groupBy("modality").count().collect()
     }
     assert per_mod == want
+
+
+def test_tile_transitions_planted(spark):
+    """Two fixes in the same tile emit nothing; tile changes emit one
+    edge per crossing, direction-sensitive."""
+    from s2_geometry_rust_spark.functions import cell_parent
+    from s2_geometry_rust_spark.operators.tiling import tile_transitions
+
+    # craft cells directly: tile = parent at level 2
+    def leaf_of(face, path):  # a valid leaf id: face + fixed low bits
+        cid = (face << 60) | 1
+        return cid
+
+    rows = [
+        # traj 1: face 0 -> face 1 -> face 1 (one crossing 0->1)
+        (1, 0, (0 << 60) | 1),
+        (1, 1, (1 << 60) | 1),
+        (1, 2, (1 << 60) | 1),
+        # traj 2: face 1 -> face 0 (reverse direction, separate edge)
+        (2, 0, (1 << 60) | 1),
+        (2, 1, (0 << 60) | 1),
+    ]
+    df = spark.createDataFrame(rows, "traj_id long, seq long, cell_id long")
+    got = {
+        (r["from_tile"], r["to_tile"]): r["n_transitions"]
+        for r in tile_transitions(df, level=2).collect()
+    }
+    f0 = ((0 << 60) | 1) & ~((1 << 56) - 1) | (1 << 56)
+    f1 = ((1 << 60) | 1) & ~((1 << 56) - 1) | (1 << 56)
+    assert got == {(f0, f1): 1, (f1, f0): 1}
+
+
+def test_od_matrix_first_last_semantics(spark):
+    from s2_geometry_rust_spark.operators.tiling import od_matrix
+
+    rows = [
+        (1, 2, (2 << 60) | 1),   # out-of-order seq: middle fix
+        (1, 0, (0 << 60) | 1),   # origin (seq 0, face 0)
+        (1, 5, (4 << 60) | 1),   # dest   (seq 5, face 4)
+        (2, 1, (0 << 60) | 1),   # single-fix traj: origin == dest
+    ]
+    df = spark.createDataFrame(rows, "traj_id long, seq long, cell_id long")
+    got = {
+        (r["origin_tile"] >> 60, r["dest_tile"] >> 60): r["n_trips"]
+        for r in od_matrix(df, level=2).collect()
+    }
+    assert got == {(0, 4): 1, (0, 0): 1}
+
+
+def test_od_matrix_no_sort_window_plan(spark):
+    """first/last must be min/max aggregation, not a row_number sort
+    window over every fix."""
+    from s2_geometry_rust_spark.operators.tiling import od_matrix
+
+    df = spark.createDataFrame(
+        [(1, 0, (0 << 60) | 1)], "traj_id long, seq long, cell_id long"
+    )
+    plan = od_matrix(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
