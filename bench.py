@@ -159,6 +159,10 @@ def main() -> None:
         "range_join_windows", "events_rollup", "ann_pq",
         "boilerplate_spans", "kmv_distinct", "cap_intersect_terms",
         "closest_edge", "wrs_sample",
+        "hex_tile_counts", "hex_ring_counts", "dup_spans",
+        "tile_pyramid", "trajectory_stats", "group_quantiles",
+        "pack_sequences", "bm25_topk", "tile_modality_counts",
+        "tile_transitions", "od_matrix",
     ]
     # steady-state protocol: min of 2 runs per query — the first run pays
     # one-time per-query costs (whole-stage-codegen JIT, Arrow worker

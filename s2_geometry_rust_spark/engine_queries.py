@@ -1452,6 +1452,23 @@ def od_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return od_matrix(_derived_traj_cells(spark, sf_dir), level=4)
 
 
+def corridor_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route-corridor search: derived points within squared-chord 0.08
+    (~16 deg) of any edge of 4 fixture routes — broadcast exact
+    distances, per-(point, route) min as one partial aggregate,
+    nano-integer threshold replayed exactly in SQL."""
+    from . import fixtures
+    from .operators.closest_edge import corridor_join
+
+    pts = _derived_points(spark, sf_dir)
+    edges = spark.createDataFrame(
+        fixtures.closest_edge_fixture(),
+        "edge_id long, ax double, ay double, az double,"
+        " bx double, by double, bz double",
+    ).withColumn("route_id", F.pmod("edge_id", F.lit(4)).cast("long"))
+    return corridor_join(pts, edges, d2_max=0.08)
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -1533,6 +1550,7 @@ QUERIES = {
     "tile_modality_counts": tile_modality_counts_q,
     "tile_transitions": tile_transitions_q,
     "od_matrix": od_matrix_q,
+    "corridor_join": corridor_join_q,
 }
 
 ORACLES = {
@@ -1620,4 +1638,5 @@ ORACLES = {
     "tile_modality_counts": oracle.tile_modality_counts_sql(5),
     "tile_transitions": oracle.tile_transitions_sql(8),
     "od_matrix": oracle.od_matrix_sql(4),
+    "corridor_join": oracle.corridor_join_sql(0.08, 4),
 }

@@ -215,3 +215,37 @@ def closest_edge_join_indexed(points: DataFrame, edges: DataFrame,
         F.col("s.edge_id").alias("edge_id"),
         F.round(F.col("s.d2") * 1e9, 0).cast("long").alias("d2_nano"),
     )
+
+
+def corridor_join(points: DataFrame, edges: DataFrame, d2_max: float,
+                  id_col: str = "point_id",
+                  route_col: str = "route_id",
+                  xyz=("x", "y", "z")) -> DataFrame:
+    """Route-corridor search: every (point, route) pair whose minimum
+    point-to-edge squared-chord distance over the route's edges is
+    within ``d2_max`` — "all docs within distance d of this road".
+
+    Same broadcast small-side contract and exact codegen distance as
+    ``closest_edge_join``; the per-(point, route) min is one map-side-
+    partial aggregate.  Distances are nano-scaled ints BEFORE the
+    threshold compare, so the cut replays exactly in SQL (the threshold
+    itself becomes an integer).
+
+    Output: (id_col, route_col, d2_nano) for qualifying pairs only.
+    """
+    pts = _normalized(points, *xyz)
+    j = pts.join(F.broadcast(edges))
+    d2 = edge_chord2_cols(
+        F.col("px"), F.col("py"), F.col("pz"),
+        F.col("ax"), F.col("ay"), F.col("az"),
+        F.col("bx"), F.col("by"), F.col("bz"),
+    )
+    thr = int(round(d2_max * 1e9))
+    scored = j.select(
+        id_col, route_col, F.round(d2 * 1e9, 0).cast("long").alias("_d2n")
+    )
+    return (
+        scored.groupBy(id_col, route_col)
+        .agg(F.min("_d2n").alias("d2_nano"))
+        .filter(F.col("d2_nano") <= F.lit(thr))
+    )

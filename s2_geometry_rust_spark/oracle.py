@@ -3813,3 +3813,59 @@ SELECT o_tile AS origin_tile, {token_sql('o_tile')} AS origin_token,
 FROM od GROUP BY 1, 2, 3, 4
 """
     )
+
+
+def corridor_join_sql(d2_max: float, n_routes: int = 4,
+                      table: str = "customer",
+                      key: str = "c_custkey") -> str:
+    """Mirror of closest_edge.corridor_join over the closest-edge
+    fixture edges grouped into routes by edge_id % n_routes: same
+    formula and op order as closest_edge_sql, but per-edge distances
+    are nano-rounded BEFORE the per-(point, route) min (monotone, so
+    equal to rounding after) and the threshold is an exact integer."""
+    from . import fixtures
+
+    thr = int(round(d2_max * 1e9))
+    evals = ", ".join(
+        f"({i}, {i % n_routes}, {ax!r}::DOUBLE, {ay!r}::DOUBLE,"
+        f" {az!r}::DOUBLE, {bx!r}::DOUBLE, {by!r}::DOUBLE, {bz!r}::DOUBLE)"
+        for (i, ax, ay, az, bx, by, bz) in fixtures.closest_edge_fixture()
+    )
+    return f"""
+WITH pts AS ({derived_points_sql(table, key)}),
+p AS (
+  SELECT point_id,
+         x / sqrt(x*x + y*y + z*z) AS px,
+         y / sqrt(x*x + y*y + z*z) AS py,
+         z / sqrt(x*x + y*y + z*z) AS pz
+  FROM pts
+),
+e(edge_id, route_id, ax, ay, az, bx, by, bz) AS (VALUES {evals}),
+geom AS (
+  SELECT p.point_id, e.route_id, p.px, p.py, p.pz,
+         e.ax, e.ay, e.az, e.bx, e.by, e.bz,
+         e.ay*e.bz - e.az*e.by AS nx,
+         e.az*e.bx - e.ax*e.bz AS ny,
+         e.ax*e.by - e.ay*e.bx AS nz
+  FROM p CROSS JOIN e
+),
+scored AS (
+  SELECT point_id, route_id,
+    CAST(round(LEAST(
+      CASE WHEN ((ny*az - nz*ay)*px + (nz*ax - nx*az)*py
+                 + (nx*ay - ny*ax)*pz) >= 0.0
+            AND ((by*nz - bz*ny)*px + (bz*nx - bx*nz)*py
+                 + (bx*ny - by*nx)*pz) >= 0.0
+           THEN 2.0 - 2.0*sqrt(GREATEST(0.0,
+                1.0 - ((px*nx + py*ny + pz*nz)*(px*nx + py*ny + pz*nz))
+                      / (nx*nx + ny*ny + nz*nz)))
+           ELSE LEAST(
+                (px-ax)*(px-ax) + (py-ay)*(py-ay) + (pz-az)*(pz-az),
+                (px-bx)*(px-bx) + (py-by)*(py-by) + (pz-bz)*(pz-bz))
+      END, 4.0) * 1e9) AS BIGINT) AS d2n
+  FROM geom
+)
+SELECT point_id, route_id, CAST(min(d2n) AS BIGINT) AS d2_nano
+FROM scored GROUP BY 1, 2
+HAVING min(d2n) <= {thr}
+"""

@@ -365,3 +365,47 @@ def test_od_matrix_no_sort_window_plan(spark):
     )
     plan = od_matrix(df)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_corridor_join_consistent_with_closest_edge(spark):
+    """Corridor membership must agree with the exact closest-edge
+    distances: a point is in a route's corridor iff its min distance
+    over that route's edges is within the threshold."""
+    from s2_geometry_rust_spark import fixtures
+    from s2_geometry_rust_spark.engine_queries import _derived_points
+    from s2_geometry_rust_spark.operators.closest_edge import (
+        corridor_join,
+        edge_chord2_cols,
+        _normalized,
+    )
+
+    pts = _derived_points(spark, "/root/testdata/sf0.001").limit(200)
+    edges = spark.createDataFrame(
+        fixtures.closest_edge_fixture(),
+        "edge_id long, ax double, ay double, az double,"
+        " bx double, by double, bz double",
+    ).withColumn("route_id", F.pmod("edge_id", F.lit(4)).cast("long"))
+
+    got = {
+        (r["point_id"], r["route_id"]): r["d2_nano"]
+        for r in corridor_join(pts, edges, d2_max=0.08).collect()
+    }
+    # brute ground truth: score every (point, edge) pair, min per route
+    j = _normalized(pts, "x", "y", "z").crossJoin(edges)
+    d2 = edge_chord2_cols(
+        F.col("px"), F.col("py"), F.col("pz"),
+        F.col("ax"), F.col("ay"), F.col("az"),
+        F.col("bx"), F.col("by"), F.col("bz"),
+    )
+    rows = j.select(
+        "point_id", "route_id",
+        F.round(d2 * 1e9, 0).cast("long").alias("d2n"),
+    ).collect()
+    import collections
+
+    best = collections.defaultdict(lambda: 1 << 62)
+    for r in rows:
+        k = (r["point_id"], r["route_id"])
+        best[k] = min(best[k], r["d2n"])
+    want = {k: v for k, v in best.items() if v <= int(round(0.08 * 1e9))}
+    assert got == want and len(got) > 0
