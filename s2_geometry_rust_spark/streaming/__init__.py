@@ -7,6 +7,10 @@ from .dedup import (  # noqa: F401
     streaming_simhash_dedup,
 )
 from .sessions import streaming_session_stats  # noqa: F401
-from .tiles import streaming_hex_tile_counts, streaming_tile_counts  # noqa: F401
+from .tiles import (  # noqa: F401
+    streaming_hex_tile_counts,
+    streaming_tile_counts,
+    streaming_tile_pyramid,
+)
 from .spatial import streaming_point_in_region  # noqa: F401
 from .stateful import stateful_tile_counts  # noqa: F401

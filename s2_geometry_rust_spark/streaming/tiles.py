@@ -91,3 +91,50 @@ def streaming_hex_tile_counts(doc_stream: DataFrame, res: int = 3,
         s.groupBy(F.window(ts_col, window), "hex_id")
         .agg(F.count("*").alias("n_points"))
     )
+
+
+def streaming_tile_pyramid(doc_stream: DataFrame,
+                           levels: tuple[int, ...] = (4, 8, 12),
+                           ts_col: str = "event_time",
+                           watermark: str = "10 minutes",
+                           window: str = "5 minutes") -> DataFrame:
+    """Streaming twin of tiling.tile_pyramid: watermarked windowed tile
+    counts at EVERY requested level from one stream pass.
+
+    GROUPING SETS is not available on streaming aggregations, so the
+    Expand is spelled as an explode over the (level, parent) pairs —
+    the same 3x pre-aggregation row fan-out the batch Expand produces,
+    collapsed by the windowed state before any shuffle growth matters.
+
+    Output: ((window), level, tile_id, n_points) — matching
+    tile_pyramid's rows per window slice (batch-equivalence is
+    exact-matched in tests/test_streaming_plans.py).
+    """
+    s = doc_stream.withWatermark(ts_col, watermark)
+    s = s.select(
+        "doc_id", ts_col, F.posexplode("spans").alias("span_idx", "span")
+    )
+    s = s.filter(F.col("span.kind") == "geo").select(
+        "doc_id",
+        ts_col,
+        F.regexp_extract("span.text", _POINT_RE, 1).cast("double")
+        .alias("lat"),
+        F.regexp_extract("span.text", _POINT_RE, 2).cast("double")
+        .alias("lng"),
+    )
+    s = s.withColumn("cell_id", cell_id_from_latlng_deg("lat", "lng"))
+    pairs = F.array(*[
+        F.struct(
+            F.lit(lv).cast("int").alias("level"),
+            cell_parent("cell_id", lv).alias("tile_id"),
+        )
+        for lv in levels
+    ])
+    s = s.select(ts_col, F.explode(pairs).alias("p")).select(
+        ts_col, F.col("p.level").alias("level"),
+        F.col("p.tile_id").alias("tile_id"),
+    )
+    return (
+        s.groupBy(F.window(ts_col, window), "level", "tile_id")
+        .agg(F.count("*").alias("n_points"))
+    )

@@ -333,3 +333,43 @@ def test_streaming_hex_tiler_matches_batch(spark, tmp_path):
     assert len(merged) > 0
     for hid, n in merged.items():
         assert want.get(hid, 0) == n
+
+
+def test_streaming_tile_pyramid_matches_batch(spark, tmp_path):
+    """The explode-based streaming pyramid must agree with the batch
+    GROUPING SETS pyramid on the same slice (complete mode: no
+    open-window holdback)."""
+    from s2_geometry_rust_spark.operators.tiling import tile_pyramid
+    from s2_geometry_rust_spark.streaming import streaming_tile_pyramid
+
+    docs = synth_documents(spark, 300, seed=42).withColumn(
+        "event_time", F.timestamp_seconds(F.lit(1700000000))
+    )
+    src = str(tmp_path / "pyr_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    agg = streaming_tile_pyramid(stream, levels=(4, 8))
+    cp = str(tmp_path / "pyr_cp")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("pyr_stream")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT level, tile_id, n_points FROM pyr_stream"
+    ).toPandas()
+    batch = tile_pyramid(
+        extract_geo_points(synth_documents(spark, 300, seed=42)),
+        levels=(4, 8),
+    ).toPandas()
+    merged = got.groupby(["level", "tile_id"]).n_points.sum()
+    want = batch.set_index(["level", "tile_id"]).n_points
+    assert len(merged) == len(want) > 0
+    for k, n in merged.items():
+        assert want.get(k, 0) == n
