@@ -1469,6 +1469,15 @@ def corridor_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corridor_join(pts, edges, d2_max=0.08)
 
 
+def webmerc_tiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-mercator (slippy z/x/y) tile counts at zoom 6 — the raster
+    web-map standard alongside the S2 quad and aperture-7 hex tilers;
+    pure JVM trig, one shuffle."""
+    from .operators.tiling import webmerc_tile_counts
+
+    return webmerc_tile_counts(_derived_latlng(spark, sf_dir), zoom=6)
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -1551,6 +1560,7 @@ QUERIES = {
     "tile_transitions": tile_transitions_q,
     "od_matrix": od_matrix_q,
     "corridor_join": corridor_join_q,
+    "webmerc_tiles": webmerc_tiles_q,
 }
 
 ORACLES = {
@@ -1639,4 +1649,5 @@ ORACLES = {
     "tile_transitions": oracle.tile_transitions_sql(8),
     "od_matrix": oracle.od_matrix_sql(4),
     "corridor_join": oracle.corridor_join_sql(0.08, 4),
+    "webmerc_tiles": oracle.webmerc_tile_counts_sql(6),
 }

@@ -158,3 +158,47 @@ def od_matrix(points: DataFrame, level: int = 4,
             "n_trips",
         )
     )
+
+
+def with_webmerc_tile(points: DataFrame, zoom: int = 6,
+                      lat_col: str = "lat",
+                      lng_col: str = "lng") -> DataFrame:
+    """Web-mercator (slippy z/x/y) tile assignment — the raster web-map
+    standard, complementing the S2 (quad) and aperture-7 (hex) tilers:
+
+      xt = floor((lng + 180) / 360 * 2^z)
+      yt = floor((1 - ln(tan(pi/4 + lat_rad/2)) / pi) / 2 * 2^z)
+
+    with the standard +/-85.05112878 deg mercator clamp and the x/y
+    edge clamp to 2^z - 1.  Pure JVM trig in whole-stage codegen.  The
+    contract fixture keeps lat/lng on a 0.25-degree grid, far from any
+    tile boundary, so the one libm-dependent step (ln(tan(...))) cannot
+    flip an assignment across engines.
+    """
+    n = float(1 << zoom)
+    lat = F.least(F.greatest(F.col(lat_col), F.lit(-85.05112878)),
+                  F.lit(85.05112878))
+    lat_rad = F.radians(lat)
+    xt = F.floor((F.col(lng_col) + 180.0) / 360.0 * n)
+    yt = F.floor(
+        (F.lit(1.0)
+         - F.log(F.tan(F.lit(0.7853981633974483) + lat_rad / 2.0))
+         / F.lit(3.141592653589793)) / 2.0 * n
+    )
+    clamp = lambda c: F.least(F.greatest(c, F.lit(0)), F.lit((1 << zoom) - 1))  # noqa: E731
+    return points.withColumns({
+        "zoom": F.lit(zoom).cast("int"),
+        "xtile": clamp(xt).cast("long"),
+        "ytile": clamp(yt).cast("long"),
+    })
+
+
+def webmerc_tile_counts(points: DataFrame, zoom: int = 6,
+                        lat_col: str = "lat",
+                        lng_col: str = "lng") -> DataFrame:
+    """Counts per web-mercator tile: one shuffle, map-side partials."""
+    return (
+        with_webmerc_tile(points, zoom, lat_col, lng_col)
+        .groupBy("zoom", "xtile", "ytile")
+        .agg(F.count("*").alias("n_points"))
+    )

@@ -3869,3 +3869,34 @@ SELECT point_id, route_id, CAST(min(d2n) AS BIGINT) AS d2_nano
 FROM scored GROUP BY 1, 2
 HAVING min(d2n) <= {thr}
 """
+
+
+def webmerc_tile_counts_sql(zoom: int = 6, table: str = "customer",
+                            key: str = "c_custkey") -> str:
+    """Mirror of tiling.webmerc_tile_counts over the derived 0.25-grid
+    lat/lng points.  ln/tan are the one libm dependency; the 0.25-deg
+    fixture grid sits far from every tile boundary at this zoom, so a
+    1-ulp libm difference cannot flip an assignment (same argument as
+    the geo-synthesis oracles)."""
+    n = float(1 << zoom)
+    hi = (1 << zoom) - 1
+    return f"""
+WITH ll AS (
+  SELECT {key} AS point_id,
+         (({key}*37) % 181)::DOUBLE - 90.0 + 0.25 AS lat,
+         (({key}*73) % 361)::DOUBLE - 180.0 + 0.25 AS lng
+  FROM {table}
+), t AS (
+  SELECT point_id,
+    LEAST(GREATEST(floor((lng + 180.0) / 360.0 * {n!r}), 0), {hi}) AS xtile,
+    LEAST(GREATEST(floor((1.0
+      - ln(tan(0.7853981633974483
+               + radians(LEAST(GREATEST(lat, -85.05112878), 85.05112878))
+               / 2.0)) / 3.141592653589793) / 2.0 * {n!r}), 0), {hi})
+      AS ytile
+  FROM ll
+)
+SELECT CAST({zoom} AS INT) AS zoom, CAST(xtile AS BIGINT) AS xtile,
+       CAST(ytile AS BIGINT) AS ytile, count(*) AS n_points
+FROM t GROUP BY 1, 2, 3
+"""

@@ -409,3 +409,38 @@ def test_corridor_join_consistent_with_closest_edge(spark):
         best[k] = min(best[k], r["d2n"])
     want = {k: v for k, v in best.items() if v <= int(round(0.08 * 1e9))}
     assert got == want and len(got) > 0
+
+
+def test_webmerc_tile_known_points(spark):
+    """Known slippy-map assignments: (0,0) is the center tile; the
+    poles clamp to the mercator band edge; Greenwich/equator at z=1 is
+    tile (1,0)/(1,1) boundary -> (1,1) by floor convention."""
+    from s2_geometry_rust_spark.operators.tiling import with_webmerc_tile
+
+    rows = [
+        (1, 0.0, 0.0),        # center
+        (2, 89.9, 0.0),       # clamps to y=0 at any zoom
+        (3, -89.9, 0.0),      # clamps to y=max
+        (4, 0.0, -180.0),     # west edge -> x=0
+        (5, 0.0, 179.999),    # east edge -> x=max
+        (6, 40.7128, -74.0060),   # NYC, z=6 -> (18, 24) (known value)
+    ]
+    df = spark.createDataFrame(rows, ["pid", "lat", "lng"])
+    got = {
+        r["pid"]: (r["xtile"], r["ytile"])
+        for r in with_webmerc_tile(df, zoom=6).collect()
+    }
+    assert got[1] == (32, 32)
+    assert got[2][1] == 0 and got[3][1] == 63
+    assert got[4][0] == 0 and got[5][0] == 63
+    assert got[6] == (18, 24)
+
+
+def test_webmerc_counts_conserve(spark):
+    from s2_geometry_rust_spark.engine_queries import webmerc_tiles_q
+
+    sf = "/root/testdata/sf0.001"
+    got = webmerc_tiles_q(spark, sf)
+    total = got.agg(F.sum("n_points")).collect()[0][0]
+    n = spark.read.parquet(f"{sf}/customer.parquet").count()
+    assert total == n
