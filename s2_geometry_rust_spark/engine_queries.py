@@ -1478,6 +1478,15 @@ def webmerc_tiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webmerc_tile_counts(_derived_latlng(spark, sf_dir), zoom=6)
 
 
+def hex_focal_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex focal sum (7-cell neighborhood smoothing) at res 2 — the
+    neighbor fan-out runs on the per-hex counts table, never 7x the
+    input."""
+    from .operators.tiling import hex_focal_counts
+
+    return hex_focal_counts(_derived_points(spark, sf_dir), res=2)
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -1561,6 +1570,7 @@ QUERIES = {
     "od_matrix": od_matrix_q,
     "corridor_join": corridor_join_q,
     "webmerc_tiles": webmerc_tiles_q,
+    "hex_focal_counts": hex_focal_counts_q,
 }
 
 ORACLES = {
@@ -1650,4 +1660,5 @@ ORACLES = {
     "od_matrix": oracle.od_matrix_sql(4),
     "corridor_join": oracle.corridor_join_sql(0.08, 4),
     "webmerc_tiles": oracle.webmerc_tile_counts_sql(6),
+    "hex_focal_counts": oracle.hex_focal_counts_sql(2),
 }

@@ -202,3 +202,53 @@ def webmerc_tile_counts(points: DataFrame, zoom: int = 6,
         .groupBy("zoom", "xtile", "ytile")
         .agg(F.count("*").alias("n_points"))
     )
+
+
+def hex_focal_counts(points: DataFrame, res: int = 2,
+                     xyz=("x", "y", "z")) -> DataFrame:
+    """Focal (neighborhood) smoothing on the hex grid: for every hex
+    cell, the total point count over its 7-cell lattice disk (itself +
+    6 ring-1 neighbors, face-local) — the raster "focal sum" / heatmap
+    blur primitive.
+
+    Scale shape: raw points collapse to per-hex counts FIRST (one
+    shuffle with map-side partials); the 7x neighbor fan-out then runs
+    on the counts table (tile-cardinality, millions of rows at
+    planet scale, not the input), and the re-aggregation is a second
+    tiny shuffle.  Never 7x the input.
+
+    Output: (hex_id, focal_points) — includes empty cells that have
+    occupied neighbors (their focal sum is the neighbor spill).
+    """
+    from ..functions.hexcols import (
+        hex_face,
+        hex_pack,
+        hex_q,
+        hex_r,
+        with_hex_cell,
+    )
+    from ..kernels.hexgrid import disk_offsets
+
+    pts = with_hex_cell(points, *xyz, res, keep=[])
+    counts = pts.groupBy("hex_id").agg(F.count("*").alias("_n"))
+    offs = F.array(*[
+        F.struct(F.lit(dq).alias("dq"), F.lit(dr).alias("dr"))
+        for dq, dr in disk_offsets(1)
+    ])
+    spread = counts.select(
+        hex_face("hex_id").alias("_f"),
+        hex_q("hex_id").alias("_q"),
+        hex_r("hex_id").alias("_r"),
+        "_n",
+        F.explode(offs).alias("_o"),
+    ).select(
+        hex_pack(
+            F.col("_f"), res,
+            F.col("_q") + F.col("_o.dq"),
+            F.col("_r") + F.col("_o.dr"),
+        ).alias("hex_id"),
+        "_n",
+    )
+    return spread.groupBy("hex_id").agg(
+        F.sum("_n").cast("long").alias("focal_points")
+    )

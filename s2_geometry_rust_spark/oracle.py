@@ -3900,3 +3900,23 @@ SELECT CAST({zoom} AS INT) AS zoom, CAST(xtile AS BIGINT) AS xtile,
        CAST(ytile AS BIGINT) AS ytile, count(*) AS n_points
 FROM t GROUP BY 1, 2, 3
 """
+
+
+def hex_focal_counts_sql(res: int = 2, table: str = "customer",
+                         key: str = "c_custkey") -> str:
+    """Mirror of tiling.hex_focal_counts: per-hex counts spread to the
+    7-cell lattice disk and re-summed, face-local, in axial space."""
+    from .kernels.hexgrid import disk_offsets
+
+    frag = (_face_uv_fragment(derived_points_sql(table, key), "")
+            + "," + _hex_axial_fragment("uv", res, "", ["point_id"]))
+    pk = _hex_pack_sql("face", res, "tq", "tr")
+    vals = ", ".join(f"({dq}, {dr})" for dq, dr in disk_offsets(1))
+    return f"""WITH {frag},
+counts AS (SELECT face, q, r, count(*) AS n FROM hex GROUP BY 1, 2, 3),
+offs(dq, dr) AS (VALUES {vals}),
+spread AS (
+  SELECT face, q + dq AS tq, r + dr AS tr, n FROM counts CROSS JOIN offs
+)
+SELECT {pk} AS hex_id, CAST(sum(n) AS BIGINT) AS focal_points
+FROM spread GROUP BY 1"""

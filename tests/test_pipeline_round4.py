@@ -444,3 +444,36 @@ def test_webmerc_counts_conserve(spark):
     total = got.agg(F.sum("n_points")).collect()[0][0]
     n = spark.read.parquet(f"{sf}/customer.parquet").count()
     assert total == n
+
+
+def test_hex_focal_counts_semantics(spark):
+    """Focal sum == sum of per-hex counts over the 7-cell disk,
+    verified against a brute python neighborhood on real data; total
+    mass is amplified exactly 7x (every count contributes to 7 cells,
+    face-locally)."""
+    from s2_geometry_rust_spark.engine_queries import _derived_points
+    from s2_geometry_rust_spark.functions.hexcols import with_hex_cell
+    from s2_geometry_rust_spark.kernels.hexgrid import disk_offsets
+    from s2_geometry_rust_spark.operators.tiling import hex_focal_counts
+
+    pts = _derived_points(spark, "/root/testdata/sf0.001").limit(400)
+    got = {
+        r["hex_id"]: r["focal_points"]
+        for r in hex_focal_counts(pts, res=2).collect()
+    }
+    # brute: unpack (face, q, r) per point, accumulate disk
+    base = with_hex_cell(pts, "x", "y", "z", 2, keep=[]).collect()
+    import collections
+
+    cnt = collections.Counter(r["hex_id"] for r in base)
+    OFF = 1 << 27
+    want = collections.Counter()
+    for hid, n in cnt.items():
+        face, q, r = hid >> 60, ((hid >> 28) & ((1 << 28) - 1)) - OFF, (
+            hid & ((1 << 28) - 1)) - OFF
+        for dq, dr in disk_offsets(1):
+            tq, tr = q + dq, r + dr
+            want[(face << 60) | (2 << 56) | ((tq + OFF) << 28)
+                 | (tr + OFF)] += n
+    assert got == dict(want)
+    assert sum(got.values()) == 7 * len(base)
