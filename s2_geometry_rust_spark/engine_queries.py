@@ -1487,6 +1487,15 @@ def hex_focal_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hex_focal_counts(_derived_points(spark, sf_dir), res=2)
 
 
+def polygon_areas_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-with-holes areas (shell minus holes, nano-exact
+    combination) over the polygon fixture catalog."""
+    from . import fixtures
+    from .operators.geom_aggs import polygon_areas
+
+    return polygon_areas(fixtures.polygon_regions(spark))
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -1571,6 +1580,7 @@ QUERIES = {
     "corridor_join": corridor_join_q,
     "webmerc_tiles": webmerc_tiles_q,
     "hex_focal_counts": hex_focal_counts_q,
+    "polygon_areas": polygon_areas_q,
 }
 
 ORACLES = {
@@ -1661,4 +1671,5 @@ ORACLES = {
     "corridor_join": oracle.corridor_join_sql(0.08, 4),
     "webmerc_tiles": oracle.webmerc_tile_counts_sql(6),
     "hex_focal_counts": oracle.hex_focal_counts_sql(2),
+    "polygon_areas": oracle.polygon_areas_sql(),
 }

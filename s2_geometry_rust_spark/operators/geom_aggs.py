@@ -260,3 +260,65 @@ def trajectory_stats(points: DataFrame, traj_col: str = "traj_id",
         F.coalesce(F.max("_hop_e15"), F.lit(0)).cast("long")
          .alias("max_hop_e15"),
     )
+
+
+def polygon_areas(polygons: DataFrame) -> DataFrame:
+    """Polygon-with-holes areas at table scale (engine addition —
+    polygon_shape.rs:78-158 defines the shell/holes container but no
+    area aggregate): per (region, poly), area = area(shell) - sum
+    area(holes), each loop area the non-canonical spherical-excess
+    formula of loop.rs:322-364 via the existing loop_stats kernel pass.
+
+    Input: REGIONS_SCHEMA rows with kind='polygon' (loops array; within
+    one poly the first loop is the shell, later ones holes).  The loop
+    flattening (posexplode + per-poly rank) and the final shell-minus-
+    holes combination are pure JVM; the per-loop geometry runs in the
+    same single mapInPandas pass loop_stats always uses.  Areas are
+    nano-scaled ints before the subtraction, so the combination is
+    exact.
+
+    Output: (region_id, poly, n_loops, n_holes, area_nano).
+    """
+    from pyspark.sql import Window
+
+    flat = polygons.select(
+        "region_id", F.posexplode("loops").alias("_pos", "_l")
+    )
+    w = Window.partitionBy("region_id", "_l.poly").orderBy("_pos")
+    flat = flat.withColumn("_idx", F.row_number().over(w) - 1)
+    loops = flat.select(
+        F.concat_ws(
+            "|", "region_id", F.col("_l.poly").cast("string"),
+            F.col("_idx").cast("string")
+        ).alias("region_id"),
+        F.lit("loop").alias("kind"),
+        F.lit(None).cast("double").alias("p0"),
+        F.lit(None).cast("double").alias("p1"),
+        F.lit(None).cast("double").alias("p2"),
+        F.lit(None).cast("double").alias("p3"),
+        F.col("_l.vertices").alias("vertices"),
+        F.lit(None).cast("array<long>").alias("cell_ids"),
+        F.lit(None).cast(
+            "array<struct<poly:long,"
+            "vertices:array<struct<lat:double,lng:double>>>>"
+        ).alias("loops"),
+    )
+    stats = loop_stats(loops)
+    parts = stats.select(
+        F.split("region_id", r"\|").alias("_k"),
+        F.round(F.col("area") * 1e9, 0).cast("long").alias("_a"),
+    ).select(
+        F.col("_k")[0].alias("region_id"),
+        F.col("_k")[1].cast("long").alias("poly"),
+        F.col("_k")[2].cast("long").alias("loop_idx"),
+        "_a",
+    )
+    signed = F.when(F.col("loop_idx") == 0, F.col("_a")).otherwise(-F.col("_a"))
+    return (
+        parts.groupBy("region_id", "poly")
+        .agg(
+            F.count("*").cast("int").alias("n_loops"),
+            (F.count("*") - 1).cast("int").alias("n_holes"),
+            F.sum(signed).cast("long").alias("area_nano"),
+        )
+    )

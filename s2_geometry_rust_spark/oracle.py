@@ -3920,3 +3920,72 @@ spread AS (
 )
 SELECT {pk} AS hex_id, CAST(sum(n) AS BIGINT) AS focal_points
 FROM spread GROUP BY 1"""
+
+
+def polygon_areas_sql() -> str:
+    """Mirror of geom_aggs.polygon_areas over fixtures.POLYGONS: the
+    loop_stats_sql area machinery (signed-excess terms with the exact/
+    symbolic sign tiers replayed from embedded LSB parities) keyed by
+    (region, poly, loop_idx), nano-rounded per loop, then combined
+    shell-minus-holes as exact ints."""
+    import math
+
+    import numpy as np
+
+    from . import fixtures
+    from .kernels import latlng as lk
+
+    rows = []
+    for region_id, loop_list in fixtures.POLYGONS.items():
+        seq: dict[int, int] = {}
+        for poly, loop_name in loop_list:
+            idx = seq.get(poly, 0)
+            seq[poly] = idx + 1
+            pts = fixtures.LOOPS[loop_name]
+            lat = lk.degrees_to_radians(
+                np.array([p[0] for p in pts], np.float64))
+            lng = lk.degrees_to_radians(
+                np.array([p[1] for p in pts], np.float64))
+            x, y, z = lk.latlng_to_xyz(lat, lng)
+            bits = lambda v: int(np.float64(v).view(np.uint64)) & 1  # noqa: E731
+            n = len(pts)
+            for e in range(n):
+                ne = (e + 1) % n
+                rows.append((
+                    region_id, poly, idx,
+                    float(x[e]), float(y[e]), float(z[e]),
+                    float(x[ne]), float(y[ne]), float(z[ne]),
+                    bits(x[e]) ^ bits(y[e]) ^ bits(z[e])
+                    ^ bits(x[ne]) ^ bits(y[ne]) ^ bits(z[ne]),
+                ))
+    vals = ", ".join(
+        f"('{r}', {p}, {i}, {x0!r}, {y0!r}, {z0!r},"
+        f" {x1!r}, {y1!r}, {z1!r}, {par})"
+        for (r, p, i, x0, y0, z0, x1, y1, z1, par) in rows
+    )
+    v0 = ("x0", "y0", "z0")
+    v1 = ("x1", "y1", "z1")
+    sign = (f"CASE WHEN {_l2_sql(v0, v1)} < {DEGENERATE!r} THEN 0 "
+            f"WHEN lsb_parity = 0 THEN 1 ELSE -1 END")
+    dot = "(x0*x1 + y0*y1 + z0*z1)"
+    pi = repr(math.pi)
+    return f"""
+WITH pedges(region_id, poly, loop_idx, x0, y0, z0, x1, y1, z1, lsb_parity)
+  AS (VALUES {vals}),
+terms AS (
+  SELECT region_id, poly, loop_idx,
+         ({sign}) * acos(LEAST(GREATEST({dot}, -1.0), 1.0)) AS term
+  FROM pedges
+),
+loop_area AS (
+  SELECT region_id, poly, loop_idx,
+         CAST(round(abs(abs(sum(term)) - (count(*) - 2.0) * {pi}) * 1e9, 0)
+              AS BIGINT) AS a
+  FROM terms GROUP BY 1, 2, 3
+)
+SELECT region_id, poly, CAST(count(*) AS INT) AS n_loops,
+       CAST(count(*) - 1 AS INT) AS n_holes,
+       CAST(sum(CASE WHEN loop_idx = 0 THEN a ELSE -a END) AS BIGINT)
+         AS area_nano
+FROM loop_area GROUP BY 1, 2
+"""

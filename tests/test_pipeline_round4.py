@@ -477,3 +477,41 @@ def test_hex_focal_counts_semantics(spark):
                  | (tr + OFF)] += n
     assert got == dict(want)
     assert sum(got.values()) == 7 * len(base)
+
+
+def test_polygon_areas_shell_minus_holes(spark):
+    """A polygon's area must equal its shell's loop area minus its
+    holes' loop areas (nano-exact), and be strictly less than the bare
+    shell when holes exist."""
+    from s2_geometry_rust_spark import fixtures
+    from s2_geometry_rust_spark.operators.geom_aggs import (
+        loop_stats,
+        polygon_areas,
+    )
+
+    got = {
+        (r["region_id"], r["poly"]): r
+        for r in polygon_areas(fixtures.polygon_regions(spark)).collect()
+    }
+    # independent per-loop areas straight from loop_stats
+    loop_area = {
+        r["region_id"]: round(r["area"] * 1e9)
+        for r in loop_stats(fixtures.loop_regions(spark)).collect()
+    }
+    for region_id, loop_list in fixtures.POLYGONS.items():
+        per_poly = {}
+        for poly, loop_name in loop_list:
+            per_poly.setdefault(poly, []).append(loop_name)
+        for poly, names in per_poly.items():
+            r = got[(region_id, poly)]
+            want = loop_area[names[0]] - sum(
+                loop_area[n] for n in names[1:]
+            )
+            assert r["area_nano"] == want
+            assert r["n_loops"] == len(names)
+            assert r["n_holes"] == len(names) - 1
+            if len(names) > 1:
+                assert r["area_nano"] < loop_area[names[0]]
+    assert len(got) == sum(
+        len({p for p, _ in ll}) for ll in fixtures.POLYGONS.values()
+    )
