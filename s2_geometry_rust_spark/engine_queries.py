@@ -1496,6 +1496,17 @@ def polygon_areas_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polygon_areas(fixtures.polygon_regions(spark))
 
 
+def colocated_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory co-location mining: pairs visiting >= 2 common
+    level-6 tiles — distinct-first self-join on tile_id, AQE skew-join
+    backstopped."""
+    from .operators.tiling import colocated_pairs
+
+    return colocated_pairs(
+        _derived_traj_cells(spark, sf_dir), level=6, min_shared=2
+    )
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -1581,6 +1592,7 @@ QUERIES = {
     "webmerc_tiles": webmerc_tiles_q,
     "hex_focal_counts": hex_focal_counts_q,
     "polygon_areas": polygon_areas_q,
+    "colocated_pairs": colocated_pairs_q,
 }
 
 ORACLES = {
@@ -1672,4 +1684,5 @@ ORACLES = {
     "webmerc_tiles": oracle.webmerc_tile_counts_sql(6),
     "hex_focal_counts": oracle.hex_focal_counts_sql(2),
     "polygon_areas": oracle.polygon_areas_sql(),
+    "colocated_pairs": oracle.colocated_pairs_sql(6, 2),
 }

@@ -252,3 +252,36 @@ def hex_focal_counts(points: DataFrame, res: int = 2,
     return spread.groupBy("hex_id").agg(
         F.sum("_n").cast("long").alias("focal_points")
     )
+
+
+def colocated_pairs(points: DataFrame, level: int = 6,
+                    min_shared: int = 2,
+                    traj_col: str = "traj_id",
+                    cell_col: str = "cell_id") -> DataFrame:
+    """Co-location mining: pairs of trajectories that visit at least
+    ``min_shared`` distinct tiles in common — the co-visitation /
+    contact-graph primitive.
+
+    Scale shape: (traj, tile) pairs are DISTINCT-ed first (one shuffle,
+    collapsing repeat visits), then self-equi-joined on tile_id — the
+    join fan-out is sum over tiles of (trajs-per-tile choose 2), which
+    the distinct step and the tile level bound; AQE skew-join splits
+    hot tiles (plans/salting.py is the explicit backstop).  The pair
+    count is a final groupBy with map-side partials.
+
+    Output: (traj_a, traj_b, n_shared_tiles) with traj_a < traj_b.
+    """
+    t = (
+        with_tile(points, level, cell_col)
+        .select(F.col(traj_col).alias("_t"), "tile_id")
+        .distinct()
+    )
+    a = t.select(F.col("_t").alias("traj_a"), "tile_id")
+    b = t.select(F.col("_t").alias("traj_b"), "tile_id")
+    return (
+        a.join(b, "tile_id")
+        .filter(F.col("traj_a") < F.col("traj_b"))
+        .groupBy("traj_a", "traj_b")
+        .agg(F.count("*").alias("n_shared_tiles"))
+        .filter(F.col("n_shared_tiles") >= min_shared)
+    )

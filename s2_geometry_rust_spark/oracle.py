@@ -3989,3 +3989,23 @@ SELECT region_id, poly, CAST(count(*) AS INT) AS n_loops,
          AS area_nano
 FROM loop_area GROUP BY 1, 2
 """
+
+
+def colocated_pairs_sql(level: int = 6, min_shared: int = 2) -> str:
+    """Mirror of tiling.colocated_pairs over the lineitem
+    trajectories."""
+    cte = hilbert_leaf_cte(_traj_points_sql())
+    tile = parent_sql("cell_id", level)
+    return (
+        cte
+        + f""",
+tt AS (
+  SELECT DISTINCT point_id // 8 AS traj_id, {tile} AS tile
+  FROM leaf
+)
+SELECT a.traj_id AS traj_a, b.traj_id AS traj_b,
+       count(*) AS n_shared_tiles
+FROM tt a JOIN tt b ON a.tile = b.tile AND a.traj_id < b.traj_id
+GROUP BY 1, 2 HAVING count(*) >= {int(min_shared)}
+"""
+    )

@@ -515,3 +515,30 @@ def test_polygon_areas_shell_minus_holes(spark):
     assert len(got) == sum(
         len({p for p, _ in ll}) for ll in fixtures.POLYGONS.values()
     )
+
+
+def test_colocated_pairs_planted(spark):
+    """Planted co-visits: trajs 1/2 share two tiles (-> pair), trajs
+    1/3 share one (-> filtered), repeat visits to the same tile count
+    once."""
+    from s2_geometry_rust_spark.operators.tiling import colocated_pairs
+
+    t = lambda face: (face << 60) | 1  # noqa: E731
+    rows = [
+        (1, 0, t(0)), (1, 1, t(1)), (1, 2, t(2)),
+        (2, 0, t(0)), (2, 1, t(1)),
+        (3, 0, t(2)), (3, 1, t(3)), (3, 2, t(3)),   # repeat visit
+        (4, 0, t(3)), (4, 1, t(3)),                 # shares only face-3
+    ]
+    df = spark.createDataFrame(rows, "traj_id long, seq long, cell_id long")
+    got = {
+        (r["traj_a"], r["traj_b"]): r["n_shared_tiles"]
+        for r in colocated_pairs(df, level=2, min_shared=2).collect()
+    }
+    assert got == {(1, 2): 2}
+    # min_shared=1 picks up the single-tile overlaps, dedup'd
+    got1 = {
+        (r["traj_a"], r["traj_b"]): r["n_shared_tiles"]
+        for r in colocated_pairs(df, level=2, min_shared=1).collect()
+    }
+    assert got1 == {(1, 2): 2, (1, 3): 1, (3, 4): 1}
