@@ -101,14 +101,28 @@ def main() -> None:
         # window (observed: one whole-leg block uniformly ~1.15x
         # slower) then degrades both legs equally instead of skewing
         # the ratio.
+        # Pin each leg to exactly its nominal core budget (taskset):
+        # unpinned, the local[2] leg's Python workers overlap with JVM
+        # service threads and consume ~2.9 cores (measured), inflating
+        # lo-leg throughput and under-reading the nominal ratio by
+        # ~0.1 — a single-JVM artifact a real 2-core executor does not
+        # have.  Pinned, nominal and core-normalized ratios agree
+        # (0.83/0.86 measured at 4M docs) and the nominal number is
+        # the faithful N -> 4N emulation.
+        import shutil
+
+        pin = shutil.which("taskset") is not None
         bests: dict[int, dict | None] = {c: None for c in SCALING_PAIR}
         for _ in range(SCALING_SESSIONS):
             for cpus in SCALING_PAIR:
+                cmd = [sys.executable,
+                       os.path.join(here, "tools", "scaling_probe.py"),
+                       str(cpus), str(SCALING_DOCS),
+                       str(PIPELINE_PARTITIONS), "2"]
+                if pin:
+                    cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
                 out = subprocess.run(
-                    [sys.executable,
-                     os.path.join(here, "tools", "scaling_probe.py"),
-                     str(cpus), str(SCALING_DOCS),
-                     str(PIPELINE_PARTITIONS), "2"],
+                    cmd,
                     capture_output=True, text=True, check=True,
                 )
                 leg = json.loads(out.stdout.strip().splitlines()[-1])
@@ -198,11 +212,27 @@ def main() -> None:
     point_in_region_join(pts, regions, max_cells=64, distributed=False).count()
     dt = time.time() - t0
     results["spatial_pipeline_sf_sec"] = round(dt, 3)
-    # headline value: steady-state throughput from the scaling probe
-    # (600k synthesized docs, warm workers) when available — the tiny
-    # sf documents table is fixed-overhead-dominated
-    docs_per_sec = results.get("scaling_docs_per_sec", n_docs / dt)
+
     spark.stop()
+
+    # headline value: full-machine (local[CPUS], unpinned) steady-state
+    # docs/sec through the synthesized spatial pipeline, measured in a
+    # FRESH subprocess session (the long bench session accumulates JVM
+    # state that degrades late trials — see tools/scaling_probe.py).
+    # The scaling probe's hi leg is CPU-PINNED to its nominal budget
+    # (honest ratio) and so under-reads what the whole box sustains;
+    # this is the number a user gets.
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = subprocess.run(
+        [sys.executable, os.path.join(here, "tools", "scaling_probe.py"),
+         str(CPUS), str(SCALING_DOCS), str(PIPELINE_PARTITIONS), "2"],
+        capture_output=True, text=True, check=True,
+    )
+    leg = json.loads(out.stdout.strip().splitlines()[-1])
+    results["headline_docs_per_sec"] = round(SCALING_DOCS / leg["best_sec"], 1)
+    docs_per_sec = results["headline_docs_per_sec"]
 
     print(
         json.dumps(

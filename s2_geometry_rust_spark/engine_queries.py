@@ -1507,6 +1507,38 @@ def colocated_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def span_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BASELINE input-hint invariant as a driver-checked query:
+    the full span sequence (kind, text, media_ref, order) of every
+    interleaved document, emitted span-by-span and oracled against an
+    independent SQL replay of the synthesis.  Text content is checked
+    by md5, geo content by the exact parse-back doubles (the POINT
+    round-trip is IEEE-exact), media by the ref; offsets are checked
+    for the text/geo spans (the media offset embeds the Python
+    repr-length of the geo doubles, which no SQL engine reproduces
+    byte-for-byte — documented gap, covered by pytest instead)."""
+    from .sources import explode_spans, interleave_flat_documents
+    from .sources.spans import _POINT_RE
+
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = explode_spans(interleave_flat_documents(flat, with_media=True))
+    is_geo = F.col("kind") == "geo"
+    return s.select(
+        "doc_id",
+        "span_idx",
+        "kind",
+        F.when(F.col("kind") == "text", F.md5(F.coalesce("text", F.lit(""))))
+        .otherwise(F.lit("")).alias("text_md5"),
+        "media_ref",
+        F.when(is_geo, F.regexp_extract("text", _POINT_RE, 1).cast("double"))
+        .alias("lat"),
+        F.when(is_geo, F.regexp_extract("text", _POINT_RE, 2).cast("double"))
+        .alias("lng"),
+        F.when(F.col("span_idx") <= 1, F.col("offset")).cast("int")
+        .alias("offset01"),
+    )
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -1593,6 +1625,7 @@ QUERIES = {
     "hex_focal_counts": hex_focal_counts_q,
     "polygon_areas": polygon_areas_q,
     "colocated_pairs": colocated_pairs_q,
+    "span_sequences": span_sequences_q,
 }
 
 ORACLES = {
@@ -1685,4 +1718,5 @@ ORACLES = {
     "hex_focal_counts": oracle.hex_focal_counts_sql(2),
     "polygon_areas": oracle.polygon_areas_sql(),
     "colocated_pairs": oracle.colocated_pairs_sql(6, 2),
+    "span_sequences": oracle.span_sequences_sql(),
 }

@@ -4009,3 +4009,39 @@ FROM tt a JOIN tt b ON a.tile = b.tile AND a.traj_id < b.traj_id
 GROUP BY 1, 2 HAVING count(*) >= {int(min_shared)}
 """
     )
+
+
+def span_sequences_sql(seed: int = 42) -> str:
+    """Independent SQL replay of the interleaved span synthesis
+    (sources/interleaved.py interleave_flat_documents(with_media=True)):
+    three spans per doc in fixed order — text (md5 of the source text,
+    offset 0), geo (lat/lng re-derived by the proven geo-synthesis
+    CTEs; the engine's parse-back of the POINT text is IEEE-exact so
+    the doubles match bit-for-bit; offset = greatest(len(text), 1)),
+    media (media://hex ref).  This is the BASELINE span-sequence
+    invariant (kind, text, media_ref, order) as a value-checked
+    contract row set."""
+    return f"""
+WITH {_geo_synth_ctes(seed)},
+base AS (
+  SELECT doc_id AS id,
+         'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS did,
+         coalesce(text, '') AS text
+  FROM documents
+)
+SELECT did AS doc_id, CAST(0 AS INT) AS span_idx, 'text' AS kind,
+       md5(text) AS text_md5, '' AS media_ref,
+       CAST(NULL AS DOUBLE) AS lat, CAST(NULL AS DOUBLE) AS lng,
+       CAST(0 AS INT) AS offset01
+FROM base
+UNION ALL
+SELECT b.did, CAST(1 AS INT), 'geo', '', '',
+       ll.lat, ll.lng,
+       CAST(greatest(length(b.text), 1) AS INT)
+FROM base b JOIN ll ON ll.id = b.id
+UNION ALL
+SELECT did, CAST(2 AS INT), 'media', '',
+       'media://' || lpad(lower(to_hex(id)), 10, '0'),
+       NULL, NULL, CAST(NULL AS INT)
+FROM base
+"""
