@@ -1517,8 +1517,8 @@ def span_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the text/geo spans (the media offset embeds the Python
     repr-length of the geo doubles, which no SQL engine reproduces
     byte-for-byte — documented gap, covered by pytest instead)."""
-    from .sources import explode_spans, interleave_flat_documents
-    from .sources.spans import _POINT_RE
+    from .sources import interleave_flat_documents
+    from .sources.spans import _POINT_RE, explode_spans
 
     flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
     s = explode_spans(interleave_flat_documents(flat, with_media=True))

@@ -542,3 +542,44 @@ def test_colocated_pairs_planted(spark):
         for r in colocated_pairs(df, level=2, min_shared=1).collect()
     }
     assert got1 == {(1, 2): 2, (1, 3): 1, (3, 4): 1}
+
+
+def test_span_sequences_invariant_and_layout(spark):
+    """The contract query must carry the full span sequence: 3 spans
+    per doc in (text, geo, media) order, geo parse-back non-null, text
+    md5 only on text spans, media ref only on media spans; and the
+    distributed invariant checker agrees the sequences are intact."""
+    from s2_geometry_rust_spark.engine_queries import span_sequences_q
+    from s2_geometry_rust_spark.sources import interleave_flat_documents
+    from s2_geometry_rust_spark.sources.spans import verify_span_sequence
+
+    sf = "/root/testdata/sf0.001"
+    got = span_sequences_q(spark, sf)
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert got.count() == 3 * n_docs
+    by_kind = {
+        r["kind"]: r for r in got.groupBy("kind").agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("lat").isNotNull(), 1).otherwise(0))
+            .alias("n_lat"),
+            F.sum(F.when(F.col("text_md5") != "", 1).otherwise(0))
+            .alias("n_md5"),
+            F.sum(F.when(F.col("media_ref") != "", 1).otherwise(0))
+            .alias("n_ref"),
+        ).collect()
+    }
+    assert by_kind["text"]["n"] == n_docs and by_kind["text"]["n_md5"] == n_docs
+    assert by_kind["geo"]["n_lat"] == n_docs
+    assert by_kind["media"]["n_ref"] == n_docs
+    assert by_kind["geo"]["n_md5"] == 0 and by_kind["text"]["n_ref"] == 0
+    # order is positional: span_idx determines kind
+    assert got.filter(
+        ((F.col("span_idx") == 0) & (F.col("kind") != "text"))
+        | ((F.col("span_idx") == 1) & (F.col("kind") != "geo"))
+        | ((F.col("span_idx") == 2) & (F.col("kind") != "media"))
+    ).count() == 0
+    # the distributed anti-join checker: identity transform is intact
+    inter = interleave_flat_documents(
+        spark.read.parquet(f"{sf}/documents.parquet"), with_media=True
+    )
+    assert verify_span_sequence(inter, inter) == 0
