@@ -1539,6 +1539,27 @@ def span_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tile_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer PageRank (3 power rounds, damping 17/20) over the
+    level-8 tile-transition flow graph — an iterative graph algorithm
+    whose every intermediate is an exact int64, replayed bit-for-bit
+    by unrolled SQL rounds."""
+    from .operators.graph import pagerank_exact
+    from .operators.tiling import tile_transitions
+
+    edges = tile_transitions(_derived_traj_cells(spark, sf_dir), level=8)
+    pr = pagerank_exact(
+        edges, iterations=3,
+        src_col="from_tile", dst_col="to_tile",
+        weight_col="n_transitions",
+    )
+    return pr.select(
+        F.col("node").alias("tile_id"),
+        cell_token("node").alias("tile_token"),
+        "pr_e12",
+    )
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -1626,6 +1647,7 @@ QUERIES = {
     "polygon_areas": polygon_areas_q,
     "colocated_pairs": colocated_pairs_q,
     "span_sequences": span_sequences_q,
+    "tile_pagerank": tile_pagerank_q,
 }
 
 ORACLES = {
@@ -1719,4 +1741,5 @@ ORACLES = {
     "polygon_areas": oracle.polygon_areas_sql(),
     "colocated_pairs": oracle.colocated_pairs_sql(6, 2),
     "span_sequences": oracle.span_sequences_sql(),
+    "tile_pagerank": oracle.tile_pagerank_sql(8, 3),
 }

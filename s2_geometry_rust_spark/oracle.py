@@ -4045,3 +4045,60 @@ SELECT did, CAST(2 AS INT), 'media', '',
        NULL, NULL, CAST(NULL AS INT)
 FROM base
 """
+
+
+def tile_pagerank_sql(level: int = 8, iterations: int = 3,
+                      scale: int = 10**12) -> str:
+    """Mirror of graph.pagerank_exact over the tile-transition edges:
+    the fixed power iterations unroll as CTE rounds; every value is an
+    exact int64 (floor division; damping as the rational 17/20), so
+    the replay is bit-for-bit.  DuckDB's ``//`` and Spark's ``div``
+    agree on the all-positive domain."""
+    cte = hilbert_leaf_cte(_traj_points_sql())
+    tile = parent_sql("cell_id", level)
+    rounds = []
+    prev = "pr0"
+    for r in range(1, iterations + 1):
+        rounds.append(f"""
+prc{r} AS (
+  SELECT e.dst, (p.pr * e.w) // o.out_w AS c
+  FROM e JOIN {prev} p ON p.node = e.src JOIN outw o ON o.src = e.src
+),
+prs{r} AS (SELECT dst, CAST(sum(c) AS BIGINT) AS s FROM prc{r} GROUP BY 1),
+pr{r} AS (
+  SELECT n.node,
+         CAST((3*{scale}) // (20*nn.n)
+              + (17*coalesce(s.s, 0)) // 20 AS BIGINT) AS pr
+  FROM nodes n CROSS JOIN nn LEFT JOIN prs{r} s ON s.dst = n.node
+)""")
+        prev = f"pr{r}"
+    return (
+        cte
+        + f""",
+t AS (SELECT point_id // 8 AS traj_id, point_id % 8 AS seq,
+             {tile} AS tile FROM leaf),
+lagged AS (
+  SELECT traj_id, seq, tile,
+         lag(tile) OVER (PARTITION BY traj_id ORDER BY seq) AS prev
+  FROM t
+),
+edges AS (
+  SELECT prev AS src, tile AS dst, count(*) AS w
+  FROM lagged WHERE prev IS NOT NULL AND prev <> tile
+  GROUP BY 1, 2
+),
+e AS (SELECT src, dst, CAST(w AS BIGINT) AS w FROM edges),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM e GROUP BY 1),
+pr0 AS (
+  SELECT node, CAST({scale} // nn.n AS BIGINT) AS pr
+  FROM nodes CROSS JOIN nn
+),{",".join(rounds)}
+SELECT node AS tile_id, {token_sql('node')} AS tile_token, pr AS pr_e12
+FROM {prev}
+"""
+    )

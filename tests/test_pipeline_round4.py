@@ -583,3 +583,41 @@ def test_span_sequences_invariant_and_layout(spark):
         spark.read.parquet(f"{sf}/documents.parquet"), with_media=True
     )
     assert verify_span_sequence(inter, inter) == 0
+
+
+def test_pagerank_exact_planted_graph(spark):
+    """Star + chain: the hub collecting all edges must rank first;
+    ranks are exact ints; total mass stays below the scale (floor
+    losses + dangling drop only shrink it)."""
+    from s2_geometry_rust_spark.operators.graph import (
+        SCALE,
+        pagerank_exact,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            (2, 1, 1), (3, 1, 1), (4, 1, 1), (5, 1, 1),   # star into 1
+            (1, 2, 1),                                     # backlink
+            (6, 7, 1), (7, 6, 1),                          # isolated pair
+        ],
+        ["src", "dst", "w"],
+    )
+    pr = {
+        r["node"]: r["pr_e12"]
+        for r in pagerank_exact(edges, 3, "src", "dst", "w").collect()
+    }
+    assert pr[1] == max(pr.values())
+    assert all(isinstance(v, int) for v in pr.values())
+    assert sum(pr.values()) <= SCALE
+    # symmetric isolated pair ties exactly
+    assert pr[6] == pr[7]
+    # weighted split: doubling one edge's weight shifts rank mass
+    edges2 = spark.createDataFrame(
+        [(1, 2, 3), (1, 3, 1), (2, 1, 1), (3, 1, 1)],
+        ["src", "dst", "w"],
+    )
+    pr2 = {
+        r["node"]: r["pr_e12"]
+        for r in pagerank_exact(edges2, 3, "src", "dst", "w").collect()
+    }
+    assert pr2[2] > pr2[3]
