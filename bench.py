@@ -176,7 +176,9 @@ def main() -> None:
         "hex_tile_counts", "hex_ring_counts", "dup_spans",
         "tile_pyramid", "trajectory_stats", "group_quantiles",
         "pack_sequences", "bm25_topk", "tile_modality_counts",
-        "tile_transitions", "od_matrix",
+        "tile_transitions", "od_matrix", "corridor_join",
+        "webmerc_tiles", "hex_focal_counts", "polygon_areas",
+        "colocated_pairs", "span_sequences", "tile_pagerank",
     ]
     # steady-state protocol: min of 2 runs per query — the first run pays
     # one-time per-query costs (whole-stage-codegen JIT, Arrow worker
