@@ -1560,6 +1560,45 @@ def tile_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def haversine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2LatLng normalized() + get_distance() lifted to a table pass
+    (latlng.rs:174-204, 234-250): per derived point, the great-circle
+    distance to the next derived point, through the full
+    clamp-lat / rem_euclid-wrap-lng normalization (the fixture's
+    +0.25-deg offset pushes lng past 180, exercising the wrap).  All
+    JVM trig in codegen; nano-rounding absorbs the <=1-ulp libm spread
+    the loop_stats oracle already relies on."""
+    import math
+
+    pts = _derived_latlng(spark, sf_dir)
+    k2 = F.col("point_id") + 1
+    d = pts.select(
+        "point_id",
+        F.radians("lat").alias("la1"),
+        F.radians("lng").alias("lo1"),
+        F.radians((k2 * 37 % 181).cast("double") - 90.0 + 0.25).alias("la2"),
+        F.radians((k2 * 73 % 361).cast("double") - 180.0 + 0.25).alias("lo2"),
+    )
+    pi = math.pi
+
+    def norm(la: str, lo: str) -> tuple[F.Column, F.Column]:
+        nlat = F.least(F.greatest(F.col(la), F.lit(-pi / 2)), F.lit(pi / 2))
+        m = F.pmod(F.col(lo), F.lit(2.0 * pi))
+        nlng = F.when(m > pi, m - 2.0 * pi).otherwise(m)
+        return nlat, nlng
+
+    la1, lo1 = norm("la1", "lo1")
+    la2, lo2 = norm("la2", "lo2")
+    dlat, dlng = la2 - la1, lo2 - lo1
+    s1, s2 = F.sin(dlat * 0.5), F.sin(dlng * 0.5)
+    a = s1 * s1 + F.cos(la1) * F.cos(la2) * s2 * s2
+    dist = 2.0 * F.atan2(F.sqrt(a), F.sqrt(1.0 - a))
+    return d.select(
+        "point_id",
+        F.round(dist * 1e9, 0).cast("long").alias("dist_nano"),
+    )
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -1648,6 +1687,7 @@ QUERIES = {
     "colocated_pairs": colocated_pairs_q,
     "span_sequences": span_sequences_q,
     "tile_pagerank": tile_pagerank_q,
+    "haversine_pairs": haversine_pairs_q,
 }
 
 ORACLES = {
@@ -1742,4 +1782,5 @@ ORACLES = {
     "colocated_pairs": oracle.colocated_pairs_sql(6, 2),
     "span_sequences": oracle.span_sequences_sql(),
     "tile_pagerank": oracle.tile_pagerank_sql(8, 3),
+    "haversine_pairs": oracle.haversine_pairs_sql(),
 }

@@ -4102,3 +4102,53 @@ SELECT node AS tile_id, {token_sql('node')} AS tile_token, pr AS pr_e12
 FROM {prev}
 """
     )
+
+
+def haversine_pairs_sql(table: str = "customer",
+                        key: str = "c_custkey") -> str:
+    """Mirror of haversine_pairs_q (latlng.rs normalized + haversine):
+    identical op order; DuckDB mod() is C fmod (dividend sign), so
+    rem_euclid is spelled as the two-step CASE — numerically identical
+    to Spark's pmod."""
+    import math
+
+    pi = repr(math.pi)
+    two_pi = repr(2.0 * math.pi)
+
+    def norm_lng(lo: str) -> str:
+        m = f"mod({lo}, {two_pi})"
+        return (f"(CASE WHEN (CASE WHEN {m} < 0 THEN {m} + {two_pi} "
+                f"ELSE {m} END) > {pi} "
+                f"THEN (CASE WHEN {m} < 0 THEN {m} + {two_pi} ELSE {m} END)"
+                f" - {two_pi} "
+                f"ELSE (CASE WHEN {m} < 0 THEN {m} + {two_pi} ELSE {m} END)"
+                f" END)")
+
+    def norm_lat(la: str) -> str:
+        return f"LEAST(GREATEST({la}, -{pi}/2), {pi}/2)"
+
+    return f"""
+WITH ll AS (
+  SELECT {key} AS point_id,
+         radians((({key}*37) % 181)::DOUBLE - 90.0 + 0.25) AS la1,
+         radians((({key}*73) % 361)::DOUBLE - 180.0 + 0.25) AS lo1,
+         radians(((({key}+1)*37) % 181)::DOUBLE - 90.0 + 0.25) AS la2,
+         radians(((({key}+1)*73) % 361)::DOUBLE - 180.0 + 0.25) AS lo2
+  FROM {table}
+), n AS (
+  SELECT point_id,
+         {norm_lat('la1')} AS la1, {norm_lng('lo1')} AS lo1,
+         {norm_lat('la2')} AS la2, {norm_lng('lo2')} AS lo2
+  FROM ll
+), h AS (
+  SELECT point_id,
+         sin((la2 - la1) * 0.5) AS s1, sin((lo2 - lo1) * 0.5) AS s2,
+         cos(la1) AS c1, cos(la2) AS c2
+  FROM n
+)
+SELECT point_id,
+       CAST(round(2.0 * atan2(sqrt(s1*s1 + c1*c2*s2*s2),
+                              sqrt(1.0 - (s1*s1 + c1*c2*s2*s2)))
+                  * 1e9, 0) AS BIGINT) AS dist_nano
+FROM h
+"""

@@ -621,3 +621,34 @@ def test_pagerank_exact_planted_graph(spark):
         for r in pagerank_exact(edges2, 3, "src", "dst", "w").collect()
     }
     assert pr2[2] > pr2[3]
+
+
+def test_haversine_pairs_kernel_parity(spark):
+    """The JVM-column haversine must equal the numpy kernel
+    (latlng.rs:234-250) through the same normalization, bit-for-bit at
+    nano rounding."""
+    import numpy as np
+
+    from s2_geometry_rust_spark.engine_queries import haversine_pairs_q
+    from s2_geometry_rust_spark.kernels import latlng as lk
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["point_id"]: r["dist_nano"]
+        for r in haversine_pairs_q(spark, sf).collect()
+    }
+    import pyarrow.parquet as pq
+
+    keys = pq.read_table(f"{sf}/customer.parquet", columns=["c_custkey"])
+    for k in keys.column(0).to_pylist()[:300]:
+        def ll(kk):
+            return (
+                float((kk * 37 % 181) - 90.0 + 0.25),
+                float((kk * 73 % 361) - 180.0 + 0.25),
+            )
+        la1d, lo1d = ll(k)
+        la2d, lo2d = ll(k + 1)
+        la1, lo1 = lk.normalized(np.radians(la1d), np.radians(lo1d))
+        la2, lo2 = lk.normalized(np.radians(la2d), np.radians(lo2d))
+        d = float(lk.haversine_distance(la1, lo1, la2, lo2))
+        assert got[k] == int(np.floor(d * 1e9 + 0.5))
