@@ -1599,6 +1599,21 @@ def haversine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CORPUS_MIX = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+
+def corpus_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture targeting: a 60-doc sample matching a 4:3:2:1
+    source mix, deterministic md5-ordered quotas (WindowGroupLimit
+    partial top-k per source)."""
+    from .operators.sampling import corpus_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_mix(docs, CORPUS_MIX, budget=60).select(
+        "doc_id", "source", "quota", "sample_rank"
+    )
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -1688,6 +1703,7 @@ QUERIES = {
     "span_sequences": span_sequences_q,
     "tile_pagerank": tile_pagerank_q,
     "haversine_pairs": haversine_pairs_q,
+    "corpus_mix": corpus_mix_q,
 }
 
 ORACLES = {
@@ -1783,4 +1799,5 @@ ORACLES = {
     "span_sequences": oracle.span_sequences_sql(),
     "tile_pagerank": oracle.tile_pagerank_sql(8, 3),
     "haversine_pairs": oracle.haversine_pairs_sql(),
+    "corpus_mix": oracle.corpus_mix_sql(CORPUS_MIX, 60),
 }

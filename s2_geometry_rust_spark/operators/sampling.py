@@ -87,3 +87,34 @@ def weighted_sample_per_group(df: DataFrame, k: int = 20,
         .filter(F.col("sample_rank") <= k)
         .drop("_wrs_key")
     )
+
+
+def corpus_mix(df: DataFrame, mix: dict[str, float], budget: int,
+               group_col: str = "source",
+               id_col: str = "doc_id") -> DataFrame:
+    """Data-mixture targeting for training corpora: draw a ``budget``-
+    doc sample whose composition follows the target ``mix`` (source ->
+    weight, normalized over the sources present), deterministically.
+
+    Per-source quota = round(budget * weight / total_weight)
+    (half-away, exactly mirrored in SQL), capped by availability; rows
+    are taken in md5(id) order — the stratified_sample quota machinery
+    with quotas computed FROM the mix instead of a constant, so the
+    same WindowGroupLimit partial-top-k shape applies and a hot source
+    never materializes beyond its quota per map task.
+
+    Output: input columns + sample_rank + quota.
+    """
+    total = sum(mix.values())
+    quotas = [
+        (s, int((budget * w) / total + 0.5)) for s, w in mix.items()
+    ]
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(quotas, f"{group_col} string, quota long")
+    key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    return (
+        df.join(F.broadcast(qdf), group_col)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= F.col("quota"))
+    )

@@ -4152,3 +4152,27 @@ SELECT point_id,
                   * 1e9, 0) AS BIGINT) AS dist_nano
 FROM h
 """
+
+
+def corpus_mix_sql(mix: dict[str, float], budget: int) -> str:
+    """Mirror of sampling.corpus_mix: quotas computed by the SAME
+    python expression (embedded as literals on both sides), ranks by
+    the proven md5-of-decimal-id order."""
+    total = sum(mix.values())
+    vals = ", ".join(
+        f"('{s}', {int((budget * w) / total + 0.5)})"
+        for s, w in mix.items()
+    )
+    return f"""
+WITH q(source, quota) AS (VALUES {vals}),
+r AS (
+  SELECT d.doc_id, d.source, q.quota,
+         CAST(row_number() OVER (
+             PARTITION BY d.source
+             ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+         ) AS INT) AS sample_rank
+  FROM documents d JOIN q USING (source)
+)
+SELECT doc_id, source, CAST(quota AS BIGINT) AS quota, sample_rank
+FROM r WHERE sample_rank <= quota
+"""

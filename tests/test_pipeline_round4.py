@@ -652,3 +652,30 @@ def test_haversine_pairs_kernel_parity(spark):
         la2, lo2 = lk.normalized(np.radians(la2d), np.radians(lo2d))
         d = float(lk.haversine_distance(la1, lo1, la2, lo2))
         assert got[k] == int(np.floor(d * 1e9 + 0.5))
+
+
+def test_corpus_mix_quota_semantics(spark):
+    """Quotas follow the mix proportions (half-away rounding), cap at
+    availability, and the kept set is the md5-order prefix per
+    source."""
+    import hashlib
+
+    from s2_geometry_rust_spark.operators.sampling import corpus_mix
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(90)]  # 30 each
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    mix = {"a": 0.5, "b": 0.25, "c": 0.25}
+    got = corpus_mix(df, mix, budget=40).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["source"], []).append(r["doc_id"])
+    assert {s: len(v) for s, v in per.items()} == {"a": 20, "b": 10, "c": 10}
+    # prefix property: kept ids are exactly the md5-order head
+    for s, ids in per.items():
+        all_ids = [i for i, src in rows if src == s]
+        order = sorted(all_ids, key=lambda i: (hashlib.md5(
+            str(i).encode()).hexdigest(), i))
+        assert sorted(ids) == sorted(order[:len(ids)])
+    # availability cap: demand beyond supply takes everything
+    small = corpus_mix(df, {"a": 1.0}, budget=100).collect()
+    assert len(small) == 30
