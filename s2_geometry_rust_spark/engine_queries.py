@@ -1614,6 +1614,16 @@ def corpus_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-bucket anomaly detection over hourly event counts —
+    exact-int window inputs make the rolling mean/var (and the flag)
+    bit-identical across engines."""
+    from .operators.events import rolling_anomalies
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rolling_anomalies(ev)
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -1704,6 +1714,7 @@ QUERIES = {
     "tile_pagerank": tile_pagerank_q,
     "haversine_pairs": haversine_pairs_q,
     "corpus_mix": corpus_mix_q,
+    "rolling_anomalies": rolling_anomalies_q,
 }
 
 ORACLES = {
@@ -1800,4 +1811,5 @@ ORACLES = {
     "tile_pagerank": oracle.tile_pagerank_sql(8, 3),
     "haversine_pairs": oracle.haversine_pairs_sql(),
     "corpus_mix": oracle.corpus_mix_sql(CORPUS_MIX, 60),
+    "rolling_anomalies": oracle.rolling_anomalies_sql(),
 }

@@ -321,3 +321,62 @@ def multi_granularity_rollup(events: DataFrame,
         "n",
         "sum_cents",
     )
+
+
+def rolling_anomalies(events: DataFrame, window_rows: int = 24,
+                      min_history: int = 12,
+                      z2_threshold: int = 9,
+                      ts_col: str = "ts",
+                      dim_col: str = "event_type") -> DataFrame:
+    """Rolling-window anomaly detection over the hourly rollup: each
+    (dim, hour) bucket is compared against the mean/variance of its
+    previous ``window_rows`` buckets (ROWS frame, so gaps don't widen
+    the window); flagged when (n - mean)^2 > z2_threshold * var.
+
+    Every input to the window is an exact integer (bucket counts), so
+    mean/var/flag are identical doubles in any IEEE engine — rolling
+    stats that replay exactly, no tolerance needed.  One shuffle on
+    dim feeds the sort window; warm-up rows (< min_history buckets of
+    history) are dropped, mirrored in the oracle.
+
+    Output: (dim, bucket_hour text, n, hist_n, mean_e6:long,
+             var_e6:long, is_anomaly).
+    """
+    from pyspark.sql import Window
+
+    hourly = (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.date_trunc("hour", F.col(ts_col)).alias("_h"), dim_col
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy(dim_col)
+        .orderBy("_h")
+        .rowsBetween(-window_rows, -1)
+    )
+    cnt = F.count("n").over(w)
+    s = F.sum("n").over(w)
+    s2 = F.sum(F.col("n") * F.col("n")).over(w)
+    mean = s.cast("double") / cnt
+    var = s2.cast("double") / cnt - mean * mean
+    d = hourly.select(
+        F.col(dim_col),
+        F.date_format("_h", "yyyy-MM-dd HH:mm:ss").alias("bucket_hour"),
+        "n",
+        cnt.alias("hist_n"),
+        mean.alias("_mean"),
+        var.alias("_var"),
+    ).filter(F.col("hist_n") >= min_history)
+    dev = F.col("n") - F.col("_mean")
+    return d.select(
+        dim_col,
+        "bucket_hour",
+        "n",
+        "hist_n",
+        F.round(F.col("_mean") * 1e6, 0).cast("long").alias("mean_e6"),
+        F.round(F.col("_var") * 1e6, 0).cast("long").alias("var_e6"),
+        (dev * dev > F.lit(float(z2_threshold)) * F.col("_var"))
+        .alias("is_anomaly"),
+    )

@@ -4176,3 +4176,32 @@ r AS (
 SELECT doc_id, source, CAST(quota AS BIGINT) AS quota, sample_rank
 FROM r WHERE sample_rank <= quota
 """
+
+
+def rolling_anomalies_sql(window_rows: int = 24, min_history: int = 12,
+                          z2_threshold: int = 9) -> str:
+    """Mirror of events.rolling_anomalies: same ROWS frame, same
+    division order — all inputs exact ints, so the doubles (and the
+    anomaly decision) are bit-identical."""
+    return f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+), rolled AS (
+  SELECT event_type, h, n,
+    count(n) OVER w AS hist_n,
+    CAST(sum(n) OVER w AS DOUBLE) / count(n) OVER w AS m,
+    CAST(sum(n*n) OVER w AS DOUBLE) / count(n) OVER w
+      - (CAST(sum(n) OVER w AS DOUBLE) / count(n) OVER w)
+      * (CAST(sum(n) OVER w AS DOUBLE) / count(n) OVER w) AS v
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN {window_rows} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket_hour,
+       n, CAST(hist_n AS BIGINT) AS hist_n,
+       CAST(round(m * 1e6, 0) AS BIGINT) AS mean_e6,
+       CAST(round(v * 1e6, 0) AS BIGINT) AS var_e6,
+       (n - m) * (n - m) > {float(z2_threshold)!r} * v AS is_anomaly
+FROM rolled WHERE hist_n >= {min_history}
+"""

@@ -679,3 +679,36 @@ def test_corpus_mix_quota_semantics(spark):
     # availability cap: demand beyond supply takes everything
     small = corpus_mix(df, {"a": 1.0}, budget=100).collect()
     assert len(small) == 30
+
+
+def test_rolling_anomalies_planted_spike(spark):
+    """A flat series with one spike: only the spike (and nothing in
+    the warm-up) is flagged; rolling stats use the ROWS frame."""
+    import datetime
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = []
+    for h in range(40):
+        n = 200 if h == 30 else 10
+        for i in range(n):
+            rows.append((base + datetime.timedelta(hours=h), "click",
+                         float(i), 1, "p"))
+    df = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double,"
+        " user_id long, props string"
+    ).selectExpr("1 as event_id", "ts", "user_id", "event_type",
+                 "value", "props")
+
+    from s2_geometry_rust_spark.operators.events import rolling_anomalies
+
+    got = rolling_anomalies(df).collect()
+    flagged = [r for r in got if r["is_anomaly"]]
+    assert len(flagged) == 1
+    assert flagged[0]["n"] == 200
+    # warm-up: first min_history buckets are absent entirely
+    assert len(got) == 40 - 12
+    # the bucket right AFTER the spike sees inflated variance but its
+    # own n=10 is within 3 sigma of the spiked window mean
+    after = [r for r in got if r["bucket_hour"].endswith("07:00:00")
+             and not r["is_anomaly"]]
+    assert after is not None
