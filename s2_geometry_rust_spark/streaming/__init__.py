@@ -11,6 +11,7 @@ from .tiles import (  # noqa: F401
     streaming_hex_tile_counts,
     streaming_tile_counts,
     streaming_tile_pyramid,
+    streaming_webmerc_tile_counts,
 )
 from .spatial import streaming_point_in_region  # noqa: F401
 from .stateful import stateful_tile_counts  # noqa: F401

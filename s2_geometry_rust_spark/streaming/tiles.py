@@ -138,3 +138,31 @@ def streaming_tile_pyramid(doc_stream: DataFrame,
         s.groupBy(F.window(ts_col, window), "level", "tile_id")
         .agg(F.count("*").alias("n_points"))
     )
+
+
+def streaming_webmerc_tile_counts(doc_stream: DataFrame, zoom: int = 6,
+                                  ts_col: str = "event_time",
+                                  watermark: str = "10 minutes",
+                                  window: str = "5 minutes") -> DataFrame:
+    """Web-mercator twin of streaming_tile_counts: geo extraction ->
+    slippy z/x/y assignment (tiling.with_webmerc_tile, the SAME batch
+    column chain) -> watermarked windowed counts per tile."""
+    from ..operators.tiling import with_webmerc_tile
+
+    s = doc_stream.withWatermark(ts_col, watermark)
+    s = s.select(
+        "doc_id", ts_col, F.posexplode("spans").alias("span_idx", "span")
+    )
+    s = s.filter(F.col("span.kind") == "geo").select(
+        "doc_id",
+        ts_col,
+        F.regexp_extract("span.text", _POINT_RE, 1).cast("double")
+        .alias("lat"),
+        F.regexp_extract("span.text", _POINT_RE, 2).cast("double")
+        .alias("lng"),
+    )
+    s = with_webmerc_tile(s, zoom)
+    return (
+        s.groupBy(F.window(ts_col, window), "zoom", "xtile", "ytile")
+        .agg(F.count("*").alias("n_points"))
+    )

@@ -373,3 +373,41 @@ def test_streaming_tile_pyramid_matches_batch(spark, tmp_path):
     assert len(merged) == len(want) > 0
     for k, n in merged.items():
         assert want.get(k, 0) == n
+
+
+def test_streaming_webmerc_matches_batch(spark, tmp_path):
+    from s2_geometry_rust_spark.operators.tiling import webmerc_tile_counts
+    from s2_geometry_rust_spark.streaming import (
+        streaming_webmerc_tile_counts,
+    )
+
+    docs = synth_documents(spark, 300, seed=42).withColumn(
+        "event_time", F.timestamp_seconds(F.lit(1700000000))
+    )
+    src = str(tmp_path / "wm_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    agg = streaming_webmerc_tile_counts(stream, zoom=5)
+    cp = str(tmp_path / "wm_cp")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("wm_stream")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT xtile, ytile, n_points FROM wm_stream"
+    ).toPandas()
+    batch = webmerc_tile_counts(
+        extract_geo_points(synth_documents(spark, 300, seed=42)), 5
+    ).toPandas()
+    merged = got.groupby(["xtile", "ytile"]).n_points.sum()
+    want = batch.set_index(["xtile", "ytile"]).n_points
+    assert len(merged) == len(want) > 0
+    for k, n in merged.items():
+        assert want.get(k, 0) == n
