@@ -1624,6 +1624,29 @@ def rolling_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_anomalies(ev)
 
 
+def vocab_topk_per_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tokens per language: per-group ranking via a partitioned
+    window with the WindowGroupLimit cut (the global vocab_topk rides
+    TakeOrderedAndProject instead — both shapes covered)."""
+    from .operators.vocab import vocab_topk_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_topk_per_group(docs, k=5)
+
+
+def profile_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile of documents (row/null/distinct
+    counts + min/max per column) — the data-quality gate an ingest job
+    runs before committing a partition; multiple COUNT(DISTINCT) share
+    one scan via Expand."""
+    from .operators.profiling import profile_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return profile_table(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -1715,6 +1738,8 @@ QUERIES = {
     "haversine_pairs": haversine_pairs_q,
     "corpus_mix": corpus_mix_q,
     "rolling_anomalies": rolling_anomalies_q,
+    "vocab_topk_per_lang": vocab_topk_per_lang_q,
+    "profile_documents": profile_documents_q,
 }
 
 ORACLES = {
@@ -1812,4 +1837,6 @@ ORACLES = {
     "haversine_pairs": oracle.haversine_pairs_sql(),
     "corpus_mix": oracle.corpus_mix_sql(CORPUS_MIX, 60),
     "rolling_anomalies": oracle.rolling_anomalies_sql(),
+    "vocab_topk_per_lang": oracle.vocab_topk_per_group_sql(5),
+    "profile_documents": oracle.profile_documents_sql(),
 }

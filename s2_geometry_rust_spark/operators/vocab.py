@@ -198,3 +198,30 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 5,
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_contaminated_ngrams"))
     )
+
+
+def vocab_topk_per_group(docs: DataFrame, k: int = 5,
+                         group_col: str = "lang",
+                         text_col: str = "text") -> DataFrame:
+    """Top-k vocabulary PER GROUP: (group, token, n_occurrences, rank).
+
+    Unlike the global vocab_topk (TakeOrderedAndProject collapses the
+    whole ranking into one partial top-k), the per-group ranking rides
+    a (group)-partitioned window over the (group, token) counts —
+    WindowGroupLimit pushes the rank<=k cut below the final sort, so a
+    large group never materializes more than its partition-local top-k
+    per map task.  Ties break lexicographically for determinism.
+    """
+    tok = docs.select(
+        F.col(group_col), F.explode(_tokens(text_col)).alias("token")
+    )
+    counts = tok.groupBy(group_col, "token").agg(
+        F.count("*").alias("n_occurrences")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("n_occurrences"), "token"
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

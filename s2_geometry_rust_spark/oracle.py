@@ -4205,3 +4205,35 @@ SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket_hour,
        (n - m) * (n - m) > {float(z2_threshold)!r} * v AS is_anomaly
 FROM rolled WHERE hist_n >= {min_history}
 """
+
+
+def vocab_topk_per_group_sql(k: int = 5) -> str:
+    """Mirror of vocab.vocab_topk_per_group over (documents, lang)."""
+    return rf"""
+WITH tok AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), counts AS (
+  SELECT lang, token, count(*) AS n_occurrences FROM tok GROUP BY 1, 2
+)
+SELECT lang, token, n_occurrences, CAST(rnk AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY lang
+        ORDER BY n_occurrences DESC, token) AS rnk FROM counts)
+WHERE rnk <= {int(k)}
+"""
+
+
+def profile_documents_sql(columns: tuple[str, ...] = (
+        "doc_id", "text", "lang", "source", "n_chars")) -> str:
+    """Mirror of profiling.profile_table over documents."""
+    parts = []
+    for c in columns:
+        parts.append(f"""
+SELECT '{c}' AS "column", (SELECT count(*) FROM documents) AS n_rows,
+       count({c}) AS n_nonnull, count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_val,
+       CAST(max({c}) AS VARCHAR) AS max_val
+FROM documents""")
+    return "\nUNION ALL\n".join(parts)

@@ -712,3 +712,45 @@ def test_rolling_anomalies_planted_spike(spark):
     after = [r for r in got if r["bucket_hour"].endswith("07:00:00")
              and not r["is_anomaly"]]
     assert after is not None
+
+
+def test_vocab_topk_per_group_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "a a a b b c"),
+            (2, "en", "b z"),
+            (3, "de", "x x y"),
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    from s2_geometry_rust_spark.operators.vocab import vocab_topk_per_group
+
+    got = {
+        (r["lang"], r["rank"]): (r["token"], r["n_occurrences"])
+        for r in vocab_topk_per_group(docs, k=2).collect()
+    }
+    # ties break lexicographically: a(3) before b(3)
+    assert got == {
+        ("en", 1): ("a", 3),
+        ("en", 2): ("b", 3),
+        ("de", 1): ("x", 2),
+        ("de", 2): ("y", 1),
+    }
+
+
+def test_profile_table_single_scan_and_values(spark):
+    from s2_geometry_rust_spark.operators.profiling import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, "y", 5), (3, "x", 7), (4, None, 7)],
+        "id long, s string, v long",
+    )
+    got = {r["column"]: r for r in profile_table(df, ["s", "v"]).collect()}
+    assert got["s"]["n_rows"] == 4 and got["s"]["n_nonnull"] == 3
+    assert got["s"]["n_distinct"] == 2
+    assert (got["s"]["min_val"], got["s"]["max_val"]) == ("x", "y")
+    assert got["v"]["n_nonnull"] == 3 and got["v"]["n_distinct"] == 2
+    assert (got["v"]["min_val"], got["v"]["max_val"]) == ("5", "7")
+    plan = profile_table(df, ["s", "v"])._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1
