@@ -179,6 +179,8 @@ def main() -> None:
         "tile_transitions", "od_matrix", "corridor_join",
         "webmerc_tiles", "hex_focal_counts", "polygon_areas",
         "colocated_pairs", "span_sequences", "tile_pagerank",
+        "haversine_pairs", "corpus_mix", "rolling_anomalies",
+        "vocab_topk_per_lang", "profile_documents", "geohash_tiles",
     ]
     # steady-state protocol: min of 2 runs per query — the first run pays
     # one-time per-query costs (whole-stage-codegen JIT, Arrow worker
