@@ -1656,6 +1656,17 @@ def geohash_tiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geohash_tile_counts(_derived_latlng(spark, sf_dir), precision=6)
 
 
+def hilbert_partition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive Hilbert range partitioning (16 balanced ranges from a
+    deterministic md5-prefix sample) with per-partition balance stats
+    — the explicit cell-id-range partitioning audit a 100-TB write
+    runs; Spark's RangePartitioner design made replayable."""
+    from .plans.partitioning import hilbert_partition_stats
+
+    cells = leaf_assign(spark, sf_dir)
+    return hilbert_partition_stats(cells, n_partitions=16)
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -1750,6 +1761,7 @@ QUERIES = {
     "vocab_topk_per_lang": vocab_topk_per_lang_q,
     "profile_documents": profile_documents_q,
     "geohash_tiles": geohash_tiles_q,
+    "hilbert_partition_stats": hilbert_partition_stats_q,
 }
 
 ORACLES = {
@@ -1850,4 +1862,5 @@ ORACLES = {
     "vocab_topk_per_lang": oracle.vocab_topk_per_group_sql(5),
     "profile_documents": oracle.profile_documents_sql(),
     "geohash_tiles": oracle.geohash_tiles_sql(6),
+    "hilbert_partition_stats": oracle.hilbert_partition_stats_sql(16),
 }

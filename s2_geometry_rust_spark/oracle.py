@@ -4281,3 +4281,51 @@ WITH ll AS (
 SELECT {chars} AS geohash, count(*) AS n_points
 FROM c GROUP BY 1
 """
+
+
+def hilbert_partition_stats_sql(n_partitions: int = 16,
+                                rate_ppm: int = 20_000,
+                                table: str = "customer",
+                                key: str = "c_custkey") -> str:
+    """Mirror of plans.partitioning.hilbert_partition_stats over the
+    SQL-Hilbert leaf cells: deterministic md5-prefix sample -> lower
+    sample quantiles in unsigned order -> count-of-bounds<=key
+    partition assignment -> per-partition balance stats."""
+    cte = hilbert_leaf_cte(derived_points_sql(table, key))
+    prefix = f"{(rate_ppm * (1 << 32)) // 1_000_000:08x}" + "0" * 24
+    b = int(n_partitions)
+    return (
+        cte
+        + f""",
+keyed AS (
+  SELECT point_id, cell_id,
+         xor(cell_id, -9223372036854775808) AS ukey
+  FROM leaf
+),
+samp AS (
+  SELECT ukey FROM keyed
+  WHERE md5(CAST(cell_id AS VARCHAR)) < '{prefix}'
+),
+ranked AS (
+  SELECT ukey, row_number() OVER (ORDER BY ukey) AS rn FROM samp
+),
+mm AS (SELECT count(*) AS m FROM samp),
+bounds AS (
+  SELECT r.ukey AS bnd
+  FROM (SELECT unnest(range(1, {b})) AS i) ii
+  CROSS JOIN mm
+  JOIN ranked r
+    ON r.rn = GREATEST((ii.i * mm.m + {b} - 1) // {b}, 1)
+),
+pid AS (
+  SELECT k.point_id, k.cell_id, k.ukey, count(bo.bnd) AS partition_id
+  FROM keyed k LEFT JOIN bounds bo ON bo.bnd <= k.ukey
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(partition_id AS INT) AS partition_id,
+       count(*) AS n_points,
+       {token_sql('arg_min(cell_id, ukey)')} AS min_token,
+       {token_sql('arg_max(cell_id, ukey)')} AS max_token
+FROM pid GROUP BY 1
+"""
+    )

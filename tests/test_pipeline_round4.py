@@ -779,3 +779,36 @@ def test_geohash_known_vectors(spark):
     # total bits flip the lat/lng interleave roles) — but the first
     # chars agree while the bit budget overlaps
     assert got5[1][:2] == got[1][:2]
+
+
+def test_hilbert_range_partitions_balance_and_order(spark):
+    """Range partitions are contiguous in the unsigned order and
+    roughly balanced on a skewed input (the whole point vs naive
+    bit-range splits)."""
+    from s2_geometry_rust_spark.functions import unsigned_sort_key
+    from s2_geometry_rust_spark.plans.partitioning import (
+        hilbert_range_partitions,
+    )
+
+    # heavily skewed ids: 90% clustered in a tiny range, 10% spread
+    rows = [(int(1e15) + i,) for i in range(900)]
+    rows += [((i * 7919) << 40,) for i in range(100)]
+    df = spark.createDataFrame(rows, "cell_id long")
+    got = hilbert_range_partitions(df, n_partitions=8,
+                                   rate_ppm=200_000).collect()
+    sizes = {}
+    spans = {}
+    for r in got:
+        pid = r["partition_id"]
+        sizes[pid] = sizes.get(pid, 0) + 1
+        u = r["cell_id"] ^ (-(1 << 63))
+        lo, hi = spans.get(pid, (u, u))
+        spans[pid] = (min(lo, u), max(hi, u))
+    assert set(sizes) == set(range(8))
+    # contiguity: partition ranges don't interleave
+    ordered = [spans[p] for p in sorted(spans)]
+    for (lo1, hi1), (lo2, hi2) in zip(ordered, ordered[1:]):
+        assert hi1 <= lo2
+    # balance: no partition above 3x the ideal share (a naive bit-range
+    # split would put ~90% of rows into one partition here)
+    assert max(sizes.values()) <= 3 * (1000 // 8)
