@@ -1667,6 +1667,16 @@ def hilbert_partition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hilbert_partition_stats(cells, n_partitions=16)
 
 
+def label_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise label-centroid cosine similarity — exact-int sum
+    vectors (cosine is scale-invariant), int64 dots/norms, one
+    sqrt/divide at the end."""
+    from .operators.vocab import label_similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return label_similarity(emb)
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -1762,6 +1772,7 @@ QUERIES = {
     "profile_documents": profile_documents_q,
     "geohash_tiles": geohash_tiles_q,
     "hilbert_partition_stats": hilbert_partition_stats_q,
+    "label_similarity": label_similarity_q,
 }
 
 ORACLES = {
@@ -1863,4 +1874,5 @@ ORACLES = {
     "profile_documents": oracle.profile_documents_sql(),
     "geohash_tiles": oracle.geohash_tiles_sql(6),
     "hilbert_partition_stats": oracle.hilbert_partition_stats_sql(16),
+    "label_similarity": oracle.label_similarity_sql(),
 }

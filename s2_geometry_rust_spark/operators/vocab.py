@@ -225,3 +225,48 @@ def vocab_topk_per_group(docs: DataFrame, k: int = 5,
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def label_similarity(embs: DataFrame, label_col: str = "label",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Pairwise cosine similarity between per-label centroids —
+    the inter-class structure report over a labeled embedding table.
+
+    Rides label_centroid_sums' exact-integer grid: cosine is
+    scale-invariant, so the centroids' cosines equal the cosines of
+    the integer SUM vectors — dot products and squared norms are exact
+    int64 sums (no float accumulation), and the only float ops are the
+    final sqrt/divide, identical in any IEEE engine.  The pair join
+    runs over (labels x dims) rows — label-cardinality-sized, never
+    the input.
+
+    Output: (label_a, label_b, dot, cos_nano) with label_a < label_b.
+    """
+    sums = label_centroid_sums(embs, label_col, vec_col)
+    norms = sums.groupBy(label_col).agg(
+        F.sum(F.col("sum_micro") * F.col("sum_micro")).alias("_n2")
+    )
+    a = sums.select(
+        F.col(label_col).alias("label_a"), "dim",
+        F.col("sum_micro").alias("_sa"),
+    )
+    b = sums.select(
+        F.col(label_col).alias("label_b"), "dim",
+        F.col("sum_micro").alias("_sb"),
+    )
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("_sa") * F.col("_sb")).alias("dot"))
+    )
+    na = norms.select(F.col(label_col).alias("label_a"),
+                      F.col("_n2").alias("_n2a"))
+    nb = norms.select(F.col(label_col).alias("label_b"),
+                      F.col("_n2").alias("_n2b"))
+    d = dots.join(na, "label_a").join(nb, "label_b")
+    cos = F.col("dot") / (F.sqrt(F.col("_n2a")) * F.sqrt(F.col("_n2b")))
+    return d.select(
+        "label_a", "label_b", "dot",
+        F.round(cos * 1e9, 0).cast("long").alias("cos_nano"),
+    )

@@ -4329,3 +4329,35 @@ SELECT CAST(partition_id AS INT) AS partition_id,
 FROM pid GROUP BY 1
 """
     )
+
+
+def label_similarity_sql() -> str:
+    """Mirror of vocab.label_similarity: exact-int sum vectors (the
+    label_centroids quantization), int64 dots/norms, one sqrt/divide
+    at the end."""
+    return """
+WITH e AS (
+  SELECT label,
+         CAST(unnest(range(len(embedding))) AS INT) AS dim,
+         unnest(embedding) AS elem
+  FROM embeddings
+), sums AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(round(CAST(elem AS DOUBLE) * 1e6, 0) AS BIGINT))
+              AS BIGINT) AS s
+  FROM e GROUP BY 1, 2
+), norms AS (
+  SELECT label, CAST(sum(s * s) AS BIGINT) AS n2 FROM sums GROUP BY 1
+), dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(sum(a.s * b.s) AS BIGINT) AS dot
+  FROM sums a JOIN sums b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT d.label_a, d.label_b, d.dot,
+       CAST(round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)) * 1e9, 0)
+            AS BIGINT) AS cos_nano
+FROM dots d
+JOIN norms na ON na.label = d.label_a
+JOIN norms nb ON nb.label = d.label_b
+"""

@@ -812,3 +812,25 @@ def test_hilbert_range_partitions_balance_and_order(spark):
     # balance: no partition above 3x the ideal share (a naive bit-range
     # split would put ~90% of rows into one partition here)
     assert max(sizes.values()) <= 3 * (1000 // 8)
+
+
+def test_label_similarity_semantics(spark):
+    """Identical-distribution labels reach cosine 1; orthogonal labels
+    cosine 0; dot values are exact ints."""
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0, 0.0, 2.0, 0.0], 0))
+        rows.append((100 + i, [1.0, 0.0, 2.0, 0.0], 1))    # same as 0
+        rows.append((200 + i, [0.0, 3.0, 0.0, 1.0], 2))    # orthogonal
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    from s2_geometry_rust_spark.operators.vocab import label_similarity
+
+    got = {
+        (r["label_a"], r["label_b"]): r
+        for r in label_similarity(df).collect()
+    }
+    assert got[(0, 1)]["cos_nano"] == 10**9
+    assert got[(0, 2)]["cos_nano"] == 0 and got[(1, 2)]["cos_nano"] == 0
+    assert got[(0, 2)]["dot"] == 0
+    assert isinstance(got[(0, 1)]["dot"], int)
