@@ -1677,6 +1677,33 @@ def label_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_similarity(emb)
 
 
+def gate_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus filter-funnel report: survivors of each successive
+    quality gate, ONE scan with conditional sums."""
+    from .operators.corpus import gate_funnel
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gate_funnel(docs)
+
+
+def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition (Markov) counts — the
+    behavioral-flow twin of tile_transitions."""
+    from .operators.events import event_transitions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_transitions(ev)
+
+
+def quality_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-score histogram (10 buckets) — identical
+    double trees both engines, so bucket-edge rows land identically."""
+    from .operators.text import quality_histogram
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_histogram(docs)
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -1773,6 +1800,9 @@ QUERIES = {
     "geohash_tiles": geohash_tiles_q,
     "hilbert_partition_stats": hilbert_partition_stats_q,
     "label_similarity": label_similarity_q,
+    "gate_funnel": gate_funnel_q,
+    "event_transitions": event_transitions_q,
+    "quality_histogram": quality_histogram_q,
 }
 
 ORACLES = {
@@ -1875,4 +1905,7 @@ ORACLES = {
     "geohash_tiles": oracle.geohash_tiles_sql(6),
     "hilbert_partition_stats": oracle.hilbert_partition_stats_sql(16),
     "label_similarity": oracle.label_similarity_sql(),
+    "gate_funnel": oracle.gate_funnel_sql(),
+    "event_transitions": oracle.event_transitions_sql(),
+    "quality_histogram": oracle.quality_histogram_sql(10),
 }

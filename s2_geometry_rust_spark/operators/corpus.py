@@ -71,3 +71,43 @@ def build_training_corpus(docs: DataFrame, quality_min: float = 0.5,
             "n_tokens", "quality_score", "lang_pred",
         )
     )
+
+
+def gate_funnel(docs: DataFrame, min_chars: int = 100,
+                min_tokens: int = 20, min_quality: float = 0.6,
+                max_punct: float = 0.1) -> DataFrame:
+    """Filter-funnel observability: how many documents survive each
+    successive quality gate (chars -> tokens -> quality -> punct) —
+    the per-stage report a corpus-curation job logs.  All gates are
+    per-row predicates, so the whole funnel is ONE scan with
+    conditional-sum aggregates (never one pass per gate).
+
+    Output: (gate:int, gate_name, n_surviving) with gate 0 = input.
+    """
+    from .text import with_quality_score
+
+    q = with_quality_score(docs)
+    g1 = F.col("n_chars_calc") >= min_chars
+    g2 = F.col("n_tokens") >= min_tokens
+    g3 = F.col("quality_score") >= min_quality
+    g4 = F.col("punct_ratio") <= max_punct
+    chain = [
+        ("input", F.lit(True)),
+        ("min_chars", g1),
+        ("min_tokens", g1 & g2),
+        ("min_quality", g1 & g2 & g3),
+        ("max_punct", g1 & g2 & g3 & g4),
+    ]
+    row = q.agg(*[
+        F.sum(c.cast("long")).alias(f"_g{i}")
+        for i, (_, c) in enumerate(chain)
+    ])
+    packed = F.array(*[
+        F.struct(
+            F.lit(i).cast("int").alias("gate"),
+            F.lit(name).alias("gate_name"),
+            F.col(f"_g{i}").alias("n_surviving"),
+        )
+        for i, (name, _) in enumerate(chain)
+    ])
+    return row.select(F.explode(packed).alias("p")).select("p.*")

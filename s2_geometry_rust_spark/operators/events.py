@@ -380,3 +380,25 @@ def rolling_anomalies(events: DataFrame, window_rows: int = 24,
         (dev * dev > F.lit(float(z2_threshold)) * F.col("_var"))
         .alias("is_anomaly"),
     )
+
+
+def event_transitions(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      type_col: str = "event_type") -> DataFrame:
+    """Per-user event-type transition (Markov) counts: consecutive
+    event pairs in (ts, event_id) order — the behavioral-flow twin of
+    the geospatial tile_transitions.  ONE shuffle on user feeds the
+    lag window; the transition count is a second tiny shuffle.
+
+    Output: (from_type, to_type, n_transitions).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    d = events.withColumn("_prev", F.lag(type_col).over(w))
+    return (
+        d.filter(F.col("_prev").isNotNull())
+        .groupBy(F.col("_prev").alias("from_type"),
+                 F.col(type_col).alias("to_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )

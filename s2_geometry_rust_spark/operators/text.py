@@ -396,3 +396,23 @@ def pack_sequences(docs: DataFrame, capacity: int = 256,
         (hi - lo).cast("long").alias("len_in_bin"),
         "n_tokens",
     )
+
+
+def quality_histogram(docs: DataFrame, buckets: int = 10) -> DataFrame:
+    """Quality-score distribution per source: bucket =
+    floor(quality * buckets) clamped to [0, buckets] — the curation
+    dashboard histogram.  The quality doubles are identical expression
+    trees in any IEEE engine, so even the bucket-edge rows land
+    identically; one scan, one shuffle.
+
+    Output: (source, bucket:int, n_docs).
+    """
+    q = with_quality_score(docs)
+    b = F.least(
+        F.greatest(F.floor(F.col("quality_score") * buckets), F.lit(0)),
+        F.lit(buckets),
+    ).cast("int")
+    return (
+        q.groupBy("source", b.alias("bucket"))
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -4361,3 +4361,81 @@ FROM dots d
 JOIN norms na ON na.label = d.label_a
 JOIN norms nb ON nb.label = d.label_b
 """
+
+
+_QUALITY_M_CTE = r"""
+t AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+         length(text) AS n_chars_calc
+  FROM documents
+), m AS (
+  SELECT doc_id, source, n_chars_calc, len(toks) AS n_tokens,
+         len(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) AS n_stop,
+         n_chars_calc - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+  FROM t
+), scored AS (
+  SELECT doc_id, source, n_chars_calc, n_tokens,
+         CASE WHEN n_chars_calc > 0 THEN n_punct::DOUBLE / n_chars_calc ELSE 0.0 END AS punct_ratio,
+         LEAST(n_tokens::DOUBLE / 32.0, 1.0) * 0.5
+         + LEAST((CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END) * 4.0, 1.0) * 0.3
+         + (1.0 - LEAST((CASE WHEN n_chars_calc > 0 THEN n_punct::DOUBLE / n_chars_calc ELSE 0.0 END) * 4.0, 1.0)) * 0.2
+           AS quality_score
+  FROM m
+)"""
+
+
+def gate_funnel_sql(min_chars: int = 100, min_tokens: int = 20,
+                    min_quality: float = 0.6,
+                    max_punct: float = 0.1) -> str:
+    """Mirror of corpus.gate_funnel: one scan, conditional sums over
+    the identical quality expression trees."""
+    g1 = f"n_chars_calc >= {int(min_chars)}"
+    g2 = f"n_tokens >= {int(min_tokens)}"
+    g3 = f"quality_score >= {min_quality!r}::DOUBLE"
+    g4 = f"punct_ratio <= {max_punct!r}::DOUBLE"
+    return f"""
+WITH {_QUALITY_M_CTE},
+agg AS (
+  SELECT count(*) AS g0,
+         CAST(sum(CASE WHEN {g1} THEN 1 ELSE 0 END) AS BIGINT) AS g1,
+         CAST(sum(CASE WHEN {g1} AND {g2} THEN 1 ELSE 0 END) AS BIGINT) AS g2,
+         CAST(sum(CASE WHEN {g1} AND {g2} AND {g3} THEN 1 ELSE 0 END) AS BIGINT) AS g3,
+         CAST(sum(CASE WHEN {g1} AND {g2} AND {g3} AND {g4} THEN 1 ELSE 0 END) AS BIGINT) AS g4
+  FROM scored
+)
+SELECT 0 AS gate, 'input' AS gate_name, g0 AS n_surviving FROM agg
+UNION ALL SELECT 1, 'min_chars', g1 FROM agg
+UNION ALL SELECT 2, 'min_tokens', g2 FROM agg
+UNION ALL SELECT 3, 'min_quality', g3 FROM agg
+UNION ALL SELECT 4, 'max_punct', g4 FROM agg
+"""
+
+
+def event_transitions_sql() -> str:
+    """Mirror of events.event_transitions."""
+    return """
+WITH lagged AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT prev AS from_type, event_type AS to_type,
+       count(*) AS n_transitions
+FROM lagged WHERE prev IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def quality_histogram_sql(buckets: int = 10) -> str:
+    """Mirror of text.quality_histogram (identical quality trees, so
+    even bucket-edge rows land identically)."""
+    b = int(buckets)
+    return f"""
+WITH {_QUALITY_M_CTE}
+SELECT source,
+       CAST(LEAST(GREATEST(floor(quality_score * {b}), 0), {b}) AS INT)
+         AS bucket,
+       count(*) AS n_docs
+FROM scored GROUP BY 1, 2
+"""

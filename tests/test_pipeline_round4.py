@@ -834,3 +834,59 @@ def test_label_similarity_semantics(spark):
     assert got[(0, 2)]["cos_nano"] == 0 and got[(1, 2)]["cos_nano"] == 0
     assert got[(0, 2)]["dot"] == 0
     assert isinstance(got[(0, 1)]["dot"], int)
+
+
+def test_gate_funnel_monotone_and_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "x" * 200),                                     # no tokens gate? one long token
+            (2, " ".join(["the"] * 40)),                        # high stopword, long
+            (3, "short"),
+            (4, " ".join(f"w{i}" for i in range(50)) + " the of a and to in" * 3),
+        ],
+        ["doc_id", "text"],
+    )
+    from s2_geometry_rust_spark.operators.corpus import gate_funnel
+
+    got = {r["gate"]: r for r in gate_funnel(docs).collect()}
+    assert got[0]["n_surviving"] == 4
+    # survivors monotonically decrease
+    for g in range(1, 5):
+        assert got[g]["n_surviving"] <= got[g - 1]["n_surviving"]
+    assert [got[g]["gate_name"] for g in range(5)] == [
+        "input", "min_chars", "min_tokens", "min_quality", "max_punct"
+    ]
+
+
+def test_event_transitions_planted(spark):
+    import datetime
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = [
+        (1, 10, t0, "view"), (2, 10, t0.replace(minute=1), "click"),
+        (3, 10, t0.replace(minute=2), "view"),
+        (4, 20, t0, "view"), (5, 20, t0.replace(minute=5), "click"),
+        (6, 30, t0, "purchase"),   # single event: no transition
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    from s2_geometry_rust_spark.operators.events import event_transitions
+
+    got = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in event_transitions(df).collect()
+    }
+    assert got == {("view", "click"): 2, ("click", "view"): 1}
+
+
+def test_quality_histogram_conserves_and_buckets(spark):
+    from s2_geometry_rust_spark.operators.text import quality_histogram
+
+    docs = spark.createDataFrame(
+        [(i, "src%d" % (i % 2), "word " * (i + 1)) for i in range(20)],
+        ["doc_id", "source", "text"],
+    )
+    got = quality_histogram(docs).collect()
+    assert sum(r["n_docs"] for r in got) == 20
+    assert all(0 <= r["bucket"] <= 10 for r in got)
