@@ -1704,6 +1704,62 @@ def quality_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_histogram(docs)
 
 
+def tile_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-domain rollup: per level-6 tile, document count and the
+    exact micro-scaled quality-score sum (geo spans -> Hilbert tile,
+    joined to the quality trees) — the map layer a curation dashboard
+    renders."""
+    from .operators.text import with_quality_score
+    from .sources import extract_geo_points, interleave_flat_documents
+
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = extract_geo_points(interleave_flat_documents(flat)).withColumn(
+        "_id", F.regexp_extract("doc_id", r"(\d+)", 1).cast("long")
+    )
+    q = with_quality_score(flat).select(
+        F.col("doc_id").alias("_id"),
+        F.round(F.col("quality_score") * 1e6, 0).cast("long")
+        .alias("_q_micro"),
+    )
+    return (
+        pts.join(q, "_id")
+        .withColumn("tile_id", cell_parent("cell_id", 6))
+        .groupBy("tile_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_q_micro").cast("long").alias("quality_micro_sum"),
+        )
+        .select(
+            "tile_id", cell_token("tile_id").alias("tile_token"),
+            "n_docs", "quality_micro_sum",
+        )
+    )
+
+
+def source_bbox_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source geographic bounding box over the documents' geo
+    spans — min/max of identical doubles, exact in any engine (the
+    span_sequences query already proves the lat/lng bits match)."""
+    from .sources import extract_geo_points, interleave_flat_documents
+
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = extract_geo_points(interleave_flat_documents(flat)).withColumn(
+        "_id", F.regexp_extract("doc_id", r"(\d+)", 1).cast("long")
+    )
+    src = flat.select(F.col("doc_id").alias("_id"), "source")
+    return (
+        pts.join(src, "_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_geo"),
+            F.min("lat").alias("min_lat"),
+            F.max("lat").alias("max_lat"),
+            F.min("lng").alias("min_lng"),
+            F.max("lng").alias("max_lng"),
+        )
+    )
+
+
 QUERIES = {
     "leaf_assign": leaf_assign,
     "tile_counts_l8": tile_counts_l8,
@@ -1803,6 +1859,8 @@ QUERIES = {
     "gate_funnel": gate_funnel_q,
     "event_transitions": event_transitions_q,
     "quality_histogram": quality_histogram_q,
+    "tile_quality": tile_quality_q,
+    "source_bbox": source_bbox_q,
 }
 
 ORACLES = {
@@ -1908,4 +1966,6 @@ ORACLES = {
     "gate_funnel": oracle.gate_funnel_sql(),
     "event_transitions": oracle.event_transitions_sql(),
     "quality_histogram": oracle.quality_histogram_sql(10),
+    "tile_quality": oracle.tile_quality_sql(6),
+    "source_bbox": oracle.source_bbox_sql(),
 }

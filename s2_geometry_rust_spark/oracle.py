@@ -4439,3 +4439,43 @@ SELECT source,
        count(*) AS n_docs
 FROM scored GROUP BY 1, 2
 """
+
+
+def tile_quality_sql(level: int = 6, seed: int = 42) -> str:
+    """Mirror of tile_quality_q: geo synthesis -> SQL Hilbert tile,
+    joined to the quality CTE, exact micro-scaled sums."""
+    points_sql = "SELECT id AS point_id, px AS x, py AS y, pz AS z FROM p"
+    tile = parent_sql("cell_id", level)
+    return (
+        f"WITH lut(idx, r) AS (VALUES {lookup_pos_sql_values()}),\n"
+        + _geo_synth_ctes(seed)
+        + ","
+        + _hilbert_chain(points_sql, "")
+        + f""",
+tiles AS (SELECT point_id, {tile} AS tile_id FROM leaf),
+{_QUALITY_M_CTE}
+SELECT t.tile_id, {token_sql('t.tile_id')} AS tile_token,
+       count(*) AS n_docs,
+       CAST(sum(CAST(round(s.quality_score * 1e6, 0) AS BIGINT))
+            AS BIGINT) AS quality_micro_sum
+FROM tiles t JOIN scored s ON s.doc_id = t.point_id
+GROUP BY 1, 2
+"""
+    )
+
+
+def source_bbox_sql(seed: int = 42) -> str:
+    """Mirror of source_bbox_q: the geo-synthesis lat/lng doubles
+    grouped by the document's source — pure min/max."""
+    return (
+        "WITH "
+        + _geo_synth_ctes(seed)
+        + """,
+src AS (SELECT doc_id AS id, source FROM documents)
+SELECT s.source, count(*) AS n_geo,
+       min(ll.lat) AS min_lat, max(ll.lat) AS max_lat,
+       min(ll.lng) AS min_lng, max(ll.lng) AS max_lng
+FROM ll JOIN src s ON s.id = ll.id
+GROUP BY 1
+"""
+    )

@@ -890,3 +890,26 @@ def test_quality_histogram_conserves_and_buckets(spark):
     got = quality_histogram(docs).collect()
     assert sum(r["n_docs"] for r in got) == 20
     assert all(0 <= r["bucket"] <= 10 for r in got)
+
+
+def test_tile_quality_conserves_docs(spark):
+    from s2_geometry_rust_spark.engine_queries import tile_quality_q
+
+    sf = "/root/testdata/sf0.001"
+    got = tile_quality_q(spark, sf)
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    agg = got.agg(F.sum("n_docs"), F.min("quality_micro_sum")).collect()[0]
+    assert agg[0] == n_docs
+    assert agg[1] >= 0
+
+
+def test_source_bbox_bounds_sane(spark):
+    from s2_geometry_rust_spark.engine_queries import source_bbox_q
+
+    sf = "/root/testdata/sf0.001"
+    rows = source_bbox_q(spark, sf).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert -90 <= r["min_lat"] <= r["max_lat"] <= 90
+        assert -180 <= r["min_lng"] <= r["max_lng"] <= 180
+        assert r["n_geo"] > 0
