@@ -181,6 +181,9 @@ def main() -> None:
         "colocated_pairs", "span_sequences", "tile_pagerank",
         "haversine_pairs", "corpus_mix", "rolling_anomalies",
         "vocab_topk_per_lang", "profile_documents", "geohash_tiles",
+        "hilbert_partition_stats", "label_similarity", "gate_funnel",
+        "event_transitions", "quality_histogram", "tile_quality",
+        "source_bbox",
     ]
     # steady-state protocol: min of 2 runs per query — the first run pays
     # one-time per-query costs (whole-stage-codegen JIT, Arrow worker
