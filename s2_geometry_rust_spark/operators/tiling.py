@@ -257,7 +257,8 @@ def hex_focal_counts(points: DataFrame, res: int = 2,
 def colocated_pairs(points: DataFrame, level: int = 6,
                     min_shared: int = 2,
                     traj_col: str = "traj_id",
-                    cell_col: str = "cell_id") -> DataFrame:
+                    cell_col: str = "cell_id",
+                    max_per_tile: int | None = None) -> DataFrame:
     """Co-location mining: pairs of trajectories that visit at least
     ``min_shared`` distinct tiles in common — the co-visitation /
     contact-graph primitive.
@@ -269,13 +270,34 @@ def colocated_pairs(points: DataFrame, level: int = 6,
     hot tiles (plans/salting.py is the explicit backstop).  The pair
     count is a final groupBy with map-side partials.
 
+    ``max_per_tile`` (opt-in) is the hot-tile guard for planet-scale
+    runs: tiles hotter than the cap keep only their ``max_per_tile``
+    deterministic md5-order trajectories (a fixed uniform subsample of
+    the tile's visitors), bounding the worst tile's fan-out at
+    cap^2/2 instead of hot^2/2.  The truncation is documented LOSS —
+    pairs whose ONLY shared tiles are capped hot tiles may be missed —
+    which is the standard trade in co-location mining (a stadium tile
+    asserts little about pairwise affinity anyway).  Deterministic, so
+    capped results are still reproducible run-to-run.
+
     Output: (traj_a, traj_b, n_shared_tiles) with traj_a < traj_b.
     """
+    from pyspark.sql import Window
+
     t = (
         with_tile(points, level, cell_col)
         .select(F.col(traj_col).alias("_t"), "tile_id")
         .distinct()
     )
+    if max_per_tile is not None:
+        w = Window.partitionBy("tile_id").orderBy(
+            F.md5(F.col("_t").cast("string")), F.col("_t")
+        )
+        t = (
+            t.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= max_per_tile)
+            .drop("_r")
+        )
     a = t.select(F.col("_t").alias("traj_a"), "tile_id")
     b = t.select(F.col("_t").alias("traj_b"), "tile_id")
     return (

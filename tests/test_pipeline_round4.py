@@ -913,3 +913,40 @@ def test_source_bbox_bounds_sane(spark):
         assert -90 <= r["min_lat"] <= r["max_lat"] <= 90
         assert -180 <= r["min_lng"] <= r["max_lng"] <= 180
         assert r["n_geo"] > 0
+
+
+def test_colocated_pairs_hot_tile_cap(spark):
+    """The opt-in hot-tile cap keeps only a deterministic subset of a
+    hot tile's visitors; uncapped tiles are unaffected, and results
+    are identical across runs."""
+    import hashlib
+
+    from s2_geometry_rust_spark.operators.tiling import colocated_pairs
+
+    t = lambda face: (face << 60) | 1  # noqa: E731
+    rows = []
+    # hot tile: 20 trajectories all visit face 0
+    for i in range(20):
+        rows.append((i, 0, t(0)))
+    # cold pair: trajs 100/101 share faces 1 and 2
+    rows += [(100, 0, t(1)), (100, 1, t(2)),
+             (101, 0, t(1)), (101, 1, t(2))]
+    df = spark.createDataFrame(rows, "traj_id long, seq long, cell_id long")
+
+    capped = colocated_pairs(df, level=2, min_shared=1, max_per_tile=5)
+    got = {(r["traj_a"], r["traj_b"]) for r in capped.collect()}
+    # cold pair always survives
+    assert (100, 101) in got
+    # hot-tile pairs come only from the 5 md5-smallest trajectories
+    keep = sorted(range(20), key=lambda i: (hashlib.md5(
+        str(i).encode()).hexdigest(), i))[:5]
+    hot_pairs = {p for p in got if p != (100, 101)}
+    want = {(a, b) for a in keep for b in keep if a < b}
+    assert hot_pairs == want
+    # determinism: a second run returns the identical set
+    again = {
+        (r["traj_a"], r["traj_b"])
+        for r in colocated_pairs(df, level=2, min_shared=1,
+                                 max_per_tile=5).collect()
+    }
+    assert again == got
