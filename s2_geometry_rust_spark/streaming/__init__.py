@@ -15,3 +15,4 @@ from .tiles import (  # noqa: F401
 )
 from .spatial import streaming_point_in_region  # noqa: F401
 from .stateful import stateful_tile_counts  # noqa: F401
+from .geofence import streaming_tile_transitions  # noqa: F401

@@ -411,3 +411,79 @@ def test_streaming_webmerc_matches_batch(spark, tmp_path):
     assert len(merged) == len(want) > 0
     for k, n in merged.items():
         assert want.get(k, 0) == n
+
+
+def test_streaming_geofence_cross_batch_state(spark, tmp_path):
+    """Tile crossings spanning two micro-batches are caught through
+    per-trajectory state; the emitted rows equal the batch lag
+    computation exactly."""
+    import numpy as np
+
+    from s2_geometry_rust_spark.functions import (
+        cell_id_from_latlng_deg,
+        cell_parent,
+    )
+    from s2_geometry_rust_spark.streaming import streaming_tile_transitions
+    from pyspark.sql import Window
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for tid in range(12):
+        for seq in range(8):
+            rows.append((tid, seq,
+                         float(rng.uniform(-60, 60)),
+                         float(rng.uniform(-170, 170))))
+    df = spark.createDataFrame(
+        rows, "traj_id long, seq long, lat double, lng double"
+    )
+    src = str(tmp_path / "gf_src")
+    # two files -> two micro-batches with maxFilesPerTrigger=1; the
+    # crossing between seq 3 and seq 4 is only visible through state
+    df.filter(F.col("seq") <= 3).coalesce(1).write.parquet(src)
+    # FileStreamSource orders batches by modification time; a >=1s gap
+    # pins the two files into two ordered micro-batches on any fs
+    import time as _time
+
+    _time.sleep(1.1)
+    df.filter(F.col("seq") > 3).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_tile_transitions(stream, level=4)
+    cp = str(tmp_path / "gf_cp")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("gf_stream")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r) for r in spark.sql(
+            "SELECT traj_id, seq, from_tile, to_tile FROM gf_stream"
+        ).collect()
+    }
+    # batch ground truth: lag over the same tile chain
+    tiled = df.withColumn(
+        "tile", cell_parent(cell_id_from_latlng_deg("lat", "lng"), 4)
+    )
+    w = Window.partitionBy("traj_id").orderBy("seq")
+    want = {
+        tuple(r) for r in tiled
+        .withColumn("prev", F.lag("tile").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("tile")))
+        .select("traj_id", "seq", F.col("prev").alias("from_tile"),
+                F.col("tile").alias("to_tile"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    # the cross-batch boundary (seq==4 crossings) must be present when
+    # the batch twin says the tile changed there
+    boundary = {t for t in want if t[1] == 4}
+    assert boundary <= got
