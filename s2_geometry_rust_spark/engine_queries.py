@@ -1512,11 +1512,16 @@ def span_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full span sequence (kind, text, media_ref, order) of every
     interleaved document, emitted span-by-span and oracled against an
     independent SQL replay of the synthesis.  Text content is checked
-    by md5, geo content by the exact parse-back doubles (the POINT
-    round-trip is IEEE-exact), media by the ref; offsets are checked
-    for the text/geo spans (the media offset embeds the Python
-    repr-length of the geo doubles, which no SQL engine reproduces
-    byte-for-byte — documented gap, covered by pytest instead)."""
+    by md5, geo content by the parse-back coordinates emitted as
+    MICRO-DEGREE integers: the parse itself is IEEE-exact, but the
+    upstream synthesis trig differs from the SQL oracle's libm by
+    ~1 ulp on a few rows — raw doubles would fail an exact hash
+    compare, while at 1e-6 a flip needs a value within 1.4e-14 of a
+    rounding boundary.  Media is checked by the ref; offsets for the
+    text/geo spans (the media offset embeds the Python repr-length of
+    the geo doubles, which no SQL engine reproduces byte-for-byte —
+    documented gap, covered by pytest instead; coalesced to -1 so no
+    column carries NULLs)."""
     from .sources import interleave_flat_documents
     from .sources.spans import _POINT_RE, explode_spans
 
@@ -1530,12 +1535,21 @@ def span_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("kind") == "text", F.md5(F.coalesce("text", F.lit(""))))
         .otherwise(F.lit("")).alias("text_md5"),
         "media_ref",
-        F.when(is_geo, F.regexp_extract("text", _POINT_RE, 1).cast("double"))
-        .alias("lat"),
-        F.when(is_geo, F.regexp_extract("text", _POINT_RE, 2).cast("double"))
-        .alias("lng"),
-        F.when(F.col("span_idx") <= 1, F.col("offset")).cast("int")
-        .alias("offset01"),
+        F.coalesce(
+            F.when(is_geo, F.round(
+                F.regexp_extract("text", _POINT_RE, 1).cast("double") * 1e6,
+                0)),
+            F.lit(0.0),
+        ).cast("long").alias("lat_micro"),
+        F.coalesce(
+            F.when(is_geo, F.round(
+                F.regexp_extract("text", _POINT_RE, 2).cast("double") * 1e6,
+                0)),
+            F.lit(0.0),
+        ).cast("long").alias("lng_micro"),
+        F.coalesce(
+            F.when(F.col("span_idx") <= 1, F.col("offset")), F.lit(-1)
+        ).cast("int").alias("offset01"),
     )
 
 
@@ -1738,8 +1752,12 @@ def tile_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def source_bbox_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source geographic bounding box over the documents' geo
-    spans — min/max of identical doubles, exact in any engine (the
-    span_sequences query already proves the lat/lng bits match)."""
+    spans.  Bounds are emitted as micro-degree integers: the engine's
+    coordinates come from the synthesis trig, the oracle's from
+    DuckDB's libm, and the two differ by ~1 ulp on a few rows — raw
+    min/max doubles would fail an exact hash compare (min/max row
+    CHOICE is stable, distinct coordinates are far apart; only the
+    emitted bits drift)."""
     from .sources import extract_geo_points, interleave_flat_documents
 
     flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1747,15 +1765,19 @@ def source_bbox_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_id", F.regexp_extract("doc_id", r"(\d+)", 1).cast("long")
     )
     src = flat.select(F.col("doc_id").alias("_id"), "source")
+
+    def micro(c: F.Column) -> F.Column:
+        return F.round(c * 1e6, 0).cast("long")
+
     return (
         pts.join(src, "_id")
         .groupBy("source")
         .agg(
             F.count("*").alias("n_geo"),
-            F.min("lat").alias("min_lat"),
-            F.max("lat").alias("max_lat"),
-            F.min("lng").alias("min_lng"),
-            F.max("lng").alias("max_lng"),
+            micro(F.min("lat")).alias("min_lat_micro"),
+            micro(F.max("lat")).alias("max_lat_micro"),
+            micro(F.min("lng")).alias("min_lng_micro"),
+            micro(F.max("lng")).alias("max_lng_micro"),
         )
     )
 

@@ -4031,18 +4031,19 @@ base AS (
 )
 SELECT did AS doc_id, CAST(0 AS INT) AS span_idx, 'text' AS kind,
        md5(text) AS text_md5, '' AS media_ref,
-       CAST(NULL AS DOUBLE) AS lat, CAST(NULL AS DOUBLE) AS lng,
+       CAST(0 AS BIGINT) AS lat_micro, CAST(0 AS BIGINT) AS lng_micro,
        CAST(0 AS INT) AS offset01
 FROM base
 UNION ALL
 SELECT b.did, CAST(1 AS INT), 'geo', '', '',
-       ll.lat, ll.lng,
+       CAST(round(ll.lat * 1e6, 0) AS BIGINT),
+       CAST(round(ll.lng * 1e6, 0) AS BIGINT),
        CAST(greatest(length(b.text), 1) AS INT)
 FROM base b JOIN ll ON ll.id = b.id
 UNION ALL
 SELECT did, CAST(2 AS INT), 'media', '',
        'media://' || lpad(lower(to_hex(id)), 10, '0'),
-       NULL, NULL, CAST(NULL AS INT)
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(-1 AS INT)
 FROM base
 """
 
@@ -4473,8 +4474,10 @@ def source_bbox_sql(seed: int = 42) -> str:
         + """,
 src AS (SELECT doc_id AS id, source FROM documents)
 SELECT s.source, count(*) AS n_geo,
-       min(ll.lat) AS min_lat, max(ll.lat) AS max_lat,
-       min(ll.lng) AS min_lng, max(ll.lng) AS max_lng
+       CAST(round(min(ll.lat) * 1e6, 0) AS BIGINT) AS min_lat_micro,
+       CAST(round(max(ll.lat) * 1e6, 0) AS BIGINT) AS max_lat_micro,
+       CAST(round(min(ll.lng) * 1e6, 0) AS BIGINT) AS min_lng_micro,
+       CAST(round(max(ll.lng) * 1e6, 0) AS BIGINT) AS max_lng_micro
 FROM ll JOIN src s ON s.id = ll.id
 GROUP BY 1
 """

