@@ -88,7 +88,13 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None) -> int:
         ok_vals = False
         if ok_rows and ok_cols:
             try:
-                pd.testing.assert_frame_equal(g, w, check_dtype=False)
+                # check_exact: the driver hashes VALUES — a float that
+                # differs in the last ulp is a red row there, so the
+                # local gate must be bit-strict too (a tolerant compare
+                # hid exactly such a drift in two geo queries once)
+                pd.testing.assert_frame_equal(
+                    g, w, check_dtype=False, check_exact=True
+                )
                 ok_vals = True
             except AssertionError as ex:
                 print(str(ex)[:500])

@@ -36,7 +36,9 @@ def main(*names: str) -> int:
         ok = (len(g) == len(w)) and (list(g.columns) == list(w.columns))
         if ok:
             try:
-                pd.testing.assert_frame_equal(g, w, check_dtype=False)
+                pd.testing.assert_frame_equal(
+                    g, w, check_dtype=False, check_exact=True
+                )
             except AssertionError as ex:
                 ok = False
                 print(str(ex)[:800])
