@@ -1782,57 +1782,15 @@ def source_bbox_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+"""Registration order note (round 4): the driver's CORRECTNESS gate
+checks only the FIRST 50 entries of this dict.  Rounds 1-3 drove the
+original first-50 green (CORRECTNESS_r03.json); round 4 rotates the
+never-driver-checked second half (session_stats .. source_bbox) into
+the 50-slot window so every query lands in a driver artifact.  The
+previously-green 50 now sit at positions 51+; new round-4 queries
+register at the very end (round-5 window candidates)."""
+
 QUERIES = {
-    "leaf_assign": leaf_assign,
-    "tile_counts_l8": tile_counts_l8,
-    "tile_counts_l12": tile_counts_l12,
-    "face_counts": face_counts,
-    "point_in_rect": point_in_rect,
-    "distance_join_chord": distance_join_chord,
-    "knn_brute": knn_brute,
-    "dedup_exact": dedup_exact_q,
-    "token_counts": token_counts_q,
-    "bpe_token_counts": bpe_token_counts_q,
-    "text_quality": text_quality_q,
-    "lang_id": lang_id_q,
-    "union_leaf_cells": union_leaf_cells_q,
-    "union_normalize": union_normalize_q,
-    "union_intersect": union_intersect_q,
-    "union_difference": union_difference_q,
-    "union_expand": union_expand_q,
-    "raster_join": raster_join_q,
-    "tile_counts_salted": tile_counts_salted_q,
-    "doc_embedding_join": doc_embedding_join_q,
-    "events_hourly": events_hourly_q,
-    "fingerprints": fingerprints_q,
-    "simhash": simhash_q,
-    "covering_cells": covering_cells_q,
-    "covering_cells_cons": covering_cells_cons_q,
-    "point_in_region": point_in_region_q,
-    "knn_cell_ring": knn_cell_ring_q,
-    "near_dup_pairs": near_dup_pairs_q,
-    "ngram_jaccard": ngram_jaccard_q,
-    "asof_last_error": asof_last_error_q,
-    "range_join_windows": range_join_windows_q,
-    "events_rollup": events_rollup_q,
-    "ann_pq": ann_pq_q,
-    "dedup_clusters": dedup_clusters_q,
-    "corpus_filter": corpus_filter_q,
-    "ann_cosine": ann_cosine_q,
-    "ann_ivf": ann_ivf_q,
-    "ann_lsh": ann_lsh_q,
-    "builder_graph": builder_graph_q,
-    "point_in_polygon": point_in_polygon_q,
-    "chain_crossing_pairs": chain_crossing_pairs_q,
-    "emb_near_dup": emb_near_dup_q,
-    "media_features": media_features_q,
-    "loop_stats": loop_stats_q,
-    "edge_crossings": edge_crossings_q,
-    "polyline_crossings": polyline_crossings_q,
-    "polyline_stats": polyline_stats_q,
-    "chain_crossings": chain_crossings_q,
-    "union_areas": union_areas_q,
-    "repetition_stats": repetition_stats_q,
     "session_stats": session_stats_q,
     "stratified_sample": stratified_sample_q,
     "vocab_topk": vocab_topk_q,
@@ -1883,6 +1841,57 @@ QUERIES = {
     "quality_histogram": quality_histogram_q,
     "tile_quality": tile_quality_q,
     "source_bbox": source_bbox_q,
+    # --- r1-r3 driver-green block (CORRECTNESS_r03.json) ---
+    "leaf_assign": leaf_assign,
+    "tile_counts_l8": tile_counts_l8,
+    "tile_counts_l12": tile_counts_l12,
+    "face_counts": face_counts,
+    "point_in_rect": point_in_rect,
+    "distance_join_chord": distance_join_chord,
+    "knn_brute": knn_brute,
+    "dedup_exact": dedup_exact_q,
+    "token_counts": token_counts_q,
+    "bpe_token_counts": bpe_token_counts_q,
+    "text_quality": text_quality_q,
+    "lang_id": lang_id_q,
+    "union_leaf_cells": union_leaf_cells_q,
+    "union_normalize": union_normalize_q,
+    "union_intersect": union_intersect_q,
+    "union_difference": union_difference_q,
+    "union_expand": union_expand_q,
+    "raster_join": raster_join_q,
+    "tile_counts_salted": tile_counts_salted_q,
+    "doc_embedding_join": doc_embedding_join_q,
+    "events_hourly": events_hourly_q,
+    "fingerprints": fingerprints_q,
+    "simhash": simhash_q,
+    "covering_cells": covering_cells_q,
+    "covering_cells_cons": covering_cells_cons_q,
+    "point_in_region": point_in_region_q,
+    "knn_cell_ring": knn_cell_ring_q,
+    "near_dup_pairs": near_dup_pairs_q,
+    "ngram_jaccard": ngram_jaccard_q,
+    "asof_last_error": asof_last_error_q,
+    "range_join_windows": range_join_windows_q,
+    "events_rollup": events_rollup_q,
+    "ann_pq": ann_pq_q,
+    "dedup_clusters": dedup_clusters_q,
+    "corpus_filter": corpus_filter_q,
+    "ann_cosine": ann_cosine_q,
+    "ann_ivf": ann_ivf_q,
+    "ann_lsh": ann_lsh_q,
+    "builder_graph": builder_graph_q,
+    "point_in_polygon": point_in_polygon_q,
+    "chain_crossing_pairs": chain_crossing_pairs_q,
+    "emb_near_dup": emb_near_dup_q,
+    "media_features": media_features_q,
+    "loop_stats": loop_stats_q,
+    "edge_crossings": edge_crossings_q,
+    "polyline_crossings": polyline_crossings_q,
+    "polyline_stats": polyline_stats_q,
+    "chain_crossings": chain_crossings_q,
+    "union_areas": union_areas_q,
+    "repetition_stats": repetition_stats_q,
 }
 
 ORACLES = {
