@@ -4420,7 +4420,7 @@ WITH lagged AS (
   SELECT event_type,
          lag(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS prev
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT prev AS from_type, event_type AS to_type,
        count(*) AS n_transitions
