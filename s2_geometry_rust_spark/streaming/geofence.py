@@ -62,8 +62,17 @@ def streaming_tile_transitions(fix_stream: DataFrame,
         else:
             last_tile, last_seq = None, None
         out: list[tuple[int, int, int, int]] = []
-        for pdf in pdfs:
-            for r in pdf.sort_values("seq").itertuples(index=False):
+        # applyInPandasWithState delivers a large group as MULTIPLE
+        # unordered Arrow chunks; sorting per chunk would let a
+        # lower-seq fix in a later chunk hit the staleness guard and
+        # be dropped.  Concatenate the whole group, sort once.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        batch = (
+            pd.concat(chunks, ignore_index=True) if len(chunks) > 1
+            else (chunks[0] if chunks else None)
+        )
+        if batch is not None:
+            for r in batch.sort_values("seq").itertuples(index=False):
                 if last_seq is not None and r.seq <= last_seq:
                     continue
                 if last_tile is not None and r.tile != last_tile:

@@ -487,3 +487,67 @@ def test_streaming_geofence_cross_batch_state(spark, tmp_path):
     # the batch twin says the tile changed there
     boundary = {t for t in want if t[1] == 4}
     assert boundary <= got
+
+def test_streaming_geofence_multichunk_group(spark, tmp_path):
+    """A single large group is delivered to applyInPandasWithState as
+    MULTIPLE Arrow chunks; fixes written in descending-seq order land
+    later seqs in earlier chunks, so a per-chunk sort (the r3 bug)
+    would drop every later chunk via the staleness guard.  The fold
+    must concatenate chunks before sorting."""
+    import numpy as np
+
+    from s2_geometry_rust_spark.functions import (
+        cell_id_from_latlng_deg,
+        cell_parent,
+    )
+    from s2_geometry_rust_spark.streaming import streaming_tile_transitions
+    from pyspark.sql import Window
+
+    rng = np.random.default_rng(7)
+    n = 600
+    rows = [
+        (1, seq, float(rng.uniform(-60, 60)), float(rng.uniform(-170, 170)))
+        for seq in range(n)
+    ]
+    rows.reverse()  # descending seq in file order
+    df = spark.createDataFrame(
+        rows, "traj_id long, seq long, lat double, lng double"
+    )
+    src = str(tmp_path / "gfm_src")
+    df.coalesce(1).write.parquet(src)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        out = streaming_tile_transitions(stream, level=4)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("gfm_stream")
+            .option("checkpointLocation", str(tmp_path / "gfm_cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    got = {
+        tuple(r) for r in spark.sql(
+            "SELECT traj_id, seq, from_tile, to_tile FROM gfm_stream"
+        ).collect()
+    }
+    tiled = df.withColumn(
+        "tile", cell_parent(cell_id_from_latlng_deg("lat", "lng"), 4)
+    )
+    w = Window.partitionBy("traj_id").orderBy("seq")
+    want = {
+        tuple(r) for r in tiled
+        .withColumn("prev", F.lag("tile").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("tile")))
+        .select("traj_id", "seq", F.col("prev").alias("from_tile"),
+                F.col("tile").alias("to_tile"))
+        .collect()
+    }
+    assert got == want and len(got) > 200
