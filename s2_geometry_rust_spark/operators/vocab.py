@@ -242,13 +242,23 @@ def label_similarity(embs: DataFrame, label_col: str = "label",
 
     Output: (label_a, label_b, dot, cos_nano) with label_a < label_b.
     """
+    # sum_micro entries scale with group size (~n * 1e6 at unit-norm
+    # elements), so sum(sa*sb) over dims can exceed 2^63 for labels
+    # beyond a few thousand rows — long accumulation would crash the
+    # job under ANSI mode (Spark 4 default) or wrap silently without
+    # it.  Accumulate products as decimal(38,0): exact integers up to
+    # 1e38, room for ~1e10-row labels.  The emitted `dot` stays BIGINT
+    # for the contract; past int64 it becomes NULL (loud) instead of
+    # an error/garbage, while cos_nano — computed from the decimals —
+    # stays correct.
     sums = label_centroid_sums(embs, label_col, vec_col)
+    s_dec = F.col("sum_micro").cast("decimal(19,0)")
     norms = sums.groupBy(label_col).agg(
-        F.sum(F.col("sum_micro") * F.col("sum_micro")).alias("_n2")
+        F.sum(s_dec * F.col("sum_micro")).alias("_n2")
     )
     a = sums.select(
         F.col(label_col).alias("label_a"), "dim",
-        F.col("sum_micro").alias("_sa"),
+        s_dec.alias("_sa"),
     )
     b = sums.select(
         F.col(label_col).alias("label_b"), "dim",
@@ -258,15 +268,19 @@ def label_similarity(embs: DataFrame, label_col: str = "label",
         a.join(b, "dim")
         .filter(F.col("label_a") < F.col("label_b"))
         .groupBy("label_a", "label_b")
-        .agg(F.sum(F.col("_sa") * F.col("_sb")).alias("dot"))
+        .agg(F.sum(F.col("_sa") * F.col("_sb")).alias("_dot"))
     )
     na = norms.select(F.col(label_col).alias("label_a"),
                       F.col("_n2").alias("_n2a"))
     nb = norms.select(F.col(label_col).alias("label_b"),
                       F.col("_n2").alias("_n2b"))
     d = dots.join(na, "label_a").join(nb, "label_b")
-    cos = F.col("dot") / (F.sqrt(F.col("_n2a")) * F.sqrt(F.col("_n2b")))
+    cos = F.col("_dot").cast("double") / (
+        F.sqrt(F.col("_n2a").cast("double"))
+        * F.sqrt(F.col("_n2b").cast("double"))
+    )
     return d.select(
-        "label_a", "label_b", "dot",
+        "label_a", "label_b",
+        F.col("_dot").try_cast("long").alias("dot"),
         F.round(cos * 1e9, 0).cast("long").alias("cos_nano"),
     )

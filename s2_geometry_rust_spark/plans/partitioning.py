@@ -21,21 +21,28 @@ from ..functions import cell_token, unsigned_sort_key
 def _sample_prefix(rate_ppm: int) -> str:
     """Rows with md5(id) below this 32-char hex threshold are sampled:
     string < on fixed-width lowercase hex == numeric < at 8-hex-digit
-    granularity."""
+    granularity.  rate_ppm >= 1_000_000 means full rate: return a
+    sentinel that sorts after every lowercase-hex digest (a 9-digit
+    hex threshold would string-compare wrongly against 32-char md5s
+    and silently sample ~6%)."""
+    if rate_ppm >= 1_000_000:
+        return "g" * 32
     return f"{(rate_ppm * (1 << 32)) // 1_000_000:08x}" + "0" * 24
 
 
 def hilbert_range_partitions(cells: DataFrame, n_partitions: int = 16,
                              rate_ppm: int = 20_000,
-                             cell_col: str = "cell_id") -> DataFrame:
+                             cell_col: str = "cell_id",
+                             max_sample: int = 100_000) -> DataFrame:
     """Assign each row a balanced Hilbert-range partition id.
 
     1. deterministic sample: md5(cell_id as string) under the rate
        threshold (pure codegen filter, pushes to the scan);
     2. bounds = lower sample quantiles at i/n_partitions in the
-       unsigned cell-id order — the sample is rate_ppm of the input
-       (a few hundred rows at any practical rate), collected once
-       (documented small-side collect, the same thing Spark's
+       unsigned cell-id order — the sample is rate_ppm of the input,
+       deterministically re-tightened to at most ~max_sample rows
+       when the input is large, then collected once (documented
+       bounded small-side collect, the same thing Spark's
        RangePartitioner does internally);
     3. partition_id = #bounds <= key: an unrolled sum of codegen
        comparisons — no shuffle at all for the assignment itself.
@@ -48,7 +55,20 @@ def hilbert_range_partitions(cells: DataFrame, n_partitions: int = 16,
     Output: input columns + partition_id:int.
     """
     key = unsigned_sort_key(F.col(cell_col))
-    pred = F.md5(F.col(cell_col).cast("string")) < _sample_prefix(rate_ppm)
+    digest = F.md5(F.col(cell_col).cast("string"))
+    pred = digest < _sample_prefix(rate_ppm)
+    # Driver-safety cap: a fixed rate collects rate_ppm of the INPUT,
+    # which is unbounded at scale (2% of 100 TB would OOM the driver).
+    # Count the sample first (pushed-down filter + count, cheap); if it
+    # exceeds max_sample, tighten the md5 threshold proportionally.
+    # md5-prefix samples are NESTED (stricter prefix => subset), so the
+    # capped sample is still a deterministic function of the dataset —
+    # identical on any run/engine/partitioning — just at an effective
+    # rate the driver can always hold.
+    m_full = cells.filter(pred).count()
+    if m_full > max_sample:
+        eff_ppm = max(1, (rate_ppm * max_sample) // m_full)
+        pred = digest < _sample_prefix(eff_ppm)
     sample = sorted(
         r[0]
         for r in cells.filter(pred).select(key.alias("k")).collect()

@@ -954,3 +954,67 @@ def test_colocated_pairs_hot_tile_cap(spark):
                                  max_per_tile=5).collect()
     }
     assert again == got
+
+def test_hilbert_range_partitions_sample_cap(spark):
+    """The driver-side sample collect is bounded by max_sample: when
+    the rate would over-sample, the md5 threshold tightens
+    deterministically (nested prefix sample), and the result is
+    identical run-to-run and still balanced/contiguous."""
+    from s2_geometry_rust_spark.plans.partitioning import (
+        _sample_prefix,
+        hilbert_range_partitions,
+    )
+
+    # full-rate sentinel: sorts after every lowercase-hex md5
+    assert _sample_prefix(1_000_000) == "g" * 32
+    assert _sample_prefix(2_000_000) == "g" * 32
+    assert "0123456789abcdef"[-1] < "g"
+
+    rows = [((i * 2654435761) % (1 << 50),) for i in range(4000)]
+    df = spark.createDataFrame(rows, "cell_id long")
+    # rate 100% of 4000 rows but cap at 64 -> threshold tightens
+    a = hilbert_range_partitions(
+        df, n_partitions=8, rate_ppm=1_000_000, max_sample=64
+    ).collect()
+    b = hilbert_range_partitions(
+        df, n_partitions=8, rate_ppm=1_000_000, max_sample=64
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    sizes = {}
+    for r in a:
+        sizes[r["partition_id"]] = sizes.get(r["partition_id"], 0) + 1
+    assert set(sizes) == set(range(8))
+    # a ~64-row sample still balances 8 partitions within 2.5x ideal
+    assert max(sizes.values()) <= 2.5 * (4000 / 8)
+    # uncapped full-rate sample = exact quantiles for comparison
+    exact = hilbert_range_partitions(
+        df, n_partitions=8, rate_ppm=1_000_000
+    ).collect()
+    ex_sizes = {}
+    for r in exact:
+        ex_sizes[r["partition_id"]] = ex_sizes.get(r["partition_id"], 0) + 1
+    assert max(ex_sizes.values()) <= 501  # exact split of 4000/8
+
+def test_label_similarity_no_int64_wrap(spark):
+    """Dots/norms past 2^63 must not wrap silently: cos_nano stays
+    exact via decimal(38,0) accumulation, and the int64 `dot` column
+    goes NULL (loud) instead of wrapped garbage."""
+    # per-(label, dim) sum_micro = 4 * 1000.0 * 1e6 = 4e9 (fits int64);
+    # dot = (4e9)^2 = 1.6e19 > 2^63 — a long accumulator would throw
+    # under ANSI (Spark 4 default) or wrap without it
+    rows = []
+    for i in range(4):
+        rows.append((i, [1000.0, 0.0], 0))
+        rows.append((10 + i, [1000.0, 0.0], 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    from s2_geometry_rust_spark.operators.vocab import label_similarity
+
+    got = label_similarity(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    # identical distributions -> cosine exactly 1 even though the
+    # underlying dot (~1.4e38) is far beyond int64
+    assert r["cos_nano"] == 10**9
+    assert r["dot"] is None
