@@ -204,8 +204,26 @@ def _stable_shingle_hashes(texts: pd.Series, k: int) -> list[np.ndarray]:
 
 
 def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = 16,
-                        n_perm: int = 128) -> DataFrame:
-    """Band the signatures and emit candidate duplicate pairs (a < b)."""
+                        n_perm: int = 128,
+                        max_per_bucket: int | None = None) -> DataFrame:
+    """Band the signatures and emit candidate duplicate pairs (a < b).
+
+    ``max_per_bucket`` (opt-in) is the hot-bucket guard for
+    planet-scale runs: a degenerate band bucket holding B docs (an
+    identical-boilerplate flood — the classic LSH blowup) emits B^2/2
+    candidate pairs; with the cap, each (band, bucket) keeps only its
+    ``max_per_bucket`` deterministic md5-order docs, bounding the
+    worst bucket's fan-out at cap^2/2.  The truncation is documented
+    LOSS — a pair is missed only if EVERY band where the two docs
+    collide is capped and at least one of them is dropped there; with
+    identical docs (same bucket in all bands, same md5 order each
+    band) the kept subset still pairs completely among itself, so
+    boilerplate floods stay mutually-duplicate within the cap while
+    the quadratic tail is cut.  Deterministic, so capped results are
+    reproducible run-to-run (same design as
+    tiling.colocated_pairs(max_per_tile=...); tools/lsh_cap_soak.py
+    measures the worst-bucket bound and the recall delta).
+    """
     rows = n_perm // n_bands
     bands = F.explode(
         F.array(
@@ -221,6 +239,17 @@ def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = 16,
     banded = signatures.select("doc_id", bands).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
     )
+    if max_per_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+        banded = (
+            banded.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= max_per_bucket)
+            .drop("_r")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -288,11 +317,14 @@ def verify_jaccard(pairs: DataFrame, docs: DataFrame, threshold: float,
 def near_dedup_minhash(docs: DataFrame, threshold: float = 0.8,
                        id_col: str = "doc_id", text_col: str = "text",
                        n_perm: int = 128, n_bands: int = 16,
-                       shingle_k: int = 3) -> DataFrame:
+                       shingle_k: int = 3,
+                       max_per_bucket: int | None = None) -> DataFrame:
     """Full near-dup pipeline: signatures -> LSH candidates -> exact
-    Jaccard filter.  Returns (doc_a, doc_b, jaccard)."""
+    Jaccard filter.  Returns (doc_a, doc_b, jaccard).
+    ``max_per_bucket`` opts in the hot-bucket fan-out guard (see
+    lsh_candidate_pairs)."""
     sigs = minhash_signatures(docs, id_col, text_col, n_perm, shingle_k)
-    cands = lsh_candidate_pairs(sigs, n_bands, n_perm)
+    cands = lsh_candidate_pairs(sigs, n_bands, n_perm, max_per_bucket)
     return verify_jaccard(cands, docs, threshold, id_col, text_col, shingle_k)
 
 

@@ -281,13 +281,32 @@ def cosine_threshold_pairs_lsh(vectors: DataFrame, threshold: float,
                                n_bits: int = 12, dim: int = 64,
                                n_tables: int = 8, seed: int = 42,
                                id_col: str = "vec_id",
-                               vec_col: str = "embedding") -> DataFrame:
+                               vec_col: str = "embedding",
+                               max_per_bucket: int | None = None
+                               ) -> DataFrame:
     """Scale-path embedding near-dup: random-hyperplane LSH candidate
     pairs (equi-join on the folded (table, bucket) key — one wide
     shuffle on high-cardinality keys) verified with exact cosine.
-    Approximate recall (1-(1-p^bits)^tables); pytest-checked."""
+    Approximate recall (1-(1-p^bits)^tables); pytest-checked.
+
+    ``max_per_bucket`` (opt-in) bounds the classic LSH blowup: a
+    bucket flooded with B near-identical embeddings emits B^2/2
+    candidates; the cap keeps each (table, bucket)'s first
+    ``max_per_bucket`` vectors in deterministic md5 order, bounding
+    the worst bucket at cap^2/2 with documented recall loss (a pair
+    is missed only if dropped from EVERY shared bucket — see
+    dedup.lsh_candidate_pairs and tools/lsh_cap_soak.py)."""
     b = with_hyperplane_buckets(vectors, n_bits, dim, n_tables, seed,
                                 id_col, vec_col)
+    if max_per_bucket is not None:
+        w = Window.partitionBy("bucket").orderBy(
+            F.md5(F.col(id_col).cast("string")), id_col
+        )
+        b = (
+            b.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= max_per_bucket)
+            .drop("_r")
+        )
     left = b.select(F.col(id_col).alias("vec_a"),
                     F.col(vec_col).alias("_va"), "bucket")
     right = b.select(F.col(id_col).alias("vec_b"),

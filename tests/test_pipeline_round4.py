@@ -1018,3 +1018,40 @@ def test_label_similarity_no_int64_wrap(spark):
     # underlying dot (~1.4e38) is far beyond int64
     assert r["cos_nano"] == 10**9
     assert r["dot"] is None
+
+def test_lsh_max_per_bucket_bounds_flood(spark):
+    """An identical-boilerplate flood emits B^2/2 candidates uncapped;
+    max_per_bucket bounds it at cap^2/2 while keeping genuine
+    (non-flood) near-dup pairs (they sit in uncrowded buckets)."""
+    from s2_geometry_rust_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    boiler = " ".join(f"w{i % 7}" for i in range(40))
+    rows = [(i, boiler) for i in range(200)]  # flood: 200 identical docs
+    base = " ".join(f"token{i}" for i in range(40))
+    near_words = base.split()
+    near_words[3] = "tokenX"  # exactly one word differs (J ~ 35/41)
+    near = " ".join(near_words)
+    rows += [(1000, base), (1001, near)]      # one genuine near-dup pair
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs).persist()
+    try:
+        uncapped = lsh_candidate_pairs(sigs).count()
+        capped = lsh_candidate_pairs(sigs, max_per_bucket=10)
+        got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    finally:
+        sigs.unpersist()
+    assert uncapped >= 200 * 199 // 2
+    flood_pairs = {(a, b) for a, b in got if a < 1000 and b < 1000}
+    assert len(flood_pairs) == 10 * 9 // 2  # kept subset pairs fully
+    assert (1000, 1001) in got              # genuine pair survives
+    # determinism
+    again = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(
+            minhash_signatures(docs), max_per_bucket=10
+        ).collect()
+    }
+    assert again == got
