@@ -967,6 +967,29 @@ def loop_intersections_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loop_intersection_join(a, b)
 
 
+# Strict-mode fixture sets add the crossed thin bands: their boundaries
+# cross like a plus sign while every vertex of each sits outside the
+# other, so the reference-parity vertex probe provably misses the pair
+# and only the edge-crossing completion leg reports it
+# (tests/test_loop_strict_round4.py pins both facts).
+STRICT_A_LOOPS = INTERSECT_A_LOOPS + ["cross_band_ew"]
+STRICT_B_LOOPS = INTERSECT_B_LOOPS + ["cross_band_ns"]
+
+
+def loop_intersections_strict_q(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Loop-intersects-loop join with the edge-crossing completion the
+    reference left TODO (loop.rs:413,439): mutual vertex probing OR any
+    proper boundary crossing (crossing_sign_complete).  Opt-in strict
+    mode — the parity default stays loop_intersections_q."""
+    from . import fixtures
+    from .operators.spatial_join import loop_intersection_join
+
+    a = fixtures.loop_regions(spark, STRICT_A_LOOPS)
+    b = fixtures.loop_regions(spark, STRICT_B_LOOPS)
+    return loop_intersection_join(a, b, strict=True)
+
+
 def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus docs sharing any distinct
     3-gram with the held-out set (doc_id < 10 as the eval stand-in;
@@ -1892,6 +1915,7 @@ QUERIES = {
     "chain_crossings": chain_crossings_q,
     "union_areas": union_areas_q,
     "repetition_stats": repetition_stats_q,
+    "loop_intersections_strict": loop_intersections_strict_q,
 }
 
 ORACLES = {
@@ -1955,6 +1979,9 @@ ORACLES = {
     ),
     "loop_intersections": oracle.loop_intersections_sql(
         INTERSECT_A_LOOPS, INTERSECT_B_LOOPS
+    ),
+    "loop_intersections_strict": oracle.loop_intersections_strict_sql(
+        STRICT_A_LOOPS, STRICT_B_LOOPS
     ),
     "decontaminate": oracle.decontaminate_sql(3),
     "funnel_counts": oracle.funnel_counts_sql(),

@@ -38,6 +38,23 @@ LOOPS: dict[str, list[tuple[float, float]]] = {
     "a_union_b": [(0, 178), (-1, 180), (0, -178), (1, -180)],
     "a_minus_b": [(0, 178), (-1, 180), (0, 179), (1, -180)],
     "b_minus_a": [(0, -179), (-1, 180), (0, -178), (1, -180)],
+    # Crossed thin bands (engine additions): their boundaries cross like
+    # a plus sign while every vertex of each sits OUTSIDE the other
+    # under the pinned winding-PIP rule, so the reference's vertex-only
+    # intersects() is provably wrong (False) and only the strict
+    # edge-crossing completion detects the intersection.  Orientation
+    # (vertex order) is chosen so the winding sum of each loop's
+    # vertices against the other is NEGATIVE — the quirk PIP's sum>0
+    # region for a 4-gon includes whole lunes, so the naive CCW thin
+    # strips would spuriously "contain" the other's vertices.  Spans
+    # kept short so great-circle edges bulge < 1 degree.
+    # Coordinates are deliberately generic (no constant-lat/lng edges,
+    # no lng-symmetric equal-lat pairs): symmetric bands produce edge
+    # great circles passing EXACTLY through the hemi loops' axis
+    # vertices (0,+-90)/(+-90,0), zeroing the oracle's triage
+    # determinants.
+    "cross_band_ew": [(5.3, -33.7), (5.1, 32.9), (-5.2, 33.4), (-5.4, -33.1)],
+    "cross_band_ns": [(-40.3, -7.6), (40.1, -7.2), (40.4, 7.3), (-40.9, 7.7)],
 }
 
 # (cap_id, center_lat_deg, center_lng_deg, radius_deg) — cap at the

@@ -185,18 +185,50 @@ class S2Loop:
         return bool(self.contains_points_batch(
             np.asarray([x]), np.asarray([y]), np.asarray([z]))[0])
 
-    def contains_loop(self, other: "S2Loop") -> bool:
-        """Vertex-containment only (loop.rs:397-415; edge-crossing TODO in
-        the reference)."""
+    def _has_proper_crossing(self, other: "S2Loop") -> bool:
+        """Any edge of self properly (interior-)crosses any edge of
+        other — crossing_sign_complete == +1 over the all-pairs edge
+        grid (the geometrically complete rule, NOT the reference's
+        divergent two-product test; see
+        predicates.crossing_sign_complete_batch).  Loops are small
+        per-geometry objects, so the O(n*m) vectorized grid is the
+        right kernel shape; the distributed join path indexes
+        candidates instead."""
+        a0 = self.vertices
+        a1 = np.roll(self.vertices, -1, axis=0)
+        b0 = other.vertices
+        b1 = np.roll(other.vertices, -1, axis=0)
+        na, nb = len(a0), len(b0)
+        A0 = np.repeat(a0, nb, axis=0)
+        A1 = np.repeat(a1, nb, axis=0)
+        B0 = np.tile(b0, (na, 1))
+        B1 = np.tile(b1, (na, 1))
+        return bool(np.any(
+            pred.crossing_sign_complete_batch(A0, A1, B0, B1) == 1))
+
+    def contains_loop(self, other: "S2Loop", strict: bool = False) -> bool:
+        """Default: vertex-containment only (loop.rs:397-415; the
+        edge-crossing completion is a pinned TODO in the reference —
+        parity preserved).  ``strict=True`` opts into the completed
+        predicate: all of other's vertices contained AND no edge of
+        other properly crosses an edge of self (general-position
+        loops; shared-vertex tangencies follow the vertex rule)."""
         if self.is_full() or other.is_empty():
             return True
         if self.is_empty() or other.is_full():
             return False
-        return bool(np.all(self.contains_points_batch(
+        base = bool(np.all(self.contains_points_batch(
             other.vertices[:, 0], other.vertices[:, 1], other.vertices[:, 2])))
+        if not strict:
+            return base
+        return base and not self._has_proper_crossing(other)
 
-    def intersects(self, other: "S2Loop") -> bool:
-        """Vertex-probing only (loop.rs:418-441)."""
+    def intersects(self, other: "S2Loop", strict: bool = False) -> bool:
+        """Default: vertex-probing only (loop.rs:418-441) — two loops
+        that cross WITHOUT containing each other's vertices yield a
+        (reference-faithful) wrong ``False``.  ``strict=True`` opts
+        into the completed predicate: vertex probe OR any proper edge
+        crossing."""
         if self.is_empty() or other.is_empty():
             return False
         if self.is_full() or other.is_full():
@@ -204,8 +236,11 @@ class S2Loop:
         if bool(np.any(other.contains_points_batch(
                 self.vertices[:, 0], self.vertices[:, 1], self.vertices[:, 2]))):
             return True
-        return bool(np.any(self.contains_points_batch(
+        base = bool(np.any(self.contains_points_batch(
             other.vertices[:, 0], other.vertices[:, 1], other.vertices[:, 2])))
+        if not strict:
+            return base
+        return base or self._has_proper_crossing(other)
 
     # -- metrics (loop.rs:322-369) ----------------------------------------------------
 

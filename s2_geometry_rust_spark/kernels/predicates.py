@@ -122,6 +122,35 @@ def crossing_sign_batch(a, b, c, d) -> np.ndarray:
     return np.where(crossing, 1, -1).astype(np.int32)
 
 
+def crossing_sign_complete_batch(a, b, c, d) -> np.ndarray:
+    """Geometrically COMPLETE edge-pair interior crossing (engine
+    addition behind the opt-in strict loop predicates; the parity
+    default stays crossing_sign_batch above).
+
+    The reference's two-product test (predicates.rs:666-682) fires on
+    ~12% of random non-crossing arc pairs because it never relates the
+    two sign families — two great circles meet at ANTIPODAL points and
+    the products alone can both pass when the arcs straddle opposite
+    intersection points.  The complete rule ties them together:
+
+        sign(a,b,c) != sign(a,b,d)          (c, d straddle circle AB)
+        AND sign(c,d,a) != sign(c,d,b)      (a, b straddle circle CD)
+        AND sign(a,b,c) == sign(c,d,b)      (same intersection point)
+
+    Fuzz-validated against the explicit construction (intersection
+    direction (a x b) x (c x d), interior-to-both-minor-arcs test) on
+    20k random arc pairs with zero mismatches
+    (tests/test_loop_strict_round4.py).  All signs run through the same
+    tiered triage->exact sign_batch, so near-degenerate inputs resolve
+    exactly.  Returns +1 (proper crossing) / -1 (none)."""
+    abc = sign_batch(a, b, c)
+    abd = sign_batch(a, b, d)
+    cda = sign_batch(c, d, a)
+    cdb = sign_batch(c, d, b)
+    crossing = (abc * abd < 0) & (cda * cdb < 0) & (abc * cdb > 0)
+    return np.where(crossing, 1, -1).astype(np.int32)
+
+
 def compare_distances_scalar(x, a, b) -> int:
     """sign(|XA| - |XB|) with error-bounded fast path + exact fallback
     (predicates.rs:321-367)."""

@@ -529,7 +529,8 @@ def _loop_vertices_as_points(loops: DataFrame, id_alias: str) -> DataFrame:
     )
 
 
-def loop_intersection_join(loops_a: DataFrame, loops_b: DataFrame) -> DataFrame:
+def loop_intersection_join(loops_a: DataFrame, loops_b: DataFrame,
+                           strict: bool = False) -> DataFrame:
     """Loop-intersects-loop join at table scale: (a_id, b_id) whenever
     ANY vertex of B lies in A or ANY vertex of A lies in B — the
     reference's mutual vertex-probing semantics (loop.rs:418-441;
@@ -541,6 +542,14 @@ def loop_intersection_join(loops_a: DataFrame, loops_b: DataFrame) -> DataFrame:
     distinct union of the pair keys.  Empty/full special cases are out
     of scope (fixture loops are always proper); use the kernel for
     those.
+
+    ``strict=True`` (opt-in, default preserves reference parity) adds
+    the edge-crossing completion the reference left TODO: a third leg
+    unions in every pair whose boundaries properly cross
+    (kernels.predicates.crossing_sign_complete_batch — the
+    geometrically complete rule), catching loops that intersect
+    without containing each other's vertices.  See
+    loop_edge_crossing_pairs for the leg's plan shape.
     """
     d1 = (
         point_in_region_join(
@@ -554,4 +563,90 @@ def loop_intersection_join(loops_a: DataFrame, loops_b: DataFrame) -> DataFrame:
         )
         .select("a_id", F.col("region_id").alias("b_id"))
     )
-    return d1.unionByName(d2).dropDuplicates(["a_id", "b_id"])
+    out = d1.unionByName(d2)
+    if strict:
+        out = out.unionByName(loop_edge_crossing_pairs(loops_a, loops_b))
+    return out.dropDuplicates(["a_id", "b_id"])
+
+
+def _loop_edges_latlng(loops: DataFrame, id_alias: str,
+                       prefix: str) -> DataFrame:
+    """Closed-loop edge table in degrees: one row per directed edge
+    (v_i -> v_{i+1 mod n}), built with pure codegen array ops (no
+    Python).  xyz conversion happens later inside the Arrow refine so
+    engine trig matches the numpy-literal oracle exactly."""
+    n = F.size("vertices")
+    i = F.sequence(F.lit(0), n - F.lit(1))
+    edges = F.transform(
+        i,
+        lambda k: F.struct(
+            F.element_at("vertices", k + 1)["lat"].alias("lat0"),
+            F.element_at("vertices", k + 1)["lng"].alias("lng0"),
+            F.element_at("vertices", (k + 1) % n + 1)["lat"].alias("lat1"),
+            F.element_at("vertices", (k + 1) % n + 1)["lng"].alias("lng1"),
+        ),
+    )
+    return (
+        loops.filter(F.col("kind") == "loop")
+        .select(F.col("region_id").alias(id_alias),
+                F.explode(edges).alias("_e"))
+        .select(
+            id_alias,
+            F.col("_e.lat0").alias(f"{prefix}lat0"),
+            F.col("_e.lng0").alias(f"{prefix}lng0"),
+            F.col("_e.lat1").alias(f"{prefix}lat1"),
+            F.col("_e.lng1").alias(f"{prefix}lng1"),
+        )
+    )
+
+
+def loop_edge_crossing_pairs(loops_a: DataFrame,
+                             loops_b: DataFrame) -> DataFrame:
+    """(a_id, b_id) pairs whose loop boundaries PROPERLY cross —
+    the strict-mode crossing leg.
+
+    Plan: explode both sides into per-edge rows (codegen array ops),
+    pair A edges against the broadcast B edge table (documented
+    literal-dimension theta join: region tables are small dims — 3-30
+    fixture rows, tens of edges; at data scale use the level-keyed
+    candidate path in operators/shape_index.edge_crossing_join
+    instead), refine with the complete crossing predicate inside one
+    Arrow batch, and distinct the surviving pair keys."""
+    from ..kernels import predicates as pred
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+
+    ea = _loop_edges_latlng(loops_a, "a_id", "a_")
+    eb = _loop_edges_latlng(loops_b, "b_id", "b_")
+    pairs = ea.crossJoin(F.broadcast(eb))
+    schema = StructType([
+        StructField("a_id", StringType()),
+        StructField("b_id", StringType()),
+        StructField("crossing", IntegerType()),
+    ])
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for p in batches:
+            if len(p) == 0:
+                continue
+            def xyz(lat_col: str, lng_col: str) -> np.ndarray:
+                lat = lk.degrees_to_radians(p[lat_col].to_numpy(np.float64))
+                lng = lk.degrees_to_radians(p[lng_col].to_numpy(np.float64))
+                x, y, z = lk.latlng_to_xyz(lat, lng)
+                return np.stack([x, y, z], axis=1)
+
+            cr = pred.crossing_sign_complete_batch(
+                xyz("a_lat0", "a_lng0"), xyz("a_lat1", "a_lng1"),
+                xyz("b_lat0", "b_lng0"), xyz("b_lat1", "b_lng1"),
+            )
+            yield pd.DataFrame({
+                "a_id": p["a_id"], "b_id": p["b_id"],
+                "crossing": cr.astype(np.int32),
+            })
+
+    return (
+        pairs.mapInPandas(refine, schema)
+        .filter(F.col("crossing") == 1)
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )

@@ -2918,6 +2918,73 @@ FROM (SELECT * FROM b_in_a UNION ALL SELECT * FROM a_in_b)
 """
 
 
+def _crossing_complete_sql(a, b, c, d) -> str:
+    """Geometrically complete interior-crossing rule (the engine's
+    strict-mode predicate, kernels/predicates.crossing_sign_complete_batch;
+    NOT the reference's divergent two-product test): c,d straddle great
+    circle AB, a,b straddle great circle CD, and both arcs straddle the
+    SAME of the two antipodal intersection points
+    (sign(a,b,c) == sign(c,d,b)).  All signs reuse the tiered
+    _sign_sql; fixture margins keep every determinant decisive."""
+    abc = _sign_sql(a, b, c)
+    abd = _sign_sql(a, b, d)
+    cda = _sign_sql(c, d, a)
+    cdb = _sign_sql(c, d, b)
+    return (f"CASE WHEN ({abc}) * ({abd}) < 0 AND ({cda}) * ({cdb}) < 0 "
+            f"AND ({abc}) * ({cdb}) > 0 THEN 1 ELSE -1 END")
+
+
+def loop_intersections_strict_sql(a_loops: list[str],
+                                  b_loops: list[str]) -> str:
+    """Mirror of spatial_join.loop_intersection_join(strict=True): the
+    two mutual vertex-probing legs of loop_intersections_sql UNIONed
+    with the edge-crossing completion leg — any A edge properly
+    crossing any B edge (the reference's pinned TODO at
+    loop.rs:413,439, closed by the engine's opt-in strict mode)."""
+    pb = ("bv.px", "bv.py", "bv.pz")
+    pa = ("av.px", "av.py", "av.pz")
+    ea0 = ("ae.x0", "ae.y0", "ae.z0")
+    ea1 = ("ae.x1", "ae.y1", "ae.z1")
+    eb0 = ("be.x0", "be.y0", "be.z0")
+    eb1 = ("be.x1", "be.y1", "be.z1")
+    return f"""
+WITH a_edges(a_id, x0, y0, z0, x1, y1, z1) AS (VALUES {_loop_edge_vals(a_loops)}),
+b_edges(b_id, x0, y0, z0, x1, y1, z1) AS (VALUES {_loop_edge_vals(b_loops)}),
+a_verts(a_id, v_idx, px, py, pz) AS (VALUES {_loop_vert_vals(a_loops)}),
+b_verts(b_id, v_idx, px, py, pz) AS (VALUES {_loop_vert_vals(b_loops)}),
+b_in_a AS (
+  SELECT ae.a_id, bv.b_id
+  FROM b_verts bv, a_edges ae
+  GROUP BY ae.a_id, bv.b_id, bv.v_idx, bv.px, bv.py, bv.pz
+  HAVING sum({_pip_sign_sql(pb, ea0, ea1)}) > 0
+), a_in_b AS (
+  SELECT av.a_id, be.b_id
+  FROM a_verts av, b_edges be
+  GROUP BY be.b_id, av.a_id, av.v_idx, av.px, av.py, av.pz
+  HAVING sum({_pip_sign_sql(pa, eb0, eb1)}) > 0
+), a_ed AS (
+  -- short literals parse as DECIMAL; the deep product chain of the
+  -- complete rule overflows DECIMAL scale, so force DOUBLE once here
+  SELECT a_id, CAST(x0 AS DOUBLE) AS x0, CAST(y0 AS DOUBLE) AS y0,
+         CAST(z0 AS DOUBLE) AS z0, CAST(x1 AS DOUBLE) AS x1,
+         CAST(y1 AS DOUBLE) AS y1, CAST(z1 AS DOUBLE) AS z1
+  FROM a_edges
+), b_ed AS (
+  SELECT b_id, CAST(x0 AS DOUBLE) AS x0, CAST(y0 AS DOUBLE) AS y0,
+         CAST(z0 AS DOUBLE) AS z0, CAST(x1 AS DOUBLE) AS x1,
+         CAST(y1 AS DOUBLE) AS y1, CAST(z1 AS DOUBLE) AS z1
+  FROM b_edges
+), crossing AS (
+  SELECT ae.a_id, be.b_id
+  FROM a_ed ae, b_ed be
+  WHERE {_crossing_complete_sql(ea0, ea1, eb0, eb1)} = 1
+)
+SELECT DISTINCT a_id, b_id
+FROM (SELECT * FROM b_in_a UNION ALL SELECT * FROM a_in_b
+      UNION ALL SELECT * FROM crossing)
+"""
+
+
 def decontaminate_sql(n: int = 5, bench_max_id: int = 10) -> str:
     """Mirror of vocab.decontaminate: distinct 5-gram overlap of corpus
     docs (doc_id >= bench_max_id) vs the held-out set."""
