@@ -385,6 +385,29 @@ def knn_cell_ring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_cell_ring(queries, cands, 10, start_level=4)
 
 
+def knn_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-ring kNN with the round-4 certification + completion pass
+    (knn_cell_ring(exact=True)): per-query boundary lower bound
+    certifies the ring top-k, the uncertified residual re-runs through
+    the streamed brute pass.  Because the output provably equals brute
+    force, the oracle is plain brute-force kNN SQL — fully independent
+    of the ring algorithm, so a green row means EXACT kNN, not just
+    deterministic replay."""
+    from .functions import cell_id_from_xyz
+    from .operators.knn import knn_cell_ring
+
+    queries = (
+        _derived_points(spark, sf_dir, "supplier", "s_suppkey")
+        .filter(F.col("point_id") < 20)
+        .withColumnRenamed("point_id", "query_id")
+        .withColumn("cell_id", cell_id_from_xyz("x", "y", "z"))
+    )
+    cands = _derived_points(spark, sf_dir).withColumnRenamed(
+        "point_id", "cand_id"
+    ).withColumn("cell_id", cell_id_from_xyz("x", "y", "z"))
+    return knn_cell_ring(queries, cands, 10, start_level=4, exact=True)
+
+
 def near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import near_dedup_minhash
 
@@ -1916,6 +1939,7 @@ QUERIES = {
     "union_areas": union_areas_q,
     "repetition_stats": repetition_stats_q,
     "loop_intersections_strict": loop_intersections_strict_q,
+    "knn_exact": knn_exact_q,
 }
 
 ORACLES = {
@@ -1951,6 +1975,7 @@ ORACLES = {
     "dedup_clusters": oracle.dedup_clusters_sql(),
     "corpus_filter": oracle.corpus_filter_sql(),
     "knn_cell_ring": oracle.knn_cell_ring_sql(),
+    "knn_exact": oracle.knn_sql(10),
     "ann_cosine": oracle.ann_cosine_sql(),
     "ann_ivf": oracle.ann_ivf_sql(),
     "ann_lsh": oracle.ann_lsh_sql(),

@@ -29,6 +29,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StructField,
@@ -105,12 +106,63 @@ def knn_bruteforce(queries: DataFrame, candidates: DataFrame, k: int,
     )
 
 
+def _cell_boundary_chord2_lb(qx: np.ndarray, qy: np.ndarray,
+                             qz: np.ndarray, cells: np.ndarray
+                             ) -> np.ndarray:
+    """Conservative squared-chord lower bound from each (unit) query
+    point to the COMPLEMENT of its ancestor cell.
+
+    The cell's boundary is contained in the union of its 4 edge great
+    circles (the u = u_lo/u_hi, v = v_lo/v_hi loci of the ASSIGNMENT
+    projection — from_point's xyz_to_face_uv, NOT the canonical
+    math.rs:349-373 norms, which diverge from it on mirrored faces,
+    e.g. face 5's u axis); any geodesic from a point inside to a point
+    outside crosses that boundary, so
+    dist(q, outside) >= min_i asin(|q . n_i| / |n_i|).  Converted to
+    squared chord length (2*(1 - cos)) and shaved by a few ulps so
+    float error can only make the bound SMALLER (never certifies a
+    wrong top-k).
+
+    Plane derivation: cells_true.face_uv_to_xyz_inverse (the true
+    inverse of the assignment projection) is linear in (1, u, v) before
+    normalization, w = N_f + u*U_f + v*V_f, so the u = u0 locus spans
+    {N_f + u0*U_f, V_f} and its plane normal is (N_f + u0*U_f) x V_f —
+    exact linear algebra, error a few ulps regardless of cell size
+    (a corner-cross-product normal loses ~1/edge_angle precision on
+    deep cells)."""
+    from ..kernels import cells_true as ct
+
+    # N/U/V axes per face, read off face_uv_to_xyz_inverse's selects
+    N = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1],
+                  [-1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float64)
+    U = np.array([[0, 1, 0], [-1, 0, 0], [0, -1, 0],
+                  [0, 0, -1], [0, 0, 1], [-1, 0, 0]], np.float64)
+    V = np.array([[0, 0, 1], [0, 0, 1], [-1, 0, 0],
+                  [0, -1, 0], [1, 0, 0], [0, 1, 0]], np.float64)
+
+    face, u_lo, u_hi, v_lo, v_hi = ct.cell_uv_bounds(
+        np.asarray(cells, dtype=np.uint64)
+    )
+    face = np.asarray(face, np.int64)
+    q = np.stack([qx, qy, qz], axis=-1)
+    s = np.full(len(q), np.inf)
+    for axis_vals, axis_dir, other_dir in (
+        (u_lo, U, V), (u_hi, U, V), (v_lo, V, U), (v_hi, V, U),
+    ):
+        n = np.cross(N[face] + axis_vals[:, None] * axis_dir[face],
+                     other_dir[face])
+        nn = np.linalg.norm(n, axis=-1)
+        s = np.minimum(s, np.abs(np.einsum("ij,ij->i", q, n)) / nn)
+    s = np.maximum(s * (1.0 - 1e-12) - 1e-15, 0.0)
+    return 2.0 * (1.0 - np.sqrt(np.maximum(1.0 - s * s, 0.0)))
+
+
 def knn_cell_ring(queries: DataFrame, candidates: DataFrame, k: int,
                   start_level: int = 8, margin_levels: int = 1,
                   query_id: str = "query_id", cand_id: str = "cand_id",
                   query_cell: str = "cell_id", cand_cell: str = "cell_id",
-                  query_xyz=("x", "y", "z"), cand_xyz=("x", "y", "z")
-                  ) -> DataFrame:
+                  query_xyz=("x", "y", "z"), cand_xyz=("x", "y", "z"),
+                  exact: bool = False) -> DataFrame:
     """Cell-ring expansion kNN (north-star semantics): candidates from
     the query's cell at level L, widening L <- L-1 until >= k
     candidates, then exact squared-chord distance + top-k.
@@ -129,8 +181,25 @@ def knn_cell_ring(queries: DataFrame, candidates: DataFrame, k: int,
        distinct chosen level (bounded fan-out), hash-joined on
        (level, ancestor), then window top-k.
 
-    Approximate by design (neighbors outside the shared ancestor are
-    unseen); recall vs knn_bruteforce is pytest-checked.
+    Default mode is approximate by design (neighbors outside the shared
+    ancestor are unseen); recall vs knn_bruteforce is pytest-checked.
+
+    ``exact=True`` adds a completeness pass that makes the output
+    provably EQUAL to brute-force kNN:
+
+    4. certify each query whose ring returned >= k candidates AND whose
+       kth chord2 is strictly below a conservative lower bound on the
+       distance to anything outside the probed ancestor cell
+       (_cell_boundary_chord2_lb — the min angular distance to the
+       cell's 4 edge great circles, error-shaved downward);
+    5. the uncertified residual re-runs through knn_bruteforce against
+       the full candidate side.  The residual query set is collected
+       to the driver by that baseline operator, so exact mode inherits
+       its documented bound — with margin_levels >= 1 the residual is
+       the thin population within ~one cell width of its ring
+       boundary, a small fraction by construction (pytest-soaked on
+       boundary-adversarial inputs).  The candidate side is still
+       never shuffled: one extra streamed scan.
     """
     levels = list(range(0, start_level + 1))
     q = queries.select(
@@ -248,9 +317,74 @@ def knn_cell_ring(queries: DataFrame, candidates: DataFrame, k: int,
         + (F.col("_qz") - F.col("_cz")) * (F.col("_qz") - F.col("_cz"))
     )
     w = Window.partitionBy("query_id").orderBy("chord2", "neighbor_id")
-    return (
+    ranked = (
         joined.withColumn("chord2", d2)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "chord2")
     )
+    if not exact:
+        return ranked
+
+    # 4. certification: kth ring distance strictly below the boundary
+    #    lower bound => nothing outside the probed cell can enter the
+    #    top-k (ties resolve to the certified side because the bound is
+    #    shaved downward and the comparison is strict).
+    ranked = ranked.localCheckpoint(eager=True)  # reused by 2 branches
+    stats = ranked.groupBy("query_id").agg(
+        F.count("*").alias("_n"), F.max("chord2").alias("_kth")
+    )
+    cert_in = qk.select("query_id", "_qx", "_qy", "_qz", "_qa").join(
+        stats, "query_id", "left"
+    )
+    cert_schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("certified", BooleanType()),
+    ])
+
+    def certify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            lb = _cell_boundary_chord2_lb(
+                b["_qx"].to_numpy(np.float64),
+                b["_qy"].to_numpy(np.float64),
+                b["_qz"].to_numpy(np.float64),
+                b["_qa"].to_numpy(np.int64).view(np.uint64),
+            )
+            n = b["_n"].fillna(0).to_numpy(np.int64)
+            kth = b["_kth"].to_numpy(np.float64)  # NaN when no candidates
+            ok = (n >= k) & (kth < lb)
+            yield pd.DataFrame({
+                "query_id": b["query_id"].to_numpy(np.int64),
+                "certified": ok,
+            })
+
+    cert = cert_in.mapInPandas(certify, cert_schema).localCheckpoint(
+        eager=True
+    )
+
+    # 5. uncertified residual -> brute completion (full candidate side,
+    #    one extra streamed scan; residual query count rides
+    #    knn_bruteforce's documented driver bound).
+    exact_part = ranked.join(
+        cert.filter(F.col("certified")).select("query_id"),
+        "query_id", "left_semi",
+    )
+    resid = chosen.join(
+        cert.filter(~F.col("certified")).select("query_id"),
+        "query_id", "left_semi",
+    )
+    brute = knn_bruteforce(
+        resid.select(
+            "query_id", F.col("_qx").alias("x"),
+            F.col("_qy").alias("y"), F.col("_qz").alias("z"),
+        ),
+        c.select(
+            F.col("neighbor_id").alias("cand_id"),
+            F.col("_cx").alias("x"), F.col("_cy").alias("y"),
+            F.col("_cz").alias("z"),
+        ),
+        k,
+    )
+    return exact_part.unionByName(brute)
