@@ -408,6 +408,63 @@ def knn_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_cell_ring(queries, cands, 10, start_level=4, exact=True)
 
 
+def cap_point_bounds_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2Cap running point bound per group (cap.rs:188-205 add_point
+    fold, incl. the chord_angle.rs:90-98 clamp at 4.0) — the r3 verdict
+    item promoting the T-only cap add_point kernel into a driver row."""
+    from .operators.geom_aggs import cap_add_point_bounds
+
+    pts = _derived_points(spark, sf_dir).withColumn(
+        "group_id", (F.col("point_id") % 16).cast("long")
+    )
+    return cap_add_point_bounds(pts)
+
+
+def maximum_tile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maximum_tile climb (cell_id.rs:673-685) from each derived
+    point's leaf toward an unaligned range end — the min-satisfying-
+    level reformulation runs as one codegen array expression."""
+    from .functions import (
+        cell_id_from_xyz,
+        cell_level,
+        cell_maximum_tile,
+        cell_range_min,
+        cell_token,
+    )
+
+    pts = _derived_points(spark, sf_dir)
+    leaf = cell_id_from_xyz("x", "y", "z")
+    df = pts.withColumn("_leaf", leaf).withColumn(
+        "_lsb2",
+        F.expr("shiftleft(1L, (30 - (point_id % 11 + 5)) * 2)"),
+    ).withColumn(
+        "_anchor",
+        F.col("_leaf").bitwiseAND(-F.col("_lsb2")).bitwiseOR(F.col("_lsb2")),
+    ).withColumn(
+        "_end",
+        cell_range_min("_anchor") + (F.col("point_id") % 1000 + 1) * 64,
+    ).withColumn("tile_id", cell_maximum_tile("_leaf", "_end"))
+    return df.select(
+        "point_id",
+        "tile_id",
+        cell_level("tile_id").alias("tile_level"),
+        cell_token("tile_id").alias("tile_token"),
+    )
+
+
+def canonical_covering_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CanonicalizeCovering (region_coverer.rs:542-596) over the
+    mixed-level fixture unions: level clamp to [8,14] with level_mod=2
+    (exercising the descending upward snap), normalize, truncate to 16
+    by (level, unsigned id)."""
+    from .operators.unions_ops import canonicalize_covering_distributed
+
+    return canonicalize_covering_distributed(
+        _mixed_level_unions(spark, sf_dir),
+        min_level=8, max_level=14, level_mod=2, max_cells=16,
+    )
+
+
 def near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import near_dedup_minhash
 
@@ -1940,6 +1997,9 @@ QUERIES = {
     "repetition_stats": repetition_stats_q,
     "loop_intersections_strict": loop_intersections_strict_q,
     "knn_exact": knn_exact_q,
+    "cap_point_bounds": cap_point_bounds_q,
+    "maximum_tile_ranges": maximum_tile_q,
+    "canonical_covering": canonical_covering_q,
 }
 
 ORACLES = {
@@ -1976,6 +2036,9 @@ ORACLES = {
     "corpus_filter": oracle.corpus_filter_sql(),
     "knn_cell_ring": oracle.knn_cell_ring_sql(),
     "knn_exact": oracle.knn_sql(10),
+    "cap_point_bounds": oracle.cap_point_bounds_sql(16),
+    "maximum_tile_ranges": oracle.maximum_tile_sql(),
+    "canonical_covering": oracle.canonical_covering_sql(8, 14, 2, 16),
     "ann_cosine": oracle.ann_cosine_sql(),
     "ann_ivf": oracle.ann_ivf_sql(),
     "ann_lsh": oracle.ann_lsh_sql(),

@@ -21,6 +21,7 @@ from .columns import (  # noqa: F401
     cell_level,
     cell_face,
     cell_lsb,
+    cell_maximum_tile,
     cell_parent,
     cell_range_max,
     cell_range_min,

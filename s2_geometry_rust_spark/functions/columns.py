@@ -123,6 +123,31 @@ def cell_intersects(a, b) -> Column:
     )
 
 
+def cell_maximum_tile(id_col, end_col) -> Column:
+    """Largest ancestor of ``id`` whose cell range stays strictly below
+    ``end`` (cell_id.rs:673-685; kernel twin kernels/cellid.py:272).
+
+    The reference climbs parent-by-parent and stops at the first
+    coarser parent with range_max >= end.  A parent's range_max grows
+    monotonically as the level decreases, so the stop level is simply
+    min { L : range_max(parent(id, L)) < end } — one codegen array
+    expression over the 31 levels (cell_parent is the identity for
+    L >= level(id), exactly like the climb never descending), no loop,
+    no Python.  Falls back to ``id`` itself when even its own range
+    reaches ``end`` (the reference returns the unchecked start cell
+    there too).  u64 comparisons via unsigned_sort_key.
+    """
+    c = _c(id_col)
+    e = unsigned_sort_key(_c(end_col))
+    cands = F.array(
+        *[cell_parent(c, L) for L in range(0, MAX_LEVEL + 1)]
+    )
+    ok = F.filter(
+        cands, lambda p: unsigned_sort_key(cell_range_max(p)) < e
+    )
+    return F.coalesce(F.try_element_at(ok, F.lit(1)), c)
+
+
 def e_to_degrees(col, k: int) -> Column:
     """E5/E6/E7 fixed-point -> degrees (latlng.rs:66-100,
     angle.rs:81-105): value * 10^-k, exact double arithmetic."""

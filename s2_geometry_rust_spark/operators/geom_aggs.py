@@ -13,7 +13,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import (
     DoubleType,
     IntegerType,
@@ -320,5 +320,49 @@ def polygon_areas(polygons: DataFrame) -> DataFrame:
             F.count("*").cast("int").alias("n_loops"),
             (F.count("*") - 1).cast("int").alias("n_holes"),
             F.sum(signed).cast("long").alias("area_nano"),
+        )
+    )
+
+
+def cap_add_point_bounds(points: DataFrame, group_col: str = "group_id",
+                         id_col: str = "point_id",
+                         xyz=("x", "y", "z")) -> DataFrame:
+    """S2Cap running point bound per group: Cap::from_point(first point)
+    then fold add_point over the rest (cap.rs:188-205; kernel twin
+    kernels/caps.py:148).
+
+    add_point never moves the center and only ever raises the radius to
+    the center->point squared chord distance (chord_angle.rs:90-98,
+    incl. its clamp at 4.0), and max is order-independent — so the
+    whole fold collapses to ONE windowed aggregate: center = the
+    group's first point in id order, radius_l2 = max chord2.  Single
+    hash exchange on the group key, all codegen, no UDF.
+
+    Output: (group_id, center_id, n_points, radius_l2).
+    """
+    x, y, z = xyz
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    cx, cy, cz = (F.first(c).over(w) for c in (x, y, z))
+    d2 = (
+        (F.col(x) - cx) * (F.col(x) - cx)
+        + (F.col(y) - cy) * (F.col(y) - cy)
+        + (F.col(z) - cz) * (F.col(z) - cz)
+    )
+    return (
+        points.select(
+            F.col(group_col).alias("group_id"),
+            F.col(id_col).alias("_pid"),
+            F.first(F.col(id_col)).over(w).alias("_cid"),
+            F.least(d2, F.lit(4.0)).alias("_d2"),
+        )
+        .groupBy("group_id")
+        .agg(
+            F.first("_cid").alias("center_id"),
+            F.count("*").alias("n_points"),
+            F.max("_d2").alias("radius_l2"),
         )
     )

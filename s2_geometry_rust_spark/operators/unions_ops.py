@@ -200,3 +200,67 @@ def normalize_distributed(cells: DataFrame, max_rounds: int = 30) -> DataFrame:
         ).select("union_id", "cell_id")
         cur = kept.unionByName(collapsed)
     return cur
+
+
+def canonicalize_covering_distributed(cells: DataFrame, min_level: int,
+                                      max_level: int, level_mod: int = 1,
+                                      max_cells: int = 8) -> DataFrame:
+    """CanonicalizeCovering lifted to (union_id, cell_id) tables
+    (region_coverer.rs:542-596; kernel twin
+    kernels/coverer.py:canonicalize_covering):
+
+    1. per-cell level clamp: levels outside [min_level, max_level] snap
+       to the nearer bound; in-range levels round to a multiple of
+       level_mod (down when rem < mod/2, else up unless that exceeds
+       max_level) — the reference applies its (id & -lsb) | lsb parent
+       formula UNCONDITIONALLY at the target level, so an upward snap
+       produces the interior descendant that formula yields, and the
+       engine mirrors it bit-for-bit (pure codegen bit math);
+    2. normalize (sort / drop-contained / sibling-collapse) — the
+       existing distributed fixpoint;
+    3. truncation to max_cells: the reference stable-sorts the
+       normalized (id-sorted) array by level and keeps the first
+       max_cells, i.e. rank by (level, unsigned id) <= max_cells; a
+       prefix of a normalized set is still normalized (no contained
+       pair or complete sibling quad can appear by *removing* cells),
+       so its re-normalize is a sort — one window, no second fixpoint.
+
+    All three phases are single-exchange window/agg shapes on
+    (union_id)-hash partitioning; nothing leaves the JVM.
+    """
+    lv = cell_level("cell_id")
+    rem = lv % level_mod
+    in_range_target = (
+        F.when(rem == 0, lv)
+        .when(rem < F.lit(level_mod // 2), lv - rem)
+        .otherwise(
+            F.when(lv + (level_mod - rem) <= max_level,
+                   lv + (level_mod - rem)).otherwise(lv - rem)
+        )
+    )
+    target = (
+        F.when(lv < min_level, F.lit(min_level))
+        .when(lv > max_level, F.lit(max_level))
+        .otherwise(in_range_target)
+    )
+    new_lsb = F.expr("shiftleft(1L, (30 - _target) * 2)")
+    clamped = (
+        cells.withColumn("_target", target)
+        .withColumn(
+            "cell_id",
+            F.when(F.col("_target") == lv, F.col("cell_id")).otherwise(
+                F.col("cell_id").bitwiseAND(-new_lsb).bitwiseOR(new_lsb)
+            ),
+        )
+        .select("union_id", "cell_id")
+        .dropDuplicates(["union_id", "cell_id"])
+    )
+    norm = normalize_distributed(clamped)
+    w = Window.partitionBy("union_id").orderBy(
+        cell_level("cell_id"), unsigned_sort_key("cell_id")
+    )
+    return (
+        norm.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= max_cells)
+        .select("union_id", "cell_id")
+    )

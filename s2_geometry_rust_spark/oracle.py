@@ -4549,3 +4549,128 @@ FROM ll JOIN src s ON s.id = ll.id
 GROUP BY 1
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 oracles: cap running point bound, maximum_tile, canonicalize
+# ---------------------------------------------------------------------------
+
+
+def _u64h(expr: str) -> str:
+    """BIGINT -> HUGEINT reinterpreted as u64 (for unsigned compares)."""
+    return (f"(CASE WHEN {expr} < 0 THEN CAST({expr} AS HUGEINT) + {U64} "
+            f"ELSE CAST({expr} AS HUGEINT) END)")
+
+
+def cap_point_bounds_sql(n_groups: int = 16, table: str = "customer",
+                         key: str = "c_custkey") -> str:
+    """Mirror of geom_aggs.cap_add_point_bounds: Cap::from_point(first)
+    + add_point fold == (first point in id order, max squared chord
+    clamped at 4.0 — chord_angle.rs:90-98)."""
+    return f"""
+WITH p AS ({derived_points_sql(table, key)}),
+g AS (SELECT point_id % {n_groups} AS group_id, point_id, x, y, z FROM p),
+w AS (
+  SELECT group_id, point_id, x, y, z,
+         first_value(x) OVER win AS cx,
+         first_value(y) OVER win AS cy,
+         first_value(z) OVER win AS cz
+  FROM g
+  WINDOW win AS (PARTITION BY group_id ORDER BY point_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT group_id, min(point_id) AS center_id, count(*) AS n_points,
+       max(LEAST((x-cx)*(x-cx) + (y-cy)*(y-cy) + (z-cz)*(z-cz), 4.0))
+         AS radius_l2
+FROM w GROUP BY group_id
+"""
+
+
+def maximum_tile_sql(table: str = "customer", key: str = "c_custkey") -> str:
+    """Mirror of functions.cell_maximum_tile over the leaf-encoded
+    derived points: the parent climb (cell_id.rs:673-685) re-expressed
+    as min { L : range_max(parent(leaf, L)) < end } (monotone range_max
+    makes the first-violation stop equal the minimal satisfying level),
+    with end = range_min(anchor at level point_id%11+5) +
+    (point_id%1000+1)*64 — unaligned ends so the stop level varies with
+    the Hilbert position, including the even-the-leaf-violates fallback."""
+    lvl = "CAST(30 - bit_count((t.tile & -t.tile) - 1) // 2 AS INTEGER)"
+    return hilbert_leaf_cte(derived_points_sql(table, key)) + f""",
+vars AS (
+  SELECT point_id, cell_id AS lf,
+         CAST(power(4, 30 - (point_id % 11 + 5)) AS BIGINT) AS lsb2,
+         (point_id % 1000 + 1) * 64 AS k
+  FROM leaf
+),
+ends AS (
+  SELECT point_id, lf,
+         {_u64h("((lf & -lsb2) | lsb2)")}
+           - (CAST(((lf & -lsb2) | lsb2) & -((lf & -lsb2) | lsb2) AS HUGEINT) - 1)
+           + k AS end_h
+  FROM vars
+),
+cand AS (
+  SELECT e.point_id, e.lf, e.end_h, r.l AS lv,
+         CASE WHEN r.l >= 30 THEN e.lf
+              ELSE ((e.lf & -CAST(power(4, 30 - r.l) AS BIGINT))
+                    | CAST(power(4, 30 - r.l) AS BIGINT)) END AS p
+  FROM ends e CROSS JOIN (SELECT unnest(range(0, 31)) AS l) r
+),
+pick AS (
+  SELECT point_id, any_value(lf) AS lf,
+         arg_min(p, lv) FILTER (
+           WHERE {_u64h("p")} + (CAST(p & -p AS HUGEINT) - 1) < end_h
+         ) AS tile
+  FROM cand GROUP BY point_id
+),
+t AS (SELECT point_id, coalesce(tile, lf) AS tile FROM pick)
+SELECT point_id, t.tile AS tile_id, {lvl} AS tile_level,
+       {token_sql('t.tile')} AS tile_token
+FROM t
+"""
+
+
+def canonical_covering_sql(min_level: int = 8, max_level: int = 14,
+                           level_mod: int = 2, max_cells: int = 16,
+                           rounds: int = 30) -> str:
+    """Mirror of unions_ops.canonicalize_covering_distributed over the
+    union_leaf_cells member construction: per-cell level clamp (incl.
+    the unconditional (id & -lsb) | lsb snap at the target level, which
+    DESCENDS for upward rounding — region_coverer.rs:542-596 applies
+    parent() without direction checks), normalize chain, then the
+    stable (level, unsigned id) truncation to max_cells (a prefix of a
+    normalized set is still normalized, so the reference's final
+    normalize call is a plain sort)."""
+    lvl = "(30 - bit_count((cell_id & -cell_id) - 1) // 2)"
+    rem = f"({lvl} % {level_mod})"
+    up = f"({lvl} + {level_mod} - {rem})"
+    target = f"""CASE
+  WHEN {lvl} < {min_level} THEN {min_level}
+  WHEN {lvl} > {max_level} THEN {max_level}
+  WHEN {rem} = 0 THEN {lvl}
+  WHEN {rem} < {level_mod // 2} THEN {lvl} - {rem}
+  WHEN {up} <= {max_level} THEN {up}
+  ELSE {lvl} - {rem} END"""
+    cte = hilbert_leaf_cte(derived_points_sql("customer", "c_custkey"))
+    return (
+        cte + "," + _union_members_sql("leaf", "members") + f""",
+clamped AS (
+  SELECT DISTINCT union_id,
+    CASE WHEN ({target}) = {lvl} THEN cell_id
+         ELSE ((cell_id & -CAST(power(4, 30 - ({target})) AS BIGINT))
+               | CAST(power(4, 30 - ({target})) AS BIGINT)) END AS cell_id
+  FROM members
+),"""
+        + _normalize_chain_sql("clamped", "n", rounds)
+        + f""",
+ranked AS (
+  SELECT union_id, cell_id,
+         row_number() OVER (
+           PARTITION BY union_id
+           ORDER BY {lvl}, {_u64h("cell_id")}
+         ) AS r
+  FROM nk{rounds}
+)
+SELECT union_id, cell_id FROM ranked WHERE r <= {max_cells}
+"""
+    )
