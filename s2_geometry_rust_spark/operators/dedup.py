@@ -567,7 +567,7 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                         n: int = 3, id_col: str = "doc_id",
                         text_col: str = "text",
-                        materialize_grams: bool = False) -> DataFrame:
+                        materialize_grams: bool | None = None) -> DataFrame:
     """Exact word-n-gram-set Jaccard near-dup pairs at ``threshold``,
     via prefix filtering (SSJoin/PPJoin): order each doc's distinct
     n-grams by ascending global document frequency and generate
@@ -606,6 +606,23 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     # checkpoints the (doc_id, ngram) frame once — right when the
     # tokenize pass dominates re-reading, same tradeoff as
     # build_graph(materialize_snapped=...).
+    #
+    # materialize_grams=None (default) auto-decides from Catalyst's
+    # optimized-plan size estimate of the pruned (id, text) input: past
+    # ~64 MB the 6x tokenize re-run dominates the one-time checkpoint
+    # write, below it the checkpoint overhead dominates (bench-scale
+    # sf0.1 stays un-materialized; the 1-2M-doc soak flips on).  Plan
+    # stats are free — no job is triggered.
+    if materialize_grams is None:
+        try:
+            sz = int(
+                docs.select(id_col, text_col)
+                ._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes()
+            )
+            materialize_grams = sz > 64 * 1024 * 1024
+        except Exception:
+            materialize_grams = False
     if materialize_grams:
         grams = grams.localCheckpoint(eager=False)
     df_counts = grams.groupBy("ngram").agg(F.count("*").alias("df"))

@@ -76,14 +76,38 @@ def _region_cache_key(row: dict) -> tuple:
 
 def _ancestor_candidates(points: DataFrame, coverings: DataFrame,
                          levels: list[int], cell_col: str,
-                         broadcast: bool) -> DataFrame:
+                         broadcast: bool, n_salts: int = 0,
+                         hot_cells: list | None = None) -> DataFrame:
     """Join-based candidate generation for covering tables too large to
     inline as literals: explode each point into one ancestor per
-    distinct covering level and hash-join on exact cell equality."""
+    distinct covering level and hash-join on exact cell equality.
+
+    Skew: when one region covers a large share of the points, its (at
+    most ``max_cells``) covering cells become hot join keys — with a
+    shuffle (sort-merge) join, 50% of rows can land on <= 64 reducer
+    keys.  AQE skew-join splitting is the default backstop; pass
+    ``n_salts > 0`` (with the hot cell ids, or None to auto-detect via
+    a sampled pass) for the explicit deterministic variant that also
+    holds on AQE-disabled clusters: hot fact rows take
+    salt = pmod(xxhash64(row), n_salts) — a pure row function, so
+    retries/resume repartition identically — and the covering side
+    replicates hot cells n_salts times.  Output is provably identical
+    to the unsalted join (tools/pip_skew_soak.py measures the
+    per-partition histogram before/after on a 50%-hot-region corpus).
+    """
     anc = F.explode(
         F.array(*[cell_parent(cell_col, lv) for lv in sorted(levels)])
     ).alias("_anc")
     pts = points.select("*", anc)
+    if n_salts > 0 and not broadcast:
+        from ..plans.salting import salted_join
+
+        cov = coverings.select(
+            F.col("cell_id").alias("_anc"), "region_id"
+        )
+        return salted_join(
+            pts, cov, "_anc", n_salts=n_salts, hot=hot_cells
+        ).drop("_anc")
     cov = coverings.select(
         F.col("cell_id").alias("_cov_cell"), "region_id"
     )
@@ -310,7 +334,9 @@ def point_in_region_join(points: DataFrame, regions: DataFrame,
 def point_in_region_join_distributed(points: DataFrame, regions: DataFrame,
                                      cell_col: str = "cell_id",
                                      max_cells: int = 64,
-                                     refine: bool = True) -> DataFrame:
+                                     refine: bool = True,
+                                     n_salts: int = 0,
+                                     hot_cells: list | None = None) -> DataFrame:
     """Fully-distributed filter-and-refine for LARGE region tables
     (10^4+ regions): no driver-side collect of regions anywhere.
 
@@ -322,6 +348,11 @@ def point_in_region_join_distributed(points: DataFrame, regions: DataFrame,
     3. refine joins region geometry inline on region_id (AQE picks
        broadcast vs shuffle by size) and evaluates the exact kernels
        per (batch x region) group inside one mapInPandas.
+
+    ``n_salts > 0`` engages explicit deterministic salting of hot
+    covering cells in step 2 (see ``_ancestor_candidates``) — for the
+    one-region-covers-half-the-points skew regime on AQE-disabled
+    clusters.  Defaults off; output is identical either way.
     """
     from .coverings import cover_regions, region_from_row
 
@@ -336,7 +367,7 @@ def point_in_region_join_distributed(points: DataFrame, regions: DataFrame,
         )
     cand = _ancestor_candidates(
         points, covs.select("region_id", "cell_id"), levels, cell_col,
-        broadcast=False,
+        broadcast=False, n_salts=n_salts, hot_cells=hot_cells,
     )
     if not refine:
         return cand

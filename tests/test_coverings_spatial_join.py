@@ -197,3 +197,22 @@ def test_cap_coverings_batch_matches_per_cap():
         got = cap_coverings_batch(caps, max_cells=budget)
         for i, (r, g) in enumerate(zip(ref, got)):
             assert np.array_equal(np.sort(r), np.sort(g)), (budget, i)
+
+
+def test_point_in_region_distributed_salted_matches_unsalted(spark, regions, points):
+    """Explicit hot-cell salting is a pure repartitioning: the salted
+    distributed join must emit exactly the unsalted pair set (the soak
+    tools/pip_skew_soak.py measures the skew histogram at 2M points)."""
+    from s2_geometry_rust_spark.operators.spatial_join import (
+        point_in_region_join_distributed,
+    )
+
+    plain = point_in_region_join_distributed(points, regions, max_cells=16)
+    salted = point_in_region_join_distributed(
+        points, regions, max_cells=16, n_salts=8
+    )
+    a = {(r["doc_id"], r["region_id"])
+         for r in plain.select("doc_id", "region_id").collect()}
+    b = {(r["doc_id"], r["region_id"])
+         for r in salted.select("doc_id", "region_id").collect()}
+    assert a == b and len(a) > 0

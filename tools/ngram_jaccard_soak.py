@@ -29,10 +29,14 @@ def main(n: int = 200_000, cpus: int = 16) -> None:
     spark = get_spark("ngjac-soak", cpus=cpus)
     docs = synth_text_docs(spark, n)
     docs.persist().count()
-    t0 = time.time()
-    pairs = ngram_jaccard_pairs(
-        docs, threshold=0.5, materialize_grams=True
+    sz = int(
+        docs.select("doc_id", "text")
+        ._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     )
+    print(f"catalyst size estimate: {sz/1e6:.1f} MB "
+          f"-> auto materialize_grams={'True' if sz > 64*1024*1024 else 'False'}")
+    t0 = time.time()
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)  # auto heuristic
     got = pairs.select("doc_a", "doc_b").toPandas()
     dt = time.time() - t0
     expected = {(i - 1, i) for i in range(n) if i % 20 == 19}
