@@ -567,7 +567,8 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                         n: int = 3, id_col: str = "doc_id",
                         text_col: str = "text",
-                        materialize_grams: bool | None = None) -> DataFrame:
+                        materialize_grams: bool | None = None,
+                        candidates_only: bool = False) -> DataFrame:
     """Exact word-n-gram-set Jaccard near-dup pairs at ``threshold``,
     via prefix filtering (SSJoin/PPJoin): order each doc's distinct
     n-grams by ascending global document frequency and generate
@@ -647,6 +648,11 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
         .select("doc_a", "doc_b")
         .distinct()
     )
+    if candidates_only:
+        # Diagnostic surface for soaks: the prefix-filtered candidate
+        # set BEFORE exact verification (measures filter selectivity
+        # on adversarial shared-vocabulary corpora).
+        return cand
     sets = grams.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("ngram")).alias("grams")
     )
