@@ -34,6 +34,11 @@ NESTED_LOOP_ALLOWED = {
     "ann_ivf", "ann_pq", "hex_ring_counts",
     # bounds side is <= n_partitions-1 sampled rows by construction
     "hilbert_partition_stats",
+    # strict completion leg pairs edge tables of 3-30-row loop dims via
+    # a documented broadcast theta join (spatial_join.py
+    # loop_edge_crossing_pairs); the v0-parent index path would
+    # reintroduce the misses strict mode exists to close
+    "loop_intersections_strict",
 }
 
 
