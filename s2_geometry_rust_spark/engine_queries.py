@@ -2002,6 +2002,51 @@ QUERIES = {
     "canonical_covering": canonical_covering_q,
 }
 
+def point_in_region_salted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-distributed PIP join (no driver-side region collect) with
+    the explicit deterministic hot-cell salting engaged (n_salts=8,
+    hot cells auto-detected by the sampled plans.salting pass).
+
+    Salting is pure repartitioning and the refine stage is exact, so
+    the rows are identical to point_in_region's — the oracle is the
+    SAME independent exact-membership recomputation, which makes the
+    green row a driver-checked proof that the salted plan changes the
+    shuffle layout and nothing else (tools/pip_skew_soak.py measures
+    the layout change itself: max/mean 12.56 -> 5.35 at 2M points)."""
+    from . import fixtures
+    from .operators.spatial_join import point_in_region_join_distributed
+    from .sources import extract_geo_points, interleave_flat_documents
+
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = extract_geo_points(interleave_flat_documents(flat))
+    regions = fixtures.loop_regions(
+        spark, ["arctic_80", "antarctic_80", "candy_cane", "north_hemi"]
+    ).unionByName(fixtures.cap_regions(spark))
+    return point_in_region_join_distributed(
+        pts, regions, max_cells=8, n_salts=8
+    ).select("doc_id", "span_idx", "region_id")
+
+
+def near_dup_pairs_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minhash-LSH near-dup join with the hot-bucket guard engaged
+    (max_per_bucket=2): each (band, bucket) keeps its first 2 docs in
+    deterministic (md5(doc_id), doc_id) order, bounding worst-bucket
+    fan-out at cap^2/2 (flood soak: 4,498,800 -> 1,525 candidates at
+    cap=50, genuine recall 1.0).  At sf0.01 the cap genuinely truncates
+    (29 three-doc buckets; 25 -> 24 pairs), so the green row checks the
+    kept-subset ordering, not a no-op.  The truncation is documented loss,
+    and because it is a pure function of doc_id the DuckDB oracle
+    replays the kept subset — and therefore the loss — exactly."""
+    from .operators.dedup import near_dedup_minhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return near_dedup_minhash(docs, threshold=0.5, n_bands=32,
+                              max_per_bucket=2)
+
+
+QUERIES["point_in_region_salted"] = point_in_region_salted_q
+QUERIES["near_dup_pairs_capped"] = near_dup_pairs_capped_q
+
 ORACLES = {
     "leaf_assign": oracle.leaf_assign_sql(),
     "tile_counts_l8": oracle.tile_counts_sql(8),
@@ -2114,4 +2159,9 @@ ORACLES = {
     "quality_histogram": oracle.quality_histogram_sql(10),
     "tile_quality": oracle.tile_quality_sql(6),
     "source_bbox": oracle.source_bbox_sql(),
+    # identical membership semantics to point_in_region: salting is
+    # pure repartitioning and the refine is exact, so the SAME
+    # independent recomputation oracles both
+    "point_in_region_salted": oracle.point_in_region_sql(),
+    "near_dup_pairs_capped": oracle.near_dup_pairs_sql(max_per_bucket=2),
 }

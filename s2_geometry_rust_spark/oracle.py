@@ -492,13 +492,33 @@ def _minhash_perm_values(n_perm: int = 128, seed: int = 42) -> str:
 
 
 def near_dup_pairs_sql(threshold: float = 0.5, n_perm: int = 128,
-                       n_bands: int = 32) -> str:
+                       n_bands: int = 32,
+                       max_per_bucket: int | None = None) -> str:
     """Full minhash-LSH near-dup pipeline (mirror of
     dedup.py:near_dedup_minhash): 128 minhashes -> 32 bands x 4 rows ->
     pairs sharing any band (bucket equality == band-slice equality,
     modulo the engine's xxhash64 bucketing whose collisions are ~2^-64)
-    -> exact shingle-Jaccard filter."""
+    -> exact shingle-Jaccard filter.
+
+    ``max_per_bucket`` replays the engine's deterministic hot-bucket
+    guard: each (band, bucket) keeps only its first ``max_per_bucket``
+    docs in (md5(doc_id::VARCHAR), doc_id) order — DuckDB's md5 of the
+    same decimal string is byte-identical to Spark's, so the kept
+    subset (and therefore the documented loss) replays exactly."""
     rows = n_perm // n_bands
+    cap_filter = ""
+    if max_per_bucket is not None:
+        cap_filter = f"""
+, bands AS (
+  SELECT doc_id, band, key FROM (
+    SELECT doc_id, band, key,
+           row_number() OVER (
+             PARTITION BY band, key
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS _r
+    FROM bands_all
+  ) WHERE _r <= {max_per_bucket}
+)"""
     return f"""
 WITH {_shingle_sets_cte()},
 perms(perm, a, b) AS (VALUES {_minhash_perm_values(n_perm)}),
@@ -508,11 +528,11 @@ mins AS (
   FROM shd, perms p GROUP BY shd.doc_id, p.perm
 ), sigs AS (
   SELECT doc_id, list(mv ORDER BY perm) AS sig FROM mins GROUP BY doc_id
-), bands AS (
+), {"bands_all" if max_per_bucket is not None else "bands"} AS (
   SELECT doc_id, t.band,
          sig[t.band*{rows}+1 : t.band*{rows}+{rows}] AS key
   FROM sigs, range(0, {n_bands}) t(band)
-), cand AS (
+){cap_filter}, cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM bands x JOIN bands y
     ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
