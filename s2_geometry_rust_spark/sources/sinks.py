@@ -57,3 +57,37 @@ def read_cell_range(spark: SparkSession, path: str, range_min_id: int,
         # [a_s, 2^63) union negative head [-2^63, b_s]
         cond = (c >= a_s) | (c <= b_s)
     return df.filter(cond)
+
+
+def write_tile_bucketed(df: DataFrame, table: str, n_buckets: int = 16,
+                        key_col: str = "tile", sort: bool = True,
+                        mode: str = "overwrite") -> None:
+    """Hash-bucketed layout (``bucketBy`` + ``sortBy`` + catalog table):
+    the co-located-join half of the storage story, complementing
+    ``write_hilbert_sorted``'s range layout.
+
+    Two tables written with the SAME (n_buckets, key_col) join on
+    key_col with ZERO runtime exchange — Spark's scan exposes the
+    bucket spec as the output partitioning, so SortMergeJoin's
+    children need no shuffle (and with ``sort=True`` no re-sort): at
+    100 TB this turns every repeated tile-keyed join (raster x vector,
+    doc x embedding, per-tile rollup reuse) from an all-to-all network
+    pass into a per-bucket streamed merge.  The equivalent Iceberg
+    layout is ``partitionedBy(bucket(n, key))`` — one-line swap, same
+    plan shape.  tests/test_bucketed_layout.py asserts the plan is
+    exchange-free and the join result matches the shuffled twin.
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, key_col)
+    if sort:
+        w = w.sortBy(key_col)
+    w.saveAsTable(table)
+
+
+def co_located_join(spark: SparkSession, table_a: str, table_b: str,
+                    key_col: str = "tile", how: str = "inner") -> DataFrame:
+    """Join two ``write_tile_bucketed`` tables on their bucket key.
+
+    Pure convenience over spark.table(...).join(...): the zero-shuffle
+    property lives in the table layout, not in this function — any
+    equi-join on the bucket key of two same-spec tables gets it."""
+    return spark.table(table_a).join(spark.table(table_b), key_col, how)
