@@ -73,3 +73,44 @@ def test_bucketed_scan_exposes_bucket_spec(spark, tile_tables):
     ddl = spark.sql(f"DESCRIBE TABLE EXTENDED {ta}").toPandas()
     txt = " ".join(str(v) for v in ddl["data_type"])
     assert "8" in txt and "tile" in txt  # Num Buckets / Bucket Columns
+
+
+def test_hilbert_layout_prunes_row_groups(spark, tmp_path):
+    """write_hilbert_sorted's file-skipping claim, measured: a narrow
+    cell-range scan on the sorted layout must materialize far fewer
+    rows out of the parquet reader than the table holds (row-group
+    min/max pruning + pushed filters), while an identical scan on a
+    shuffled twin reads everything.  tools/layout_skipping_probe.py
+    measures the full 4M-row version (70.6x fewer scan rows)."""
+    import numpy as np
+
+    from s2_geometry_rust_spark.functions.udfs import cell_id_from_latlng_deg
+    from s2_geometry_rust_spark.kernels import cellid as ck
+    from s2_geometry_rust_spark.sources.sinks import (
+        read_cell_range,
+        write_hilbert_sorted,
+    )
+    from tools.layout_skipping_probe import scan_output_rows
+
+    n = 200_000
+    rows = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            (-80.0 + 160.0 * (F.pmod(F.xxhash64("id"), F.lit(1000000)) / 1e6)
+             ).alias("lat"),
+            (-180.0 + 360.0 * (F.pmod(F.xxhash64("id", F.lit("g")),
+                                      F.lit(1000000)) / 1e6)).alias("lng"),
+        )
+        .withColumn("cell_id", cell_id_from_latlng_deg("lat", "lng"))
+    )
+    path = str(tmp_path / "hs")
+    write_hilbert_sorted(rows, path, num_partitions=16)
+    cell = ck.from_face_pos_level(2, 0, 2)
+    lo = int(np.uint64(ck.range_min(np.array([cell], np.uint64))[0]))
+    hi = int(np.uint64(ck.range_max(np.array([cell], np.uint64))[0]))
+    cnt = read_cell_range(spark, path, lo, hi).select(F.count("*"))
+    matching = cnt.collect()[0][0]
+    scanned = scan_output_rows(cnt)
+    assert matching > 0
+    assert scanned < n / 5, (scanned, n)  # reader pruned most of the table
