@@ -2044,8 +2044,72 @@ def near_dup_pairs_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                               max_per_bucket=2)
 
 
+def _plant_pii(docs: DataFrame) -> DataFrame:
+    """Deterministically plant PII-shaped substrings into the documents
+    table as a pure function of doc_id (the corpus is synthetic word
+    soup, so real matches would be vacuously zero).  The DuckDB oracle
+    replays the identical planting, so counts AND redacted bytes are
+    independently re-derived."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    def pad(c, n):
+        return F.lpad(s(c), n, "0")
+
+    email = F.when(
+        d % 3 == 0,
+        F.concat(F.lit(" contact user"), s(d), F.lit("@example.com now")),
+    ).otherwise("")
+    phone = F.when(
+        d % 5 == 0,
+        F.concat(F.lit(" call "), pad(d % 1000, 3), F.lit("-"),
+                 pad(d % 743, 3), F.lit("-"), pad(d % 9973, 4)),
+    ).otherwise("")
+    ssn = F.when(
+        d % 7 == 0,
+        F.concat(F.lit(" id "), pad((d % 900) + 100, 3), F.lit("-"),
+                 pad((d % 89) + 10, 2), F.lit("-"),
+                 pad((d % 9000) + 1000, 4)),
+    ).otherwise("")
+    ipv4 = F.when(
+        d % 11 == 0,
+        F.concat(F.lit(" host 10."), s(d % 256), F.lit("."),
+                 s((d * 7) % 256), F.lit("."), s((d * 13) % 256)),
+    ).otherwise("")
+    return docs.withColumn(
+        "text", F.concat(F.col("text"), email, phone, ssn, ipv4)
+    )
+
+
+def pii_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (operators/pii.py): per-doc match
+    counts for the four pattern classes and the md5 of the fully
+    redacted text.  Single scan, zero shuffle, pure Java-regex codegen;
+    the planted PII is a deterministic function of doc_id replayed
+    identically by the oracle, which re-counts with RE2 and re-derives
+    every redacted byte (md5-compared)."""
+    from .operators.pii import pii_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pii_report(_plant_pii(docs))
+
+
+def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection after duplicate clustering: per
+    cluster keep the (quality DESC, doc_id ASC) argmax.  Engine computes
+    the argmax as an algebraic max(struct(quality, -doc_id)) — map-side
+    combinable, no per-cluster sort; the oracle re-derives clusters via
+    the recursive closure and ranks with row_number()."""
+    from .operators.dedup import dedup_keep_best
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_keep_best(docs, threshold=0.5, n_bands=32)
+
+
 QUERIES["point_in_region_salted"] = point_in_region_salted_q
 QUERIES["near_dup_pairs_capped"] = near_dup_pairs_capped_q
+QUERIES["pii_report"] = pii_report_q
+QUERIES["dedup_keep_best"] = dedup_keep_best_q
 
 ORACLES = {
     "leaf_assign": oracle.leaf_assign_sql(),
@@ -2164,4 +2228,6 @@ ORACLES = {
     # independent recomputation oracles both
     "point_in_region_salted": oracle.point_in_region_sql(),
     "near_dup_pairs_capped": oracle.near_dup_pairs_sql(max_per_bucket=2),
+    "pii_report": oracle.pii_report_sql(),
+    "dedup_keep_best": oracle.dedup_keep_best_sql(),
 }

@@ -746,3 +746,53 @@ def duplicate_spans(docs: DataFrame, window: int = 8, min_docs: int = 2,
         )
         .select(id_col, "span_start", "span_end", "n_windows")
     )
+
+
+def dedup_keep_best(docs: DataFrame, threshold: float = 0.8,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    n_perm: int = 128, n_bands: int = 16,
+                    shingle_k: int = 3,
+                    max_rounds: int = 50) -> DataFrame:
+    """Canonical-document selection: per duplicate cluster (minhash-LSH
+    pairs -> connected components, as in ``duplicate_clusters``) keep
+    the single highest-quality member — rank (quality_score DESC,
+    doc_id ASC).  This is the pipeline step after clustering: the
+    survivors ARE the training corpus; ``duplicate_clusters``'s
+    min-id keeper is the cheap variant, this one keeps the best text.
+
+    Scale shape: quality is a zero-shuffle per-row score; the argmax
+    rides ONE groupBy(cluster_id) with an algebraic max(struct(...)),
+    so a pathological boilerplate cluster partial-aggregates map-side
+    (no window over a hot cluster partition — the DuckDB oracle uses
+    row_number() because SQL lacks struct-max, but the engine never
+    materializes a per-cluster sort).
+
+    Output: (cluster_id, kept_doc_id, kept_quality, cluster_size).
+    """
+    from .text import with_quality_score
+
+    dc = duplicate_clusters(
+        docs, threshold, id_col, text_col, n_perm, n_bands, shingle_k,
+        max_rounds,
+    )
+    quality = with_quality_score(docs, text_col).select(
+        F.col(id_col).cast("long").alias("doc_id"), "quality_score"
+    )
+    joined = dc.join(quality, "doc_id")
+    # max over (quality, -doc_id) == ORDER BY quality DESC, doc_id ASC
+    # limit 1, but as an algebraic aggregate (map-side combinable).
+    best = joined.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col("quality_score"),
+                (-F.col("doc_id")).alias("neg_id"),
+            )
+        ).alias("b"),
+        F.max("cluster_size").alias("cluster_size"),
+    )
+    return best.select(
+        "cluster_id",
+        (-F.col("b.neg_id")).alias("kept_doc_id"),
+        F.col("b.quality_score").alias("kept_quality"),
+        "cluster_size",
+    )

@@ -4694,3 +4694,86 @@ ranked AS (
 SELECT union_id, cell_id FROM ranked WHERE r <= {max_cells}
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# PII + canonical-dedup oracles
+# ---------------------------------------------------------------------------
+
+def pii_report_sql() -> str:
+    """Mirror of operators/pii.pii_report over the deterministically
+    PII-planted documents (the planting is the same pure function of
+    doc_id on both sides).  Patterns are the Java-regex/RE2 common
+    dialect, so Spark's regexp_extract_all/regexp_replace and DuckDB's
+    agree byte-for-byte; redaction nests in PII_PATTERNS order."""
+    email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    phone = r"\b\d{3}-\d{3}-\d{4}\b"
+    ssn = r"\b\d{3}-\d{2}-\d{4}\b"
+    ipv4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    red = "text"
+    for pat, tag in ((email, "<EMAIL>"), (phone, "<PHONE>"),
+                     (ssn, "<SSN>"), (ipv4, "<IPV4>")):
+        red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com now' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+              THEN ' call ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                   || '-' || lpad(CAST(doc_id % 743 AS VARCHAR), 3, '0')
+                   || '-' || lpad(CAST(doc_id % 9973 AS VARCHAR), 4, '0')
+              ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+              THEN ' id ' || lpad(CAST((doc_id % 900) + 100 AS VARCHAR), 3, '0')
+                   || '-' || lpad(CAST((doc_id % 89) + 10 AS VARCHAR), 2, '0')
+                   || '-' || lpad(CAST((doc_id % 9000) + 1000 AS VARCHAR), 4, '0')
+              ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+              THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                   || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+              ELSE '' END
+         AS text
+  FROM documents
+),
+counted AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{email}')) AS n_email,
+         len(regexp_extract_all(text, '{phone}')) AS n_phone,
+         len(regexp_extract_all(text, '{ssn}')) AS n_ssn,
+         len(regexp_extract_all(text, '{ipv4}')) AS n_ipv4,
+         md5({red}) AS redacted_md5
+  FROM planted
+)
+SELECT doc_id, n_email, n_phone, n_ssn, n_ipv4,
+       n_email + n_phone + n_ssn + n_ipv4 AS n_pii,
+       redacted_md5
+FROM counted
+"""
+
+
+def dedup_keep_best_sql(threshold: float = 0.5, n_perm: int = 128,
+                        n_bands: int = 32) -> str:
+    """Mirror of dedup.dedup_keep_best: duplicate clusters (recursive
+    reachability closure) + quality scores, then the per-cluster argmax
+    by (quality_score DESC, doc_id ASC).  The engine computes the same
+    argmax as an algebraic max(struct(quality, -doc_id)) aggregate —
+    both sides compare the identical doubles, so the winner is
+    algorithm-independent."""
+    return f"""
+WITH cl AS ({dedup_clusters_sql(threshold, n_perm, n_bands)}),
+q AS ({text_quality_sql()}),
+ranked AS (
+  SELECT cl.cluster_id, cl.cluster_size, cl.doc_id, q.quality_score,
+         row_number() OVER (PARTITION BY cl.cluster_id
+                            ORDER BY q.quality_score DESC, cl.doc_id ASC
+                           ) AS rn
+  FROM cl JOIN q ON q.doc_id = cl.doc_id
+)
+SELECT cluster_id, doc_id AS kept_doc_id, quality_score AS kept_quality,
+       cluster_size
+FROM ranked WHERE rn = 1
+"""
