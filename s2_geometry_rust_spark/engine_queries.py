@@ -2231,3 +2231,57 @@ ORACLES = {
     "pii_report": oracle.pii_report_sql(),
     "dedup_keep_best": oracle.dedup_keep_best_sql(),
 }
+
+
+def ann_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the full FAISS IVFADC shape (inverted lists +
+    residual PQ codes + per-probed-list integer LUTs): candidates scan
+    as (bucket, 8 codes) only, pruned to probed lists BEFORE any
+    distance math.  first-ids init makes every step exact integer
+    arithmetic, replayed bit-for-bit by oracle.ann_ivfpq_sql; the
+    kmeans-trained path is the production default, recall-tested in
+    pytest."""
+    from .operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivfpq_topk(queries, emb, 10, n_coarse=16, n_probe=4,
+                      m=8, ks=16, init="first_ids")
+
+
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: coarse-cluster the
+    embeddings, drop any vector >= 0.3 cosine-similar to a lower-id
+    cluster-mate.  Every pair decision is an exact integer comparison
+    (dot^2 * 10^8 vs t_num^2 * |a|^2 * |b|^2, decimal(38,0) vs the
+    oracle's HUGEINT), so the survivor set is bit-exact across
+    engines."""
+    from .operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb, threshold=0.3, n_clusters=16,
+                          init="first_ids")
+
+
+def bloom_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — decontaminate's no-string-
+    broadcast scale path: the benchmark reduces to <= m_bits int64
+    positions (fixed memory however large the benchmark), corpus grams
+    are flagged when all k md5-derived positions are set.  The Bloom
+    false positives are part of the semantics and replay
+    deterministically in the oracle (same md5 bytes both engines)."""
+    from .operators.vocab import bloom_decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    return bloom_decontaminate(corpus, bench, n=3, m_bits=4096,
+                               k_hashes=4)
+
+
+QUERIES["ann_ivfpq"] = ann_ivfpq_q
+QUERIES["semantic_dedup"] = semantic_dedup_q
+QUERIES["bloom_decontaminate"] = bloom_decontaminate_q
+ORACLES["ann_ivfpq"] = oracle.ann_ivfpq_sql()
+ORACLES["semantic_dedup"] = oracle.semantic_dedup_sql(0.3)
+ORACLES["bloom_decontaminate"] = oracle.bloom_decontaminate_sql()

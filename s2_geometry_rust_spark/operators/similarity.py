@@ -624,3 +624,311 @@ def pq_topk(queries: DataFrame, candidates: DataFrame, k: int,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "dist2")
     )
+
+
+def _coarse_assign_int(grid_mat: np.ndarray, coarse: np.ndarray) -> np.ndarray:
+    """Exact-integer nearest coarse centroid: argmin of squared L2 on
+    the 1e-6 grid, ties -> lowest centroid id (numpy argmin keeps the
+    first occurrence)."""
+    # (n, nc): int64 products stay exact — components <= ~1e6, diffs
+    # squared <= ~4e12, summed over <=64 dims <= ~3e14 << 2^63.
+    d = ((grid_mat[:, None, :] - coarse[None]) ** 2).sum(axis=2)
+    return d.argmin(axis=1).astype(np.int32)
+
+
+def ivfpq_topk(queries: DataFrame, candidates: DataFrame, k: int,
+               n_coarse: int = 16, n_probe: int = 4,
+               m: int = 8, ks: int = 16,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               init: str = "first_ids", seed: int = 42,
+               train_sample: int = 20000, rerank: int = 0) -> DataFrame:
+    """IVF-PQ approximate nearest neighbors — the full FAISS IVFADC
+    shape: an inverted-file coarse quantizer partitions the vectors,
+    each vector stores PQ codes of its RESIDUAL (vector minus its
+    coarse centroid), and queries scan only their ``n_probe`` probed
+    lists with per-(query, list) asymmetric-distance lookup tables.
+    Completes the engine's ANN family: ivf_topk (lists, raw re-rank),
+    pq_topk (codes, full scan) -> ivfpq_topk (lists + residual codes).
+
+    Scale story (the 100-TB embeddings path): candidates are touched
+    once to encode (one mapInPandas matmul pass), then live as
+    (bucket, m int8-sized codes) — the scan reads codes only, prunes to
+    probed buckets BEFORE any distance math, keeps per-batch top-(k+1)
+    per query, and the only cross-partition traffic is the tiny
+    partial-top-k union.  No shuffle of raw vectors anywhere.  The
+    query side is collected to build LUTs (bounded by construction —
+    same documented contract as cosine_topk_bruteforce / pq_topk).
+
+    init="first_ids" is the oracle-replayable path: coarse centroids
+    are the 1e-6-grid vectors of ``id_col < n_coarse``; the PQ
+    codebook entries are the RESIDUALS of ids in
+    [n_coarse, n_coarse + ks) (so they are non-degenerate — a coarse
+    centroid's own residual is zero).  Every distance is exact integer
+    squared L2 with argmin ties -> lowest id, so oracle.ann_ivfpq_sql
+    replays assignment, codes, probing, LUTs and ranks bit-for-bit.
+    init="kmeans" trains both quantizers on a bounded sample (Lloyd,
+    seeded) — the production default, recall-tested in pytest.
+
+    Output: (query_id, neighbor_id, rank, adist) — approximate L2
+    top-k over probed lists, self excluded, ties by neighbor_id.
+    """
+    spark = queries.sparkSession
+    if init == "first_ids":
+        rows = (candidates.filter(F.col(id_col) < n_coarse + ks)
+                .orderBy(id_col).select(id_col, vec_col).collect())
+        grid_all = _int_grid(np.array([r[1] for r in rows],
+                                      dtype=np.float64))
+        coarse = grid_all[:n_coarse]
+        cb_src = grid_all[n_coarse:n_coarse + ks]
+        # codebook entries are residuals of ids [n_coarse, n_coarse+ks)
+        cb_assign = _coarse_assign_int(cb_src, coarse)
+        cb = cb_src - coarse[cb_assign]
+    else:
+        rows = (candidates.select(id_col, vec_col)
+                .limit(train_sample).collect())
+        raw = _int_grid(np.array([r[1] for r in rows], dtype=np.float64))
+        rng = np.random.default_rng(seed)
+        coarse = raw[rng.choice(len(raw), size=min(n_coarse, len(raw)),
+                                replace=False)].copy()
+        for _ in range(10):
+            a = _coarse_assign_int(raw, coarse)
+            for c in range(len(coarse)):
+                mem = raw[a == c]
+                if len(mem):
+                    coarse[c] = np.round(mem.mean(axis=0)).astype(np.int64)
+        res = raw - coarse[_coarse_assign_int(raw, coarse)]
+        cb = res[rng.choice(len(res), size=min(ks, len(res)),
+                            replace=False)].copy()
+        # per-subspace Lloyd on residuals
+        dim0 = raw.shape[1]
+        sub0 = dim0 // m
+        for j in range(m):
+            sl = slice(j * sub0, (j + 1) * sub0)
+            sv = res[:, sl]
+            ctr = cb[:, sl].astype(np.float64)
+            for _ in range(10):
+                d = ((sv[:, None, :] - ctr[None]) ** 2).sum(axis=2)
+                a = d.argmin(axis=1)
+                for c in range(len(ctr)):
+                    mem = sv[a == c]
+                    if len(mem):
+                        ctr[c] = mem.mean(axis=0)
+            cb[:, sl] = np.round(ctr).astype(np.int64)
+    dim = coarse.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = cb.reshape(len(cb), m, sub).transpose(1, 0, 2)  # (m, ks, sub)
+    bc_model = spark.sparkContext.broadcast((coarse, books))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C, B = bc_model.value
+        for b in batches:
+            if len(b) == 0:
+                continue
+            v = _int_grid(np.array(list(b[vec_col]), dtype=np.float64))
+            bkt = _coarse_assign_int(v, C)
+            r = (v - C[bkt]).reshape(len(b), m, sub)
+            d = ((r[:, :, None, :] - B[None]) ** 2).sum(axis=3)
+            codes = d.argmin(axis=2)  # ties -> lowest code id
+            yield pd.DataFrame(
+                {id_col: b[id_col], "bucket": bkt,
+                 "codes": list(codes.astype(np.int32))}
+            )
+
+    codes_df = candidates.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} long, bucket int, codes array<int>"
+    )
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qv = _int_grid(np.array([r[1] for r in qrows], dtype=np.float64))
+    np_probe = min(n_probe, len(coarse))
+    qd = ((qv[:, None, :] - coarse[None]) ** 2).sum(axis=2)
+    # stable n_probe smallest with ties -> lowest cid: lexsort on
+    # (cid implicit ascending, distance primary)
+    probed = np.argsort(qd, axis=1, kind="stable")[:, :np_probe]
+    # LUTs: (nq, n_probe, m, ks) — residual of q against EACH probed
+    # centroid vs the shared residual codebook
+    qres = qv[:, None, :] - coarse[probed]           # (nq, np, dim)
+    qres = qres.reshape(len(qids), np_probe, m, sub)
+    luts = ((qres[:, :, :, None, :] - books[None, None]) ** 2).sum(axis=4)
+    bc_luts = spark.sparkContext.broadcast((qids, probed, luts))
+    keep = k + 1
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qi, pr, lt = bc_luts.value
+        jj = np.arange(m)[None, :]
+        for b in batches:
+            if len(b) == 0:
+                continue
+            bkt = b["bucket"].to_numpy(np.int32)
+            c = np.stack(b["codes"].to_numpy())
+            nbr = b[id_col].to_numpy(np.int64)
+            for q in range(len(qi)):
+                for pi in range(pr.shape[1]):
+                    mask = bkt == pr[q, pi]
+                    if not mask.any():
+                        continue
+                    ad = lt[q, pi][jj, c[mask]].sum(axis=1)
+                    nb = nbr[mask]
+                    kk = min(keep, len(nb))
+                    order = np.lexsort((nb, ad))[:kk]
+                    yield pd.DataFrame(
+                        {"query_id": qi[q], "neighbor_id": nb[order],
+                         "adist": ad[order]}
+                    )
+
+    partials = codes_df.mapInPandas(
+        scan, "query_id long, neighbor_id long, adist long"
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    ranked = (
+        partials.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+    )
+    if not rerank:
+        return ranked.filter(F.col("rank") <= k).select(
+            "query_id", "neighbor_id", "rank", "adist"
+        )
+    # IVFADC exact completion: the compressed scan shortlists
+    # top-``rerank`` per query; only those rows fetch raw vectors
+    # (broadcast-able id equi-join) for an exact integer-grid L2 —
+    # same pattern as pq_topk(rerank=...), all JVM expressions.
+    grid = lambda c: F.transform(
+        c, lambda x: F.round(x.cast("double") * 1e6, 0).cast("long")
+    )
+    qvecs = spark.createDataFrame(
+        [(int(i), [float(x) for x in r[1]]) for i, r in zip(qids, qrows)],
+        "query_id long, _qv array<double>",
+    )
+    short = ranked.filter(F.col("rank") <= rerank).select(
+        "query_id", "neighbor_id"
+    )
+    cand_v = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    exact = (
+        short.join(cand_v, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn(
+            "dist2",
+            F.aggregate(
+                F.zip_with(grid("_qv"), grid("_cv"),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"), lambda acc, v: acc + v,
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist2")
+    )
+
+
+def semantic_dedup(vectors: DataFrame, threshold: float = 0.85,
+                   n_clusters: int = 16,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   init: str = "first_ids", seed: int = 42,
+                   train_sample: int = 20000) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column:
+    cluster the vectors with a coarse quantizer, then inside each
+    cluster drop every vector that is >= ``threshold`` cosine-similar
+    to a LOWER-id vector of the same cluster.  The keep-lowest-id rule
+    makes the survivor set deterministic and engine-independent (the
+    published SemDeDup keeps an arbitrary representative per similar
+    group; any fixed total order is equivalent for dedup purposes).
+
+    Exactness: vectors live on the 1e-6 integer grid; `cos >= t` is
+    decided as `dot > 0 AND dot^2 * t_den^2 >= t_num^2 * na * nb` with
+    t = t_num/t_den exactly (t_num = round(t*10^4), t_den = 10^4) —
+    dot and the squared norms are int64-exact (<= ~3e14 for 64-dim
+    unit-ish vectors), and the squared comparison runs in
+    decimal(38,0) (Spark) / HUGEINT (DuckDB oracle), so membership is
+    bit-exact across engines: oracle.semantic_dedup_sql replays the
+    clustering AND every pair decision.
+
+    Scale shape: assignment is one mapInPandas matmul pass (no
+    shuffle); the pair join is an equi-join on the cluster id — work
+    is sum over clusters of |c|^2, bounded by choosing n_clusters ~
+    sqrt(n) (and the cluster sizes are load-balanced keys, not a
+    broadcast).  The 100-TB variant would cap per-cluster membership
+    like near_dup_pairs' max_per_bucket; at contract scale the exact
+    quadratic-within-cluster is the point (it IS SemDeDup).
+
+    Output: (vec_id, cluster, kept) for every input row.
+    """
+    spark = vectors.sparkSession
+    if init == "first_ids":
+        rows = (vectors.filter(F.col(id_col) < n_clusters)
+                .orderBy(id_col).select(id_col, vec_col).collect())
+        coarse = _int_grid(np.array([r[1] for r in rows],
+                                    dtype=np.float64))
+    else:
+        rows = (vectors.select(id_col, vec_col)
+                .limit(train_sample).collect())
+        raw = _int_grid(np.array([r[1] for r in rows], dtype=np.float64))
+        rng = np.random.default_rng(seed)
+        coarse = raw[rng.choice(len(raw), size=min(n_clusters, len(raw)),
+                                replace=False)].copy()
+        for _ in range(10):
+            a = _coarse_assign_int(raw, coarse)
+            for c in range(len(coarse)):
+                mem = raw[a == c]
+                if len(mem):
+                    coarse[c] = np.round(mem.mean(axis=0)).astype(np.int64)
+    bc = spark.sparkContext.broadcast(coarse)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        for b in batches:
+            if len(b) == 0:
+                continue
+            v = _int_grid(np.array(list(b[vec_col]), dtype=np.float64))
+            yield pd.DataFrame({id_col: b[id_col],
+                                "cluster": _coarse_assign_int(v, C)})
+
+    assigned = vectors.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, cluster int"
+    )
+    grid = F.transform(
+        vec_col, lambda x: F.round(x.cast("double") * 1e6, 0).cast("long")
+    )
+    g = (
+        vectors.select(id_col, vec_col).join(assigned, id_col)
+        .select(F.col(id_col), "cluster", grid.alias("_g"))
+        .withColumn("_n", F.aggregate(
+            "_g", F.lit(0).cast("long"), lambda a, v: a + v * v))
+    )
+    t_num = int(round(threshold * 10_000))
+    a = g.select(F.col(id_col).alias("_ida"), F.col("cluster"),
+                 F.col("_g").alias("_ga"), F.col("_n").alias("_na"))
+    b = g.select(F.col(id_col).alias("_idb"), F.col("cluster"),
+                 F.col("_g").alias("_gb"), F.col("_n").alias("_nb"))
+    dot = F.aggregate(F.zip_with("_ga", "_gb", lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda acc, v: acc + v)
+    dec = lambda c: c.cast("decimal(38,0)")
+    sim = (F.col("_dot") > 0) & (
+        dec(F.col("_dot")) * dec(F.col("_dot"))
+        * F.lit(10_000).cast("decimal(38,0)")
+        * F.lit(10_000).cast("decimal(38,0)")
+        >= F.lit(t_num).cast("decimal(38,0)")
+        * F.lit(t_num).cast("decimal(38,0)")
+        * dec(F.col("_na")) * dec(F.col("_nb"))
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .withColumn("_dot", dot)
+        .filter(sim)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .select(id_col, "cluster",
+                F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"))
+    )

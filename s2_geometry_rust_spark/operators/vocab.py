@@ -284,3 +284,73 @@ def label_similarity(embs: DataFrame, label_col: str = "label",
         F.col("_dot").try_cast("long").alias("dot"),
         F.round(cos * 1e9, 0).cast("long").alias("cos_nano"),
     )
+
+
+def _bloom_positions(ngram_col: F.Column, m_bits: int,
+                     k_hashes: int) -> F.Column:
+    """The k Bloom bit positions of one n-gram: position_i =
+    int(md5(ngram || '#' || i)[:15 hex]) % m_bits.  md5 renders as the
+    same lowercase hex in Spark and DuckDB and 15 hex digits = 60 bits
+    fit a signed int64, so positions are engine-independent (the
+    wrs_sample / bpe hash convention)."""
+    return F.array(*[
+        F.conv(
+            F.substring(
+                F.md5(F.concat(ngram_col, F.lit(f"#{i}"))), 1, 15
+            ), 16, 10
+        ).cast("long") % m_bits
+        for i in range(k_hashes)
+    ])
+
+
+def bloom_decontaminate(docs: DataFrame, benchmark: DataFrame,
+                        n: int = 3, m_bits: int = 4096,
+                        k_hashes: int = 4,
+                        text_col: str = "text") -> DataFrame:
+    """Bloom-filter decontamination — the no-string-broadcast scale
+    path of `decontaminate`.  The benchmark's n-grams are reduced to a
+    Bloom bit SET (k md5-derived positions per gram, m_bits space);
+    a corpus n-gram is flagged when ALL k of its positions are set.
+    Output: (doc_id, n_flagged_ngrams) for docs with >= 1 flagged
+    distinct gram — `decontaminate`'s schema, with the Bloom filter's
+    deterministic false positives included (they are the documented
+    price of the fixed-size filter, and both engines replay them
+    identically: oracle.bloom_decontaminate_sql re-derives every
+    position from the same md5 strings).
+
+    Why it scales where the exact join cannot: `decontaminate`
+    broadcasts the benchmark's distinct n-gram STRINGS — fine for eval
+    sets, unbounded for e.g. "decontaminate against this other 1-TB
+    corpus".  Here the broadcast side is at most min(k*|grams|, m_bits)
+    int64s regardless of benchmark size (m_bits = 2^27 is 16 MB as a
+    bitset; this join form ships the set positions, the mapInPandas
+    bitset variant would ship the bits).  The corpus side is one scan:
+    grams -> posexplode(k positions) -> broadcast hash join -> count
+    matched positions == k.  The only shuffle is the final per-doc
+    count of flagged grams.
+    """
+    bench_pos = F.broadcast(
+        ngram_set(benchmark, n, text_col=text_col)
+        .select(F.explode(
+            _bloom_positions(F.col("ngram"), m_bits, k_hashes)
+        ).alias("pos"))
+        .distinct()
+    )
+    doc_pos = (
+        ngram_set(docs, n, text_col=text_col)
+        .select(
+            "doc_id", "ngram",
+            F.posexplode(
+                _bloom_positions(F.col("ngram"), m_bits, k_hashes)
+            ).alias("hash_i", "pos"),
+        )
+    )
+    flagged = (
+        doc_pos.join(bench_pos, "pos")
+        .groupBy("doc_id", "ngram")
+        .agg(F.count("*").alias("_n_set"))
+        .filter(F.col("_n_set") == k_hashes)
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_flagged_ngrams")
+    )

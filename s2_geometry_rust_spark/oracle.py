@@ -4777,3 +4777,196 @@ SELECT cluster_id, doc_id AS kept_doc_id, quality_score AS kept_quality,
        cluster_size
 FROM ranked WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# round-4 session-2 oracles: IVF-PQ ANN, semantic dedup, Bloom
+# decontamination.
+
+
+def ann_ivfpq_sql(k: int = 10, n_coarse: int = 16, n_probe: int = 4,
+                  m: int = 8, ks: int = 16, n_queries: int = 20) -> str:
+    """Full IVF-PQ replay in SQL (mirror of similarity.ivfpq_topk with
+    init="first_ids"): 1e-6 integer grid, coarse assignment = argmin
+    exact squared L2 to the first-n_coarse-ids centroids (ties ->
+    lowest cid), PQ codebook = residuals of ids
+    [n_coarse, n_coarse+ks), per-subspace codes, n_probe probed lists
+    per query, per-(query, probed-list) residual LUTs, ADC = integer
+    LUT sums, rank ties by neighbor_id — every step exact integer
+    arithmetic, so this matches the engine bit-for-bit."""
+    sub = 64 // m
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT)) AS v
+  FROM embeddings
+), ed AS (
+  SELECT vec_id, CAST(unnest(range(64)) AS INT) AS d, unnest(v) AS x
+  FROM e
+), coarse AS (
+  SELECT vec_id AS cid, d, x FROM ed WHERE vec_id < {n_coarse}
+), cdist AS (
+  SELECT ed.vec_id, coarse.cid,
+         CAST(SUM((ed.x - coarse.x) * (ed.x - coarse.x)) AS BIGINT) AS d2
+  FROM ed JOIN coarse USING (d)
+  GROUP BY 1, 2
+), assigned AS (
+  SELECT vec_id, cid AS bucket FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cid) AS rn
+    FROM cdist) WHERE rn = 1
+), resid AS (
+  SELECT ed.vec_id, a.bucket, ed.d, ed.x - c.x AS rx
+  FROM ed JOIN assigned a USING (vec_id)
+  JOIN coarse c ON c.cid = a.bucket AND c.d = ed.d
+), cb AS (
+  SELECT vec_id - {n_coarse} AS code_cid, d, rx FROM resid
+  WHERE vec_id >= {n_coarse} AND vec_id < {n_coarse + ks}
+), pqdist AS (
+  SELECT r.vec_id, cb.code_cid, r.d // {sub} AS j,
+         CAST(SUM((r.rx - cb.rx) * (r.rx - cb.rx)) AS BIGINT) AS d2
+  FROM resid r JOIN cb ON cb.d = r.d
+  GROUP BY 1, 2, 3
+), codes AS (
+  SELECT vec_id, j, code_cid AS code FROM (
+    SELECT vec_id, j, code_cid,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY d2, code_cid) AS rn
+    FROM pqdist) WHERE rn = 1
+), probed AS (
+  SELECT vec_id AS query_id, cid AS bucket FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cid) AS rn
+    FROM cdist WHERE vec_id < {n_queries}) WHERE rn <= {n_probe}
+), qres AS (
+  SELECT p.query_id, p.bucket, ed.d, ed.x - c.x AS qrx
+  FROM probed p
+  JOIN ed ON ed.vec_id = p.query_id
+  JOIN coarse c ON c.cid = p.bucket AND c.d = ed.d
+), lut AS (
+  SELECT q.query_id, q.bucket, cb.d // {sub} AS j, cb.code_cid AS cid,
+         CAST(SUM((q.qrx - cb.rx) * (q.qrx - cb.rx)) AS BIGINT) AS d2
+  FROM qres q JOIN cb ON cb.d = q.d
+  GROUP BY 1, 2, 3, 4
+), adist AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         CAST(SUM(l.d2) AS BIGINT) AS adist
+  FROM probed p
+  JOIN assigned a ON a.bucket = p.bucket
+  JOIN codes c ON c.vec_id = a.vec_id
+  JOIN lut l ON l.query_id = p.query_id AND l.bucket = p.bucket
+            AND l.j = c.j AND l.cid = c.code
+  WHERE p.query_id <> a.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rank, adist
+FROM (SELECT query_id, neighbor_id, adist,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adist, neighbor_id)
+                  AS INT) AS rank
+      FROM adist)
+WHERE rank <= {k}
+"""
+
+
+def semantic_dedup_sql(threshold: float = 0.3,
+                       n_clusters: int = 16) -> str:
+    """Mirror of similarity.semantic_dedup (init="first_ids"):
+    first-ids coarse clustering on the 1e-6 integer grid (exact
+    squared-L2 argmin, ties -> lowest cid), then inside each cluster a
+    vector is dropped iff a LOWER-id cluster-mate has cosine >=
+    threshold, decided exactly as
+    dot > 0 AND dot^2 * 10^8 >= t_num^2 * |a|^2 * |b|^2 in HUGEINT
+    (the engine runs the identical comparison in decimal(38,0))."""
+    t_num = int(round(threshold * 10_000))
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT)) AS v
+  FROM embeddings
+), ed AS (
+  SELECT vec_id, CAST(unnest(range(64)) AS INT) AS d, unnest(v) AS x
+  FROM e
+), coarse AS (
+  SELECT vec_id AS cid, d, x FROM ed WHERE vec_id < {n_clusters}
+), cdist AS (
+  SELECT ed.vec_id, coarse.cid,
+         CAST(SUM((ed.x - coarse.x) * (ed.x - coarse.x)) AS BIGINT) AS d2
+  FROM ed JOIN coarse USING (d)
+  GROUP BY 1, 2
+), assigned AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cid) AS rn
+    FROM cdist) WHERE rn = 1
+), norms AS (
+  SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS nrm FROM ed GROUP BY 1
+), pairs AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+), dots AS (
+  SELECT p.ida, p.idb, CAST(SUM(ea.x * eb.x) AS BIGINT) AS dot
+  FROM pairs p
+  JOIN ed ea ON ea.vec_id = p.ida
+  JOIN ed eb ON eb.vec_id = p.idb AND eb.d = ea.d
+  GROUP BY 1, 2
+), dropped AS (
+  SELECT DISTINCT d.idb AS vec_id
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.ida
+  JOIN norms nb ON nb.vec_id = d.idb
+  WHERE d.dot > 0
+    AND CAST(d.dot AS HUGEINT) * d.dot * 100000000 >=
+        CAST({t_num * t_num} AS HUGEINT) * na.nrm * nb.nrm
+)
+SELECT a.vec_id, a.cluster, dr.vec_id IS NULL AS kept
+FROM assigned a LEFT JOIN dropped dr USING (vec_id)
+"""
+
+
+def bloom_decontaminate_sql(n: int = 3, m_bits: int = 4096,
+                            k_hashes: int = 4,
+                            bench_max_id: int = 10) -> str:
+    """Mirror of vocab.bloom_decontaminate: the benchmark's distinct
+    n-grams set k md5-derived Bloom positions each; a corpus gram is
+    flagged when ALL k of its positions are set (false positives and
+    all — both engines derive every position from the same lowercase
+    md5 hex, 15 digits = 60 bits, mod m_bits)."""
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(1, n + 1))
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(len(toks) - {n - 1}),
+                                             i -> {gram}))) AS ngram
+  FROM t WHERE len(toks) >= {n}
+), hi AS (
+  SELECT unnest(range({k_hashes})) AS i
+), bpos AS (
+  SELECT DISTINCT
+         CAST('0x' || substr(md5(ngram || '#' || CAST(i AS VARCHAR)),
+                             1, 15) AS BIGINT) % {m_bits} AS pos
+  FROM g CROSS JOIN hi
+  WHERE doc_id < {bench_max_id}
+), dpos AS (
+  SELECT doc_id, ngram,
+         CAST('0x' || substr(md5(ngram || '#' || CAST(i AS VARCHAR)),
+                             1, 15) AS BIGINT) % {m_bits} AS pos
+  FROM g CROSS JOIN hi
+  WHERE doc_id >= {bench_max_id}
+), flagged AS (
+  SELECT doc_id, ngram FROM dpos JOIN bpos USING (pos)
+  GROUP BY doc_id, ngram HAVING count(*) = {k_hashes}
+)
+SELECT doc_id, count(*) AS n_flagged_ngrams FROM flagged GROUP BY doc_id
+"""
