@@ -183,7 +183,8 @@ def main() -> None:
         "vocab_topk_per_lang", "profile_documents", "geohash_tiles",
         "hilbert_partition_stats", "label_similarity", "gate_funnel",
         "event_transitions", "quality_histogram", "tile_quality",
-        "source_bbox",
+        "source_bbox", "pii_report", "dedup_keep_best", "ann_ivfpq",
+        "semantic_dedup", "bloom_decontaminate",
     ]
     # steady-state protocol: min of 2 runs per query — the first run pays
     # one-time per-query costs (whole-stage-codegen JIT, Arrow worker

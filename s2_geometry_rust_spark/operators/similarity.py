@@ -629,11 +629,33 @@ def pq_topk(queries: DataFrame, candidates: DataFrame, k: int,
 def _coarse_assign_int(grid_mat: np.ndarray, coarse: np.ndarray) -> np.ndarray:
     """Exact-integer nearest coarse centroid: argmin of squared L2 on
     the 1e-6 grid, ties -> lowest centroid id (numpy argmin keeps the
-    first occurrence)."""
-    # (n, nc): int64 products stay exact — components <= ~1e6, diffs
-    # squared <= ~4e12, summed over <=64 dims <= ~3e14 << 2^63.
-    d = ((grid_mat[:, None, :] - coarse[None]) ** 2).sum(axis=2)
-    return d.argmin(axis=1).astype(np.int32)
+    first occurrence).
+
+    Uses the |a|^2 + |c|^2 - 2 a.c expansion with int64 matmul — every
+    term is exact integer arithmetic (components <= ~1e6, dots <=
+    ~6.4e13 << 2^63), identical to the naive (a-c)^2 sum, but memory is
+    O(chunk * nc) instead of O(n * nc * dim) so executor batches with
+    thousands of centroids don't blow up."""
+    out = np.empty(len(grid_mat), dtype=np.int32)
+    c2 = (coarse * coarse).sum(axis=1)  # (nc,)
+    ct = coarse.T
+    for lo in range(0, len(grid_mat), 4096):
+        g = grid_mat[lo:lo + 4096]
+        d = (g * g).sum(axis=1)[:, None] + c2[None, :] - 2 * (g @ ct)
+        out[lo:lo + 4096] = d.argmin(axis=1)
+    return out
+
+
+def _pq_code_dists_int(res: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Exact int64 per-subspace squared L2 of residuals vs codebooks:
+    res (n, m, sub), books (m, ks, sub) -> (n, m, ks).  Same matmul
+    expansion as _coarse_assign_int (exact; avoids the O(n*m*ks*sub)
+    broadcast tensor)."""
+    r2 = (res * res).sum(axis=2)                      # (n, m)
+    b2 = (books * books).sum(axis=2)                  # (m, ks)
+    # (n, m, ks) int64 einsum — exact integer dot products
+    cross = np.einsum("nms,mks->nmk", res, books)
+    return r2[:, :, None] + b2[None, :, :] - 2 * cross
 
 
 def ivfpq_topk(queries: DataFrame, candidates: DataFrame, k: int,
@@ -729,8 +751,7 @@ def ivfpq_topk(queries: DataFrame, candidates: DataFrame, k: int,
             v = _int_grid(np.array(list(b[vec_col]), dtype=np.float64))
             bkt = _coarse_assign_int(v, C)
             r = (v - C[bkt]).reshape(len(b), m, sub)
-            d = ((r[:, :, None, :] - B[None]) ** 2).sum(axis=3)
-            codes = d.argmin(axis=2)  # ties -> lowest code id
+            codes = _pq_code_dists_int(r, B).argmin(axis=2)  # ties -> lowest
             yield pd.DataFrame(
                 {id_col: b[id_col], "bucket": bkt,
                  "codes": list(codes.astype(np.int32))}
@@ -744,15 +765,17 @@ def ivfpq_topk(queries: DataFrame, candidates: DataFrame, k: int,
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qv = _int_grid(np.array([r[1] for r in qrows], dtype=np.float64))
     np_probe = min(n_probe, len(coarse))
-    qd = ((qv[:, None, :] - coarse[None]) ** 2).sum(axis=2)
+    qd = ((qv * qv).sum(axis=1)[:, None]
+          + (coarse * coarse).sum(axis=1)[None, :] - 2 * (qv @ coarse.T))
     # stable n_probe smallest with ties -> lowest cid: lexsort on
     # (cid implicit ascending, distance primary)
     probed = np.argsort(qd, axis=1, kind="stable")[:, :np_probe]
     # LUTs: (nq, n_probe, m, ks) — residual of q against EACH probed
     # centroid vs the shared residual codebook
     qres = qv[:, None, :] - coarse[probed]           # (nq, np, dim)
-    qres = qres.reshape(len(qids), np_probe, m, sub)
-    luts = ((qres[:, :, :, None, :] - books[None, None]) ** 2).sum(axis=4)
+    qres = qres.reshape(len(qids) * np_probe, m, sub)
+    luts = _pq_code_dists_int(qres, books).reshape(
+        len(qids), np_probe, m, len(books[0]))
     bc_luts = spark.sparkContext.broadcast((qids, probed, luts))
     keep = k + 1
 
