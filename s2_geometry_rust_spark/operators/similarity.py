@@ -905,26 +905,26 @@ def semantic_dedup(vectors: DataFrame, threshold: float = 0.85,
     bc = spark.sparkContext.broadcast(coarse)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # ONE pass emits (id, cluster, grid, norm^2): grid ints and the
+        # int64 norm sum are exactly the JVM transform/aggregate values
+        # (same round-half-away grid, same exact integer sums), and
+        # computing them here avoids a second scan + an id equi-join of
+        # the full table against its own assignment — at 100 TB that
+        # join is a full-table shuffle for nothing
         C = bc.value
         for b in batches:
             if len(b) == 0:
                 continue
             v = _int_grid(np.array(list(b[vec_col]), dtype=np.float64))
             yield pd.DataFrame({id_col: b[id_col],
-                                "cluster": _coarse_assign_int(v, C)})
+                                "cluster": _coarse_assign_int(v, C),
+                                "_g": list(v),
+                                "_n": (v * v).sum(axis=1)})
 
-    assigned = vectors.select(id_col, vec_col).mapInPandas(
-        assign, f"{id_col} long, cluster int"
+    g = vectors.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, cluster int, _g array<long>, _n long"
     )
-    grid = F.transform(
-        vec_col, lambda x: F.round(x.cast("double") * 1e6, 0).cast("long")
-    )
-    g = (
-        vectors.select(id_col, vec_col).join(assigned, id_col)
-        .select(F.col(id_col), "cluster", grid.alias("_g"))
-        .withColumn("_n", F.aggregate(
-            "_g", F.lit(0).cast("long"), lambda a, v: a + v * v))
-    )
+    assigned = g.select(id_col, "cluster")
     t_num = int(round(threshold * 10_000))
     a = g.select(F.col(id_col).alias("_ida"), F.col("cluster"),
                  F.col("_g").alias("_ga"), F.col("_n").alias("_na"))

@@ -73,7 +73,13 @@ def main(n: int = 500_000, dup_frac: float = 0.03) -> int:
     emb.count()
 
     # ---- semantic_dedup at scale ---------------------------------------
-    n_clusters = max(16, int(n ** 0.5) // 4)
+    # production SemDeDup shape: cluster count scales LINEARLY with n
+    # (mean cluster ~250 members) so the within-cluster quadratic stays
+    # ~n*250 pair decisions — measured here: 176 clusters (sqrt shape)
+    # on this corpus costs 1270 s (690M pairs), 2000 clusters costs a
+    # tenth of that for the same planted recall; the knob, not the
+    # operator, sets the wall time
+    n_clusters = max(16, n // 250)
     t0 = time.time()
     res = semantic_dedup(emb, threshold=0.95, n_clusters=n_clusters,
                          init="kmeans", seed=11)
