@@ -130,15 +130,18 @@ def from_face_ij(face, i, j):
     """(face, i, j) -> leaf cell id via the 4-bit Hilbert lookup table,
     8 iterations (cell_id.rs:208-238)."""
     face = _u(face)
-    i = np.asarray(i, dtype=np.uint32)
-    j = np.asarray(j, dtype=np.uint32)
+    # one uint32->uint64 widen up front instead of two astypes per
+    # Hilbert round (16 full-array copies saved; shift/mask values are
+    # identical in the wider lane)
+    i = np.asarray(np.asarray(i, dtype=np.uint32), dtype=np.uint64)
+    j = np.asarray(np.asarray(j, dtype=np.uint32), dtype=np.uint64)
     n = face << U(POS_BITS - 1)
     bits = face & U(SWAP_MASK)
-    mask = np.uint32((1 << LOOKUP_BITS) - 1)
+    mask = U((1 << LOOKUP_BITS) - 1)
     lb = U(LOOKUP_BITS)
     for k in range(7, -1, -1):
-        i_chunk = ((i >> np.uint32(k * LOOKUP_BITS)) & mask).astype(np.uint64)
-        j_chunk = ((j >> np.uint32(k * LOOKUP_BITS)) & mask).astype(np.uint64)
+        i_chunk = (i >> U(k * LOOKUP_BITS)) & mask
+        j_chunk = (j >> U(k * LOOKUP_BITS)) & mask
         lookup_index = bits + (i_chunk << (lb + _U2)) + (j_chunk << _U2)
         r = LOOKUP_POS[lookup_index.astype(np.int64)]
         n = n | ((r >> _U2) << U(k * 2 * LOOKUP_BITS))

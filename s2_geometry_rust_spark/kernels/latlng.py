@@ -26,14 +26,24 @@ EPS = np.finfo(np.float64).eps
 
 def degrees_to_radians(deg):
     """S1Angle::from_degrees with its exact special cases
-    (angle.rs:61-77)."""
+    (angle.rs:61-77).
+
+    The special values are rare in bulk data, so they are patched with
+    masked assignment instead of five full-array np.where blends (each
+    a 3-array pass) — 3x fewer memory passes, identical outputs."""
     deg = np.asarray(deg, dtype=np.float64)
     r = deg * DEG_TO_RAD
-    r = np.where(deg == 180.0, PI, r)
-    r = np.where(deg == 90.0, PI_2, r)
-    r = np.where(deg == 45.0, PI_4, r)
-    r = np.where(deg == -90.0, -PI_2, r)
-    r = np.where(deg == -45.0, -PI_4, r)
+    if deg.ndim == 0:
+        for val, out in ((180.0, PI), (90.0, PI_2), (45.0, PI_4),
+                         (-90.0, -PI_2), (-45.0, -PI_4)):
+            if deg == val:
+                return np.float64(out)
+        return r
+    for val, out in ((180.0, PI), (90.0, PI_2), (45.0, PI_4),
+                     (-90.0, -PI_2), (-45.0, -PI_4)):
+        m = deg == val
+        if m.any():
+            r[m] = out
     return r
 
 
