@@ -2285,3 +2285,19 @@ QUERIES["bloom_decontaminate"] = bloom_decontaminate_q
 ORACLES["ann_ivfpq"] = oracle.ann_ivfpq_sql()
 ORACLES["semantic_dedup"] = oracle.semantic_dedup_sql(0.3)
 ORACLES["bloom_decontaminate"] = oracle.bloom_decontaminate_sql()
+
+
+def classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-linear quality classifier (fastText hashing trick):
+    feature id = FNV-1a(token) mod 2^20, deterministic integer bucket
+    weights stand in for trained coefficients, logit = exact int64 sum.
+    ZERO shuffle: scan -> tokenize (JVM) -> one Arrow pass that hashes
+    only the batch's UNIQUE words -> row-local reduction."""
+    from .operators.text import classifier_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return classifier_scores(docs)
+
+
+QUERIES["classifier_scores"] = classifier_scores_q
+ORACLES["classifier_scores"] = oracle.classifier_scores_sql()

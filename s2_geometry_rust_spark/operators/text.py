@@ -416,3 +416,132 @@ def quality_histogram(docs: DataFrame, buckets: int = 10) -> DataFrame:
         q.groupBy("source", b.alias("bucket"))
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-linear quality classifier (fastText-style hashing trick)
+# ---------------------------------------------------------------------------
+
+_CLS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("logit", LongType()),
+    ]
+)
+
+_CLS_PRIME = 1099511628211  # FNV prime reused as the weight mixer
+_CLS_RANGE = 2001           # weights in [-1000, 1000]
+
+
+def _bucket_weight(buckets: np.ndarray) -> np.ndarray:
+    """Deterministic integer weight for a feature bucket:
+    ((bucket * FNV_PRIME) mod 2^64) % 2001 - 1000.  Stands in for
+    trained coefficients exactly like the multimodal fake codecs stand
+    in for image decoders: the distributed plumbing (hashing trick,
+    row-local scoring, exact integer logits) is the contract; a real
+    model loads its table through the ``weights`` argument."""
+    with np.errstate(over="ignore"):
+        mixed = buckets.astype(np.uint64) * np.uint64(_CLS_PRIME)
+    return (mixed % np.uint64(_CLS_RANGE)).astype(np.int64) - 1000
+
+
+def classifier_scores(docs: DataFrame, text_col: str = "text",
+                      n_buckets: int = 1 << 20,
+                      weights: DataFrame | None = None) -> DataFrame:
+    """fastText-style linear classifier over hashed unigram features
+    (the hashing trick: feature id = FNV-1a(token) mod ``n_buckets``).
+
+    Score = sum of per-token bucket weights — exact int64 (|w| <= 1000,
+    so overflow needs 9e15 tokens/doc).  Returns every input doc:
+    (doc_id, n_tokens, logit, label) with label = 1 iff logit > 0.
+
+    Scale shape (100 TB): with derived weights this is ZERO-shuffle —
+    tokenize (JVM), one Arrow pass hashing the batch's unique words
+    (vocabulary-sized work, not token-sized), row-local reduction;
+    no join, no agg exchange.  With a ``weights`` table (bucket:long,
+    weight:long — a trained model), buckets join against the broadcast
+    table and re-aggregate per doc: one shuffle, weights never exceed
+    ``n_buckets`` rows by construction so the broadcast is bounded.
+    """
+    from .dedup import _hash_words_batch
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), toks.alias("_toks")
+    )
+
+    if weights is not None:
+        from pyspark.sql import functions as _F
+
+        def hash_part(batches):
+            for b in batches:
+                ws = [list(t) for t in b["_toks"]]
+                hs = _hash_words_batch(ws)
+                lens = np.fromiter((len(h) for h in hs), np.int64,
+                                   count=len(hs))
+                flat = (np.concatenate(hs) if len(hs) else
+                        np.empty(0, np.uint64))
+                yield pd.DataFrame({
+                    "doc_id": np.repeat(b["doc_id"].to_numpy(np.int64),
+                                        lens),
+                    "bucket": (flat % np.uint64(n_buckets)).view(np.int64),
+                })
+
+        tok_buckets = base.mapInPandas(
+            hash_part,
+            StructType([StructField("doc_id", LongType()),
+                        StructField("bucket", LongType())]),
+        )
+        joined = tok_buckets.join(_F.broadcast(weights), "bucket", "left")
+        scored = joined.groupBy("doc_id").agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("weight"), F.lit(0))).alias("logit"),
+        )
+    else:
+
+        def score(batches):
+            for b in batches:
+                ws = [list(t) for t in b["_toks"]]
+                hs = _hash_words_batch(ws)
+                lens = np.fromiter((len(h) for h in hs), np.int64,
+                                   count=len(hs))
+                n = len(ws)
+                if lens.sum() == 0:
+                    logit = np.zeros(n, dtype=np.int64)
+                else:
+                    flat = np.concatenate([h for h in hs if len(h)])
+                    w = _bucket_weight(flat % np.uint64(n_buckets))
+                    seg = np.repeat(np.arange(n), lens)
+                    # |w|<=1000 and docs are small: float64 bincount sums
+                    # are exact integers far below 2^53
+                    logit = np.bincount(
+                        seg, weights=w.astype(np.float64), minlength=n
+                    ).astype(np.int64)
+                yield pd.DataFrame({
+                    "doc_id": b["doc_id"].to_numpy(np.int64),
+                    "n_tokens": lens,
+                    "logit": logit,
+                })
+
+        # one row per input doc straight out of the Arrow pass — no
+        # join-back, the whole query plan is scan -> mapInPandas
+        scored = base.mapInPandas(score, _CLS_SCHEMA)
+        return scored.select(
+            "doc_id", "n_tokens", "logit",
+            F.when(F.col("logit") > 0, 1).otherwise(0).cast("int")
+            .alias("label"),
+        )
+
+    # weights path: groupBy drops token-less docs — join them back
+    left = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    out = left.join(scored, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("logit", F.lit(0)).alias("logit"),
+        F.when(F.coalesce("logit", F.lit(0)) > 0, 1).otherwise(0)
+        .cast("int").alias("label"),
+    )

@@ -320,6 +320,37 @@ FROM m
 """
 
 
+def classifier_scores_sql(n_buckets: int = 1 << 20) -> str:
+    """Hashed-linear classifier (mirror of
+    operators/text.py:classifier_scores, derived-weights path): per
+    lowercased token FNV-1a -> bucket = h mod n_buckets -> weight =
+    ((bucket * FNV_PRIME) mod 2^64) mod 2001 - 1000; logit = exact
+    integer sum; label = logit > 0."""
+    mixed = _mulmod64_sql("bkt", FNV_PRIME)
+    return rf"""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS word
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         ({_fnv1a_sql('word')})::UBIGINT % {n_buckets}::UBIGINT AS bkt
+  FROM w
+), wt AS (
+  SELECT doc_id, CAST({mixed} % 2001 AS BIGINT) - 1000 AS wgt FROM h
+), s AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(wgt) AS logit
+  FROM wt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_tokens, 0) AS n_tokens,
+       coalesce(s.logit, 0) AS logit,
+       CAST(CASE WHEN coalesce(s.logit, 0) > 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS label
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
 def lang_id_sql() -> str:
     markers = {
         "en": ("the", "a", "and", "of"),
