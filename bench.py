@@ -184,7 +184,7 @@ def main() -> None:
         "hilbert_partition_stats", "label_similarity", "gate_funnel",
         "event_transitions", "quality_histogram", "tile_quality",
         "source_bbox", "pii_report", "dedup_keep_best", "ann_ivfpq",
-        "semantic_dedup", "bloom_decontaminate",
+        "semantic_dedup", "bloom_decontaminate", "classifier_scores",
     ]
     # steady-state protocol: min of 2 runs per query — the first run pays
     # one-time per-query costs (whole-stage-codegen JIT, Arrow worker
