@@ -284,30 +284,35 @@ def edge_crossing_join(edges_a: DataFrame, edges_b: DataFrame,
         pairs = a.crossJoin(F.broadcast(b))
 
     id_cols = ["a_shape", "a_edge", "b_shape", "b_edge"]
-    fields = list(_CROSS_SCHEMA_FIELDS)
     if with_chains:
         id_cols += ["a_chain", "b_chain"]
-        fields = fields[:-1] + [
-            StructField("a_chain", LongType()),
-            StructField("b_chain", LongType()),
-            fields[-1],
-        ]
-    schema = StructType(fields)
 
-    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for p in batches:
-            if len(p) == 0:
-                continue
-            av0 = p[["a_v0x", "a_v0y", "a_v0z"]].to_numpy(np.float64)
-            av1 = p[["a_v1x", "a_v1y", "a_v1z"]].to_numpy(np.float64)
-            bv0 = p[["b_v0x", "b_v0y", "b_v0z"]].to_numpy(np.float64)
-            bv1 = p[["b_v1x", "b_v1y", "b_v1z"]].to_numpy(np.float64)
-            cr = pred.crossing_sign_batch(av0, av1, bv0, bv1)
-            out = {c: p[c].to_numpy(np.int64) for c in id_cols}
-            out["crossing"] = cr.astype(np.int32)
-            yield pd.DataFrame(out)[[f.name for f in fields]]
+    # Crossing sign as an Arrow pandas_udf over ONLY the 12 coordinate
+    # columns (one way, one int back) — the id columns never cross
+    # Arrow and the coordinates never come back (the old mapInPandas
+    # shipped 16-18 columns both directions; the Arrow round-trip, not
+    # the kernel, dominates — same finding as the PIP refine).
+    from pyspark.sql.functions import pandas_udf as _pandas_udf
 
-    return pairs.mapInPandas(refine, schema)
+    coord_cols = ["a_v0x", "a_v0y", "a_v0z", "a_v1x", "a_v1y", "a_v1z",
+                  "b_v0x", "b_v0y", "b_v0z", "b_v1x", "b_v1y", "b_v1z"]
+
+    @_pandas_udf(IntegerType())
+    def _crossing(*cols: pd.Series) -> pd.Series:
+        n = len(cols[0])
+        if not n:
+            return pd.Series(np.empty(0, np.int32))
+        m = np.empty((n, 12), dtype=np.float64)
+        for j, s in enumerate(cols):
+            m[:, j] = s.to_numpy(np.float64)
+        cr = pred.crossing_sign_batch(m[:, 0:3], m[:, 3:6],
+                                      m[:, 6:9], m[:, 9:12])
+        return pd.Series(cr.astype(np.int32))
+
+    return pairs.select(
+        *id_cols,
+        _crossing(*[F.col(c) for c in coord_cols]).alias("crossing"),
+    )
 
 
 CHAIN_CROSS_SCHEMA = StructType(
