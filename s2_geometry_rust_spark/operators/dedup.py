@@ -281,35 +281,28 @@ def verify_jaccard(pairs: DataFrame, docs: DataFrame, threshold: float,
         .withColumnRenamed("_text", "text_b")
         .drop("_id")
     )
-    schema = StructType(
-        [
-            StructField("doc_a", LongType()),
-            StructField("doc_b", LongType()),
-            StructField("jaccard", DoubleType()),
-        ]
-    )
+    # Jaccard as an Arrow column udf: only the two text columns cross
+    # to Python (one way) and a double comes back — the pair ids stay
+    # JVM-side (same Arrow-transport finding as the PIP refine).
+    from pyspark.sql.functions import pandas_udf as _pandas_udf
 
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            sa = _stable_shingle_hashes(b["text_a"], shingle_k)
-            sb = _stable_shingle_hashes(b["text_b"], shingle_k)
-            jac = np.array(
-                [
-                    len(np.intersect1d(x, y, assume_unique=True))
-                    / max(len(np.union1d(x, y)), 1)
-                    for x, y in zip(sa, sb)
-                ]
-            )
-            yield pd.DataFrame(
-                {
-                    "doc_a": b["doc_a"].to_numpy(np.int64),
-                    "doc_b": b["doc_b"].to_numpy(np.int64),
-                    "jaccard": jac,
-                }
-            )
+    @_pandas_udf(DoubleType())
+    def _jaccard(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
+        sa = _stable_shingle_hashes(text_a, shingle_k)
+        sb = _stable_shingle_hashes(text_b, shingle_k)
+        jac = np.array(
+            [
+                len(np.intersect1d(x, y, assume_unique=True))
+                / max(len(np.union1d(x, y)), 1)
+                for x, y in zip(sa, sb)
+            ],
+            dtype=np.float64,
+        )
+        return pd.Series(jac)
 
-    verified = j.select("doc_a", "doc_b", "text_a", "text_b").mapInPandas(
-        compute, schema
+    verified = j.select(
+        "doc_a", "doc_b",
+        _jaccard(F.col("text_a"), F.col("text_b")).alias("jaccard"),
     )
     return verified.filter(F.col("jaccard") >= threshold)
 
