@@ -2301,3 +2301,18 @@ def classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["classifier_scores"] = classifier_scores_q
 ORACLES["classifier_scores"] = oracle.classifier_scores_sql()
+
+
+def classifier_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibrated quality gate: keep the top 60% of docs by classifier
+    logit with the threshold computed exactly (k-th largest logit via a
+    cumulative window over the distinct-logit HISTOGRAM — never a
+    raw-row sort; ties at the threshold kept)."""
+    from .operators.text import classifier_gate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return classifier_gate(docs, keep_rate=0.6)
+
+
+QUERIES["classifier_gate"] = classifier_gate_q
+ORACLES["classifier_gate"] = oracle.classifier_gate_sql(0.6)

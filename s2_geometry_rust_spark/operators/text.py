@@ -545,3 +545,43 @@ def classifier_scores(docs: DataFrame, text_col: str = "text",
         F.when(F.coalesce("logit", F.lit(0)) > 0, 1).otherwise(0)
         .cast("int").alias("label"),
     )
+
+
+def classifier_gate(docs: DataFrame, keep_rate: float = 0.6,
+                    text_col: str = "text",
+                    n_buckets: int = 1 << 20) -> DataFrame:
+    """Quality-gate calibration: keep the top ``keep_rate`` fraction of
+    docs by classifier logit, with the threshold computed EXACTLY as
+    the k-th largest logit (k = ceil(keep_rate * n)); ties at the
+    threshold are all kept (deterministic, may keep slightly more
+    than k).
+
+    Returns (doc_id, n_tokens, logit, thr) for every kept doc.
+
+    Scale shape (100 TB): one classifier pass (zero-shuffle) -> logit
+    histogram (ONE hash agg on distinct logit values) -> cumulative
+    window over the HISTOGRAM, never raw rows (the group_quantiles
+    pattern: window input is |distinct logits|, bounded by corpus
+    cardinality but typically far below it) -> 1-row threshold
+    broadcast back over the scores.  No full-corpus sort anywhere.
+    """
+    scores = classifier_scores(docs, text_col=text_col,
+                               n_buckets=n_buckets)
+    hist = scores.groupBy("logit").agg(F.count("*").alias("_c"))
+    w_cum = Window.orderBy(F.col("logit").desc()) \
+                  .rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    h = hist.select(
+        "logit",
+        F.sum("_c").over(w_cum).alias("_cum"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
+    k = F.ceil(F.lit(float(keep_rate)) * F.col("_n")).cast("long")
+    thr = h.filter(F.col("_cum") >= k).agg(
+        F.max("logit").alias("thr")
+    )
+    return (
+        scores.join(F.broadcast(thr))
+        .filter(F.col("logit") >= F.col("thr"))
+        .select("doc_id", "n_tokens", "logit", "thr")
+    )

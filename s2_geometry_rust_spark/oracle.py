@@ -5001,3 +5001,27 @@ WITH t AS (
 )
 SELECT doc_id, count(*) AS n_flagged_ngrams FROM flagged GROUP BY doc_id
 """
+
+
+def classifier_gate_sql(keep_rate: float = 0.6,
+                        n_buckets: int = 1 << 20) -> str:
+    """Mirror of operators/text.py:classifier_gate — classifier scores
+    (classifier_scores_sql) -> distinct-logit histogram -> cumulative
+    DESC window -> threshold = max logit whose cumulative count reaches
+    k = ceil(keep_rate * n); keep logit >= threshold (ties kept).
+    Both engines compute ceil on the same double product."""
+    base = classifier_scores_sql(n_buckets)
+    return f"""
+WITH sc AS ({base}),
+hist AS (SELECT logit, count(*) AS c FROM sc GROUP BY logit),
+cum AS (SELECT logit,
+               sum(c) OVER (ORDER BY logit DESC
+                            ROWS UNBOUNDED PRECEDING) AS cum_c,
+               sum(c) OVER () AS n
+        FROM hist),
+t AS (SELECT max(logit) AS thr FROM cum
+      WHERE cum_c >= CAST(ceil({keep_rate!r} * n) AS BIGINT))
+SELECT sc.doc_id, sc.n_tokens, sc.logit, t.thr
+FROM sc, t
+WHERE sc.logit >= t.thr
+"""

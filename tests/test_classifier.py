@@ -95,3 +95,32 @@ def test_derived_path_plan_zero_shuffle(spark, docs):
     )
     assert "Exchange" not in plan
     assert plan.count("MapInPandas") == 1
+
+
+def test_classifier_gate_exact_threshold_and_ties(spark):
+    import math
+
+    rows = [(i, f"word{i} " * (i + 1)) for i in range(10)]
+    # duplicate the text of doc 7 so its logit ties across 3 docs
+    rows += [(100, rows[7][1]), (101, rows[7][1])]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    from s2_geometry_rust_spark.operators.text import classifier_gate
+
+    got = classifier_gate(docs, keep_rate=0.5).toPandas()
+
+    logits = {d: _expected_logit(t) for d, t in rows}
+    n = len(rows)
+    k = math.ceil(0.5 * n)
+    thr = sorted(logits.values(), reverse=True)[k - 1]
+    want = {d for d, v in logits.items() if v >= thr}
+    assert set(got["doc_id"]) == want
+    assert (got["thr"] == thr).all()
+    assert len(got) >= k  # ties at the threshold are all kept
+
+
+def test_classifier_gate_keep_rate_1_keeps_all(spark, docs):
+    from s2_geometry_rust_spark.operators.text import classifier_gate
+
+    got = classifier_gate(docs, keep_rate=1.0).toPandas()
+    assert len(got) == docs.count()

@@ -34,6 +34,8 @@ NESTED_LOOP_ALLOWED = {
     "ann_ivf", "ann_pq", "hex_ring_counts",
     # bounds side is <= n_partitions-1 sampled rows by construction
     "hilbert_partition_stats",
+    # threshold side is a 1-row scalar aggregate broadcast over the scores
+    "classifier_gate",
     # strict completion leg pairs edge tables of 3-30-row loop dims via
     # a documented broadcast theta join (spatial_join.py
     # loop_edge_crossing_pairs); the v0-parent index path would
