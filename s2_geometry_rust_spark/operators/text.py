@@ -549,7 +549,8 @@ def classifier_scores(docs: DataFrame, text_col: str = "text",
 
 def classifier_gate(docs: DataFrame, keep_rate: float = 0.6,
                     text_col: str = "text",
-                    n_buckets: int = 1 << 20) -> DataFrame:
+                    n_buckets: int = 1 << 20,
+                    materialize: bool = False) -> DataFrame:
     """Quality-gate calibration: keep the top ``keep_rate`` fraction of
     docs by classifier logit, with the threshold computed EXACTLY as
     the k-th largest logit (k = ceil(keep_rate * n)); ties at the
@@ -567,6 +568,12 @@ def classifier_gate(docs: DataFrame, keep_rate: float = 0.6,
     """
     scores = classifier_scores(docs, text_col=text_col,
                                n_buckets=n_buckets)
+    if materialize:
+        # The scores subtree feeds BOTH the histogram and the output
+        # side; it is a zero-shuffle scan+Arrow pass, so the default
+        # recompute costs one extra scan (the ngram materialize_grams
+        # precedent).  Opt in when the tokenize/scan dominates.
+        scores = scores.localCheckpoint(eager=False)
     hist = scores.groupBy("logit").agg(F.count("*").alias("_c"))
     w_cum = Window.orderBy(F.col("logit").desc()) \
                   .rowsBetween(Window.unboundedPreceding, 0)

@@ -124,3 +124,11 @@ def test_classifier_gate_keep_rate_1_keeps_all(spark, docs):
 
     got = classifier_gate(docs, keep_rate=1.0).toPandas()
     assert len(got) == docs.count()
+
+
+def test_classifier_gate_materialize_identical(spark, docs):
+    from s2_geometry_rust_spark.operators.text import classifier_gate
+
+    a = sorted(map(tuple, classifier_gate(docs, 0.5).collect()))
+    b = sorted(map(tuple, classifier_gate(docs, 0.5, materialize=True).collect()))
+    assert a == b
