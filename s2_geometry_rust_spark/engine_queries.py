@@ -2316,3 +2316,39 @@ def classifier_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["classifier_gate"] = classifier_gate_q
 ORACLES["classifier_gate"] = oracle.classifier_gate_sql(0.6)
+
+
+def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup (operators/dedup.py:incremental_dedup):
+    the documents table split by md5(doc_id) into an indexed corpus
+    (first hex char < '8') and one delta batch; every batch doc gets a
+    decision (exact_index / exact_batch / near_index / keep), the
+    deterministic min matched id, and the exact Jaccard for near
+    matches.  The exact stage is two md5 hash joins with map-side-
+    combinable keepers; the near stage reuses the minhash machinery
+    with the banded CROSS join (index never pairs with itself) — the
+    shape a 10^12-doc index joins a delta batch with.
+
+    The fixture corpus has no exact text duplicates, so docs with
+    doc_id % 13 == 5 get a planted text that is a pure function of
+    doc_id (replayed identically by the oracle): the planted values
+    repeat across the md5 split, so the exact_index AND exact_batch
+    branches are genuinely exercised, not vacuously green."""
+    from .operators.dedup import incremental_dedup
+
+    d = F.col("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "text",
+        F.when(
+            d % 13 == 5,
+            F.concat(F.lit("planted dup "), (d % 29).cast("string")),
+        ).otherwise(F.col("text")),
+    )
+    split = F.substring(F.md5(d.cast("string")), 1, 1) < "8"
+    return incremental_dedup(
+        docs.filter(~split), docs.filter(split), threshold=0.5, n_bands=32
+    )
+
+
+QUERIES["incremental_dedup"] = incremental_dedup_q
+ORACLES["incremental_dedup"] = oracle.incremental_dedup_sql()

@@ -203,27 +203,14 @@ def _stable_shingle_hashes(texts: pd.Series, k: int) -> list[np.ndarray]:
     return out
 
 
-def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = 16,
-                        n_perm: int = 128,
-                        max_per_bucket: int | None = None) -> DataFrame:
-    """Band the signatures and emit candidate duplicate pairs (a < b).
-
-    ``max_per_bucket`` (opt-in) is the hot-bucket guard for
-    planet-scale runs: a degenerate band bucket holding B docs (an
-    identical-boilerplate flood — the classic LSH blowup) emits B^2/2
-    candidate pairs; with the cap, each (band, bucket) keeps only its
-    ``max_per_bucket`` deterministic md5-order docs, bounding the
-    worst bucket's fan-out at cap^2/2.  The truncation is documented
-    LOSS — a pair is missed only if EVERY band where the two docs
-    collide is capped and at least one of them is dropped there; with
-    identical docs (same bucket in all bands, same md5 order each
-    band) the kept subset still pairs completely among itself, so
-    boilerplate floods stay mutually-duplicate within the cap while
-    the quadratic tail is cut.  Deterministic, so capped results are
-    reproducible run-to-run (same design as
-    tiling.colocated_pairs(max_per_tile=...); tools/lsh_cap_soak.py
-    measures the worst-bucket bound and the recall delta).
-    """
+def _band_signatures(signatures: DataFrame, n_bands: int, n_perm: int,
+                     max_per_bucket: int | None = None) -> DataFrame:
+    """(doc_id, band, bucket) rows: each signature exploded into its
+    ``n_bands`` band slices, bucket = xxhash64 of the slice.  The
+    optional ``max_per_bucket`` hot-bucket guard keeps only the first
+    ``max_per_bucket`` docs of each (band, bucket) in deterministic
+    (md5(doc_id), doc_id) order — see lsh_candidate_pairs for the loss
+    semantics."""
     rows = n_perm // n_bands
     bands = F.explode(
         F.array(
@@ -250,6 +237,31 @@ def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = 16,
             .filter(F.col("_r") <= max_per_bucket)
             .drop("_r")
         )
+    return banded
+
+
+def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = 16,
+                        n_perm: int = 128,
+                        max_per_bucket: int | None = None) -> DataFrame:
+    """Band the signatures and emit candidate duplicate pairs (a < b).
+
+    ``max_per_bucket`` (opt-in) is the hot-bucket guard for
+    planet-scale runs: a degenerate band bucket holding B docs (an
+    identical-boilerplate flood — the classic LSH blowup) emits B^2/2
+    candidate pairs; with the cap, each (band, bucket) keeps only its
+    ``max_per_bucket`` deterministic md5-order docs, bounding the
+    worst bucket's fan-out at cap^2/2.  The truncation is documented
+    LOSS — a pair is missed only if EVERY band where the two docs
+    collide is capped and at least one of them is dropped there; with
+    identical docs (same bucket in all bands, same md5 order each
+    band) the kept subset still pairs completely among itself, so
+    boilerplate floods stay mutually-duplicate within the cap while
+    the quadratic tail is cut.  Deterministic, so capped results are
+    reproducible run-to-run (same design as
+    tiling.colocated_pairs(max_per_tile=...); tools/lsh_cap_soak.py
+    measures the worst-bucket bound and the recall delta).
+    """
+    banded = _band_signatures(signatures, n_bands, n_perm, max_per_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -788,4 +800,129 @@ def dedup_keep_best(docs: DataFrame, threshold: float = 0.8,
         (-F.col("b.neg_id")).alias("kept_doc_id"),
         F.col("b.quality_score").alias("kept_quality"),
         "cluster_size",
+    )
+
+
+def lsh_candidate_pairs_cross(sig_new: DataFrame, sig_index: DataFrame,
+                              n_bands: int = 16, n_perm: int = 128,
+                              max_per_bucket: int | None = None) -> DataFrame:
+    """Candidate pairs BETWEEN two signature tables: (doc_a from
+    ``sig_new``, doc_b from ``sig_index``) sharing any band bucket.
+
+    This is the incremental-ingestion shape of LSH: the index side is
+    the (huge) already-accepted corpus whose signatures are read back
+    from a materialized signature table, the new side is one delta
+    batch.  Banding both sides keys the ONE wide shuffle by
+    (band, bucket) exactly as the self-join path, so a 10^12-doc index
+    joins a 10^9-doc batch without ever pairing index docs with each
+    other — candidate cardinality is bounded by batch-side bucket
+    occupancy, not index size.  ``max_per_bucket`` applies the
+    deterministic hot-bucket guard independently per side."""
+    a = _band_signatures(sig_new, n_bands, n_perm, max_per_bucket).alias("a")
+    b = _band_signatures(sig_index, n_bands, n_perm, max_per_bucket).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def incremental_dedup(new_docs: DataFrame, index_docs: DataFrame,
+                      threshold: float = 0.5,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n_perm: int = 128, n_bands: int = 32,
+                      shingle_k: int = 3,
+                      index_signatures: DataFrame | None = None,
+                      max_per_bucket: int | None = None) -> DataFrame:
+    """Delta-batch dedup against an already-indexed corpus — the
+    continuous-ingestion step a recurring-crawl pipeline runs per batch
+    (the batch is deduped against everything accepted before it, never
+    the index against itself).
+
+    Decision per new doc, in precedence order:
+
+    - ``exact_index``: md5(text) collides with an index doc; matched_id
+      = min colliding index id.
+    - ``exact_batch``: no index collision, but a smaller-id batch doc
+      has the same md5 (that keeper itself goes on to the near stage);
+      matched_id = min batch id of the md5 group.
+    - ``near_index``: exact survivor whose verified shingle Jaccard
+      against some index doc >= ``threshold``; matched_id = min
+      verified index id, jaccard = the Jaccard against that id.
+    - ``keep``: none of the above (jaccard NULL).
+
+    Equal text md5 implies equal shingle sets, so exact decisions carry
+    jaccard = 1.0 exactly.  Output: one row per new doc —
+    (doc_id, decision, matched_id, jaccard).
+
+    Scale shape: the exact stage is two hash joins on text-md5 with the
+    batch-keeper min as a map-side-combinable groupBy (never a window
+    over a potentially boilerplate-hot md5 partition); the near stage
+    computes signatures only for exact survivors, reuses the index's
+    materialized signatures when ``index_signatures`` is passed (the
+    production path — the index is never re-shingled per batch), and
+    pairs via the banded cross join above.  Id spaces of the two sides
+    must be disjoint (they are distinct corpus generations).
+    """
+    new_t = new_docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.md5(text_col).alias("tmd5"),
+    )
+    idx_t = index_docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.md5(text_col).alias("tmd5"),
+    )
+    idx_md5 = idx_t.groupBy("tmd5").agg(F.min("doc_id").alias("idx_match"))
+    batch_min = new_t.groupBy("tmd5").agg(F.min("doc_id").alias("batch_min"))
+    tagged = (
+        new_t.join(idx_md5, "tmd5", "left")
+        .join(batch_min, "tmd5")
+        .select("doc_id", "text", "idx_match", "batch_min")
+    )
+
+    surv = tagged.filter(
+        F.col("idx_match").isNull() & (F.col("doc_id") == F.col("batch_min"))
+    ).select("doc_id", "text")
+    sig_new = minhash_signatures(surv, "doc_id", "text", n_perm, shingle_k)
+    if index_signatures is None:
+        index_signatures = minhash_signatures(
+            idx_t, "doc_id", "text", n_perm, shingle_k
+        )
+    cands = lsh_candidate_pairs_cross(
+        sig_new, index_signatures, n_bands, n_perm, max_per_bucket
+    )
+    texts = surv.union(idx_t.select("doc_id", "text"))
+    verified = verify_jaccard(cands, texts, threshold, "doc_id", "text",
+                              shingle_k)
+    near = verified.groupBy("doc_a").agg(
+        F.min("doc_b").alias("near_match"),
+        F.min_by("jaccard", "doc_b").alias("near_jac"),
+    )
+
+    out = tagged.join(near, tagged["doc_id"] == near["doc_a"], "left")
+    is_exact_idx = F.col("idx_match").isNotNull()
+    is_exact_batch = F.col("batch_min") < F.col("doc_id")
+    is_near = F.col("near_match").isNotNull()
+    return out.select(
+        "doc_id",
+        F.when(is_exact_idx, F.lit("exact_index"))
+        .when(is_exact_batch, F.lit("exact_batch"))
+        .when(is_near, F.lit("near_index"))
+        .otherwise(F.lit("keep"))
+        .alias("decision"),
+        F.when(is_exact_idx, F.col("idx_match"))
+        .when(is_exact_batch, F.col("batch_min"))
+        .otherwise(F.col("near_match"))
+        .alias("matched_id"),
+        F.when(is_exact_idx | is_exact_batch, F.lit(1.0))
+        .otherwise(F.col("near_jac"))
+        .alias("jaccard"),
     )

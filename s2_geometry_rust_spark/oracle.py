@@ -5025,3 +5025,95 @@ SELECT sc.doc_id, sc.n_tokens, sc.logit, t.thr
 FROM sc, t
 WHERE sc.logit >= t.thr
 """
+
+
+def incremental_dedup_sql(threshold: float = 0.5, n_perm: int = 128,
+                          n_bands: int = 32) -> str:
+    """Mirror of dedup.py:incremental_dedup over the md5(doc_id) split
+    (index = docs whose md5(doc_id::VARCHAR) first hex char < '8',
+    batch = the rest): exact stage via md5(text) collisions against the
+    index then the smaller-id batch keeper, near stage via the full
+    minhash pipeline with the cross (survivor x index) band join and the
+    min-index-id verified match.  DuckDB's md5 of the same strings is
+    byte-identical to Spark's, bucket equality is band-slice equality
+    (the engine's xxhash64 bucket collides at ~2^-64), and 1.0::DOUBLE
+    keeps DuckDB out of decimal arithmetic so the jaccard column stays
+    IEEE-double on both sides."""
+    rows = n_perm // n_bands
+    # the engine query plants exact duplicates (doc_id % 13 == 5 ->
+    # a text that is a pure function of doc_id) because the fixture
+    # corpus is duplicate-free; the oracle replays the planting, so the
+    # exact_index / exact_batch branches are exercised for real.
+    planted = ("CASE WHEN doc_id % 13 = 5 THEN 'planted dup ' || "
+               "CAST(doc_id % 29 AS VARCHAR) ELSE text END")
+    shingle_cte = _shingle_sets_cte().replace(
+        "FROM documents", "FROM planted_docs", 1
+    )
+    return f"""
+WITH planted_docs AS (
+  SELECT doc_id, {planted} AS text FROM documents
+),
+{shingle_cte},
+cls AS (
+  SELECT doc_id, md5(text) AS tmd5,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS is_idx
+  FROM planted_docs
+),
+idxd AS (SELECT doc_id, tmd5 FROM cls WHERE is_idx),
+newd AS (SELECT doc_id, tmd5 FROM cls WHERE NOT is_idx),
+idx_md5 AS (SELECT tmd5, min(doc_id) AS idx_match FROM idxd GROUP BY tmd5),
+bmin AS (SELECT tmd5, min(doc_id) AS batch_min FROM newd GROUP BY tmd5),
+tagged AS (
+  SELECT n.doc_id, i.idx_match, b.batch_min
+  FROM newd n
+  LEFT JOIN idx_md5 i ON n.tmd5 = i.tmd5
+  JOIN bmin b ON n.tmd5 = b.tmd5
+),
+surv AS (
+  SELECT doc_id FROM tagged
+  WHERE idx_match IS NULL AND doc_id = batch_min
+),
+perms(perm, a, b) AS (VALUES {_minhash_perm_values(n_perm)}),
+mins AS (
+  SELECT shd.doc_id, p.perm,
+         min(((p.a * shd.s + p.b) % {U64}::HUGEINT) % {MERSENNE61}) AS mv
+  FROM shd, perms p GROUP BY shd.doc_id, p.perm
+), sigs AS (
+  SELECT doc_id, list(mv ORDER BY perm) AS sig FROM mins GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, t.band,
+         sig[t.band*{rows}+1 : t.band*{rows}+{rows}] AS key
+  FROM sigs, range(0, {n_bands}) t(band)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+  WHERE x.doc_id IN (SELECT doc_id FROM surv)
+    AND y.doc_id IN (SELECT doc_id FROM idxd)
+), sets AS (
+  SELECT doc_id, list(s) AS ss FROM shd GROUP BY doc_id
+), verified AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+      / greatest(len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)), 1)
+      AS jaccard
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.doc_a
+  JOIN sets sb ON sb.doc_id = c.doc_b
+), near AS (
+  SELECT doc_a, min(doc_b) AS near_match,
+         min_by(jaccard, doc_b) AS near_jac
+  FROM verified WHERE jaccard >= {threshold!r}
+  GROUP BY doc_a
+)
+SELECT t.doc_id,
+  CASE WHEN t.idx_match IS NOT NULL THEN 'exact_index'
+       WHEN t.batch_min < t.doc_id THEN 'exact_batch'
+       WHEN nr.near_match IS NOT NULL THEN 'near_index'
+       ELSE 'keep' END AS decision,
+  CASE WHEN t.idx_match IS NOT NULL THEN t.idx_match
+       WHEN t.batch_min < t.doc_id THEN t.batch_min
+       ELSE nr.near_match END AS matched_id,
+  CASE WHEN t.idx_match IS NOT NULL OR t.batch_min < t.doc_id
+       THEN 1.0::DOUBLE ELSE nr.near_jac END AS jaccard
+FROM tagged t LEFT JOIN near nr ON nr.doc_a = t.doc_id
+"""

@@ -1,0 +1,139 @@
+"""incremental_dedup: delta-batch dedup against an indexed corpus.
+
+Covers the decision semantics (precedence, deterministic matched ids,
+exact-carries-jaccard-1.0), the batch-keeper survival rule (the keeper
+of a batch md5 group still reaches the near stage), equivalence of the
+inline vs materialized index-signature paths (the production shape
+where the index is never re-shingled per batch), and the cross
+candidate generator never pairing index docs with each other.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from s2_geometry_rust_spark.operators.dedup import (
+    incremental_dedup,
+    lsh_candidate_pairs_cross,
+    minhash_signatures,
+)
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+WORDS = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+NEAR = "alpha bravo charlie delta echo foxtrot golf hotel india kilo"
+OTHER = "zulu yankee xray whiskey victor uniform tango sierra romeo quebec"
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    index = _mkdocs(
+        spark,
+        [
+            (1, WORDS),          # exact twin of 101, near twin of 104
+            (2, OTHER),
+            (3, "solo index doc about nothing in particular"),
+        ],
+    )
+    new = _mkdocs(
+        spark,
+        [
+            (101, WORDS),        # exact_index -> 1
+            (102, "brand new content first seen today aardvark"),  # keep
+            (103, "repeated batch text not in index"),   # exact_batch keeper
+            (105, "repeated batch text not in index"),   # exact_batch -> 103
+            (104, NEAR),         # near_index -> 1 (9/11 shingle overlap)
+        ],
+    )
+    return index, new
+
+
+def test_decisions(spark, tiny):
+    index, new = tiny
+    out = {
+        r["doc_id"]: r
+        for r in incremental_dedup(new, index, threshold=0.5,
+                                   n_perm=64, n_bands=32).collect()
+    }
+    assert len(out) == 5
+    assert out[101]["decision"] == "exact_index"
+    assert out[101]["matched_id"] == 1
+    assert out[101]["jaccard"] == 1.0
+    assert out[102]["decision"] == "keep"
+    assert out[102]["matched_id"] is None
+    assert out[102]["jaccard"] is None
+    # min-id batch keeper survives (keep: its text is nowhere in the
+    # index), the other copy is dropped against the keeper
+    assert out[103]["decision"] == "keep"
+    assert out[105]["decision"] == "exact_batch"
+    assert out[105]["matched_id"] == 103
+    assert out[105]["jaccard"] == 1.0
+    assert out[104]["decision"] == "near_index"
+    assert out[104]["matched_id"] == 1
+    assert 0.5 <= out[104]["jaccard"] < 1.0
+
+
+def test_exact_index_takes_precedence_over_batch(spark):
+    # both docs collide with the index AND with each other: both must be
+    # exact_index (never exact_batch), matched to the min index id
+    index = _mkdocs(spark, [(7, WORDS), (4, WORDS)])
+    new = _mkdocs(spark, [(201, WORDS), (202, WORDS)])
+    out = {r["doc_id"]: r for r in
+           incremental_dedup(new, index, n_perm=64).collect()}
+    assert out[201]["decision"] == "exact_index"
+    assert out[202]["decision"] == "exact_index"
+    assert out[201]["matched_id"] == 4
+    assert out[202]["matched_id"] == 4
+
+
+def test_materialized_index_signatures_identical(spark, tiny, sf_dir):
+    index, new = tiny
+    sigs = minhash_signatures(index, n_perm=64)
+    inline = incremental_dedup(new, index, threshold=0.5, n_perm=64,
+                               n_bands=32).collect()
+    mat = incremental_dedup(new, index, threshold=0.5, n_perm=64,
+                            n_bands=32, index_signatures=sigs).collect()
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(inline, key=key) == sorted(mat, key=key)
+
+
+def test_cross_candidates_never_pair_index_side(spark):
+    # three identical index docs + one identical new doc: the cross
+    # generator must emit only (new, index) pairs, never index x index
+    index = _mkdocs(spark, [(1, WORDS), (2, WORDS), (3, WORDS)])
+    new = _mkdocs(spark, [(101, WORDS)])
+    cands = lsh_candidate_pairs_cross(
+        minhash_signatures(new, n_perm=64),
+        minhash_signatures(index, n_perm=64),
+        n_bands=16, n_perm=64,
+    ).collect()
+    assert {r["doc_a"] for r in cands} == {101}
+    assert {r["doc_b"] for r in cands} == {1, 2, 3}
+
+
+def test_empty_batch_and_empty_index(spark, tiny):
+    index, new = tiny
+    empty = _mkdocs(spark, [])
+    assert incremental_dedup(empty, index, n_perm=64).count() == 0
+    out = incremental_dedup(new, empty, n_perm=64).collect()
+    # nothing can match an empty index: only batch-internal exacts
+    decisions = {r["doc_id"]: r["decision"] for r in out}
+    assert decisions[105] == "exact_batch"
+    assert all(
+        d in ("keep", "exact_batch") for d in decisions.values()
+    )
+
+
+def test_contract_fixture_exercises_all_branches(spark, sf_dir):
+    from s2_geometry_rust_spark.engine_queries import incremental_dedup_q
+
+    out = incremental_dedup_q(spark, sf_dir).collect()
+    kinds = {r["decision"] for r in out}
+    assert kinds == {"keep", "near_index", "exact_index", "exact_batch"}
+    # one row per batch doc, ids unique
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids))
