@@ -2352,3 +2352,43 @@ def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["incremental_dedup"] = incremental_dedup_q
 ORACLES["incremental_dedup"] = oracle.incremental_dedup_sql()
+
+
+def lm_bigram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM novelty/fluency scoring (vocab.lm_bigram_novelty):
+    per-doc share of corpus-common bigrams and exact mean bigram
+    doc-frequency — the count-based stand-in for LM perplexity that
+    stays bit-exact across engines (ratios are single int64->double
+    divisions, never accumulated floats)."""
+    from .operators.vocab import lm_bigram_novelty
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm_bigram_novelty(docs, min_df=30)
+
+
+QUERIES["lm_bigram_novelty"] = lm_bigram_novelty_q
+ORACLES["lm_bigram_novelty"] = oracle.lm_bigram_novelty_sql()
+
+
+def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (corpus.snapshot_diff): two snapshot
+    generations derived deterministically from the documents table
+    (old drops doc_id%10==2 and carries an ' OLD-REVISION' text for
+    doc_id%10==1; new drops doc_id%10==0), so added / removed /
+    changed / unchanged all genuinely occur; ONE full-outer md5
+    equi-join, text bodies never leave the scan."""
+    from .operators.corpus import snapshot_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    old_s = docs.filter(d % 10 != 2).withColumn(
+        "text",
+        F.when(d % 10 == 1, F.concat(F.col("text"), F.lit(" OLD-REVISION")))
+        .otherwise(F.col("text")),
+    )
+    new_s = docs.filter(d % 10 != 0)
+    return snapshot_diff(old_s, new_s)
+
+
+QUERIES["snapshot_diff"] = snapshot_diff_q
+ORACLES["snapshot_diff"] = oracle.snapshot_diff_sql()

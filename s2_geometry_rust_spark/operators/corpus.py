@@ -111,3 +111,42 @@ def gate_funnel(docs: DataFrame, min_chars: int = 100,
         for i, (name, _) in enumerate(chain)
     ])
     return row.select(F.explode(packed).alias("p")).select("p.*")
+
+
+def snapshot_diff(old_docs: DataFrame, new_docs: DataFrame,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Corpus snapshot diff — the change-data view between two corpus
+    generations a recurring ingestion keeps: per doc id,
+
+    - ``added``: present only in the new snapshot,
+    - ``removed``: present only in the old snapshot,
+    - ``changed``: present in both with different text (md5 compare),
+    - ``unchanged``: present in both, identical text.
+
+    Output: (doc_id, status, old_md5, new_md5) — the md5s make the row
+    self-verifying and let downstream stages re-process exactly the
+    added+changed set (the incremental_dedup batch) without ever
+    diffing text bytes again.
+
+    Scale shape: texts reduce to md5 at the scan (projection carries 32
+    bytes/side, never the document body); ONE full-outer hash equi-join
+    on the id; no windows, no skew surface (ids are unique per side).
+    """
+    o = old_docs.select(
+        F.col(id_col).alias("doc_id"), F.md5(text_col).alias("old_md5")
+    )
+    n = new_docs.select(
+        F.col(id_col).alias("doc_id"), F.md5(text_col).alias("new_md5")
+    )
+    j = o.join(n, "doc_id", "full_outer")
+    return j.select(
+        "doc_id",
+        F.when(F.col("old_md5").isNull(), F.lit("added"))
+        .when(F.col("new_md5").isNull(), F.lit("removed"))
+        .when(F.col("old_md5") != F.col("new_md5"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        "old_md5",
+        "new_md5",
+    )

@@ -354,3 +354,74 @@ def bloom_decontaminate(docs: DataFrame, benchmark: DataFrame,
     return flagged.groupBy("doc_id").agg(
         F.count("*").alias("n_flagged_ngrams")
     )
+
+
+def lm_bigram_novelty(docs: DataFrame, min_df: int = 30,
+                      text_col: str = "text") -> DataFrame:
+    """Per-document bigram-LM novelty scoring — the count-based cousin
+    of perplexity (which needs ln and so can't be bit-exact across
+    engines): how much of a document is built from corpus-common
+    bigrams vs bigrams the corpus has rarely seen.  Low mean_df / high
+    novelty_rate flags gibberish, boilerplate mutations, and genuinely
+    novel text for routing or down-weighting.
+
+    Per doc over its bigram OCCURRENCES (multiplicity kept):
+
+    - ``n_bigrams``: occurrence count,
+    - ``n_known``: occurrences whose bigram document-frequency in the
+      corpus is >= ``min_df``,
+    - ``sum_df``: exact int64 sum of the occurrences' doc-frequencies,
+    - ``novelty_rate`` = (n_bigrams - n_known) / n_bigrams,
+    - ``mean_df`` = sum_df / n_bigrams,
+
+    both ratios a SINGLE int64->double division (IEEE-exact, engine ==
+    oracle bit-for-bit; never a sum of per-row doubles whose order
+    would matter).  Docs with < 2 tokens get zero counts and NULL
+    ratios.
+
+    Scale shape: the bigram expansion is a row-local array transform
+    (zero shuffle); the df table is one map-side-combinable groupBy on
+    the bigram key; the occurrence<->df equi-join is keyed by bigram
+    (high-cardinality, no skew hot-spotting: the hottest fixture bigram
+    covers < 1e-3 of occurrences, and a df table small enough gets
+    broadcast by AQE); the per-doc rollup partial-aggregates before its
+    single exchange.
+    """
+    toks = docs.withColumn("_toks", _tokens(text_col))
+    bg = toks.select(
+        "doc_id", F.explode(_ngrams_of(F.col("_toks"), 2)).alias("bigram")
+    )
+    df_table = (
+        bg.dropDuplicates(["doc_id", "bigram"])
+        .groupBy("bigram")
+        .agg(F.count("*").alias("df"))
+    )
+    per = (
+        bg.join(df_table, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("df") >= min_df, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_known"),
+            F.sum("df").alias("sum_df"),
+        )
+    )
+    ratio = F.col("n_bigrams").cast("double")
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_known", F.lit(0)).cast("long").alias("n_known"),
+            F.coalesce("sum_df", F.lit(0)).alias("sum_df"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                (F.col("n_bigrams") - F.col("n_known")).cast("double") / ratio,
+            ).alias("novelty_rate"),
+            F.when(
+                F.col("n_bigrams") > 0, F.col("sum_df").cast("double") / ratio
+            ).alias("mean_df"),
+        )
+    )

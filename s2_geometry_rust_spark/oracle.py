@@ -5117,3 +5117,68 @@ SELECT t.doc_id,
        THEN 1.0::DOUBLE ELSE nr.near_jac END AS jaccard
 FROM tagged t LEFT JOIN near nr ON nr.doc_a = t.doc_id
 """
+
+
+def lm_bigram_novelty_sql(min_df: int = 30) -> str:
+    """Mirror of vocab.lm_bigram_novelty: bigram occurrences with
+    multiplicity, doc-frequency over distinct (doc, bigram), known =
+    df >= min_df, ratios as single int->double divisions (both engines
+    perform the identical IEEE division, so doubles match bit-for-bit;
+    CAST is load-bearing to keep DuckDB out of decimal arithmetic)."""
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(toks) - 1),
+                               i -> toks[i + 1] || ' ' || toks[i + 2]))
+           AS bigram
+  FROM t WHERE len(toks) >= 2
+), dfx AS (
+  SELECT bigram, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, bigram FROM bg) GROUP BY bigram
+), per AS (
+  SELECT bg.doc_id, count(*) AS n_bigrams,
+         sum(CASE WHEN dfx.df >= {min_df} THEN 1 ELSE 0 END) AS n_known,
+         sum(dfx.df) AS sum_df
+  FROM bg JOIN dfx USING (bigram) GROUP BY bg.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(per.n_bigrams, 0) AS n_bigrams,
+       CAST(COALESCE(per.n_known, 0) AS BIGINT) AS n_known,
+       CAST(COALESCE(per.sum_df, 0) AS BIGINT) AS sum_df,
+       CASE WHEN per.n_bigrams > 0
+            THEN CAST(per.n_bigrams - per.n_known AS DOUBLE)
+                 / CAST(per.n_bigrams AS DOUBLE) END AS novelty_rate,
+       CASE WHEN per.n_bigrams > 0
+            THEN CAST(per.sum_df AS DOUBLE)
+                 / CAST(per.n_bigrams AS DOUBLE) END AS mean_df
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+
+def snapshot_diff_sql() -> str:
+    """Mirror of corpus.snapshot_diff over the derived snapshot pair
+    (old = doc_id % 10 != 2 with ' OLD-REVISION' appended when
+    doc_id % 10 = 1; new = doc_id % 10 != 0): one full-outer join on
+    doc_id, status from md5 comparison."""
+    return """
+WITH old_s AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 10 = 1 THEN text || ' OLD-REVISION'
+                  ELSE text END) AS old_md5
+  FROM documents WHERE doc_id % 10 <> 2
+), new_s AS (
+  SELECT doc_id, md5(text) AS new_md5 FROM documents WHERE doc_id % 10 <> 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.old_md5 IS NULL THEN 'added'
+            WHEN n.new_md5 IS NULL THEN 'removed'
+            WHEN o.old_md5 <> n.new_md5 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       o.old_md5, n.new_md5
+FROM old_s o FULL OUTER JOIN new_s n ON o.doc_id = n.doc_id
+"""
