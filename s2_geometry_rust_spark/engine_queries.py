@@ -2392,3 +2392,45 @@ def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["snapshot_diff"] = snapshot_diff_q
 ORACLES["snapshot_diff"] = oracle.snapshot_diff_sql()
+
+
+def tile_counts_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for tile counts
+    (tiling.apply_tile_count_delta): the previous snapshot's
+    materialized counts plus ONLY the delta points (removed / moved /
+    added — derived deterministically from c_custkey % 10: 0 = added,
+    1 = moved from a shifted position, 2 = removed) must equal a full
+    recompute of the new snapshot bit-for-bit — and the oracle IS that
+    full recompute (tile_counts_sql over the new snapshot), so the
+    green row proves the maintenance algebra, not just plumbing."""
+    from .operators.tiling import apply_tile_count_delta, tile_counts
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("k")
+    )
+    k = F.col("k")
+
+    def pts(df: DataFrame, kk: F.Column) -> DataFrame:
+        return df.select(
+            F.col("k").alias("point_id"),
+            ((kk * 37 % 997) / 498.5 - 1.0).alias("x"),
+            ((kk * 73 % 991) / 495.5 - 1.0).alias("y"),
+            ((kk * 101 % 983) / 491.5 - 1.0).alias("z"),
+        ).withColumn("cell_id", cell_id_from_xyz("x", "y", "z"))
+
+    moved_key = k + 500009
+    old_key = F.when(k % 10 == 1, moved_key).otherwise(k)
+    old_counts = tile_counts(pts(cust.filter(k % 10 != 0), old_key), 8)
+    removed = pts(cust.filter(k % 10 == 2), k).unionByName(
+        pts(cust.filter(k % 10 == 1), moved_key)
+    )
+    added = pts(cust.filter(k % 10 == 0), k).unionByName(
+        pts(cust.filter(k % 10 == 1), k)
+    )
+    return apply_tile_count_delta(old_counts, removed, added, 8)
+
+
+QUERIES["tile_counts_incremental"] = tile_counts_incremental_q
+ORACLES["tile_counts_incremental"] = oracle.tile_counts_sql(
+    8, table="(SELECT * FROM customer WHERE c_custkey % 10 <> 2)"
+)

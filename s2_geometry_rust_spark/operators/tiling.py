@@ -373,3 +373,51 @@ def geohash_tile_counts(points: DataFrame, precision: int = 6,
         .groupBy("geohash")
         .agg(F.count("*").alias("n_points"))
     )
+
+
+def apply_tile_count_delta(old_counts: DataFrame, removed: DataFrame,
+                           added: DataFrame, level: int,
+                           cell_col: str = "cell_id") -> DataFrame:
+    """Incremental view maintenance for tile counts: given the
+    MATERIALIZED counts of the previous snapshot and the delta point
+    sets (removed = points leaving, added = points arriving — a moved
+    point appears in both, at its old and new position), produce the
+    new snapshot's counts without touching the unchanged corpus.
+
+    New work is O(|delta|) + one join keyed by tile_id against the
+    (tiny, ~n_tiles-row) counts table: at 10^12 docs with a daily
+    churn of 10^8, this replaces a full 10^12-row re-aggregation with
+    a 10^8-row one — the checkpointed counts table is the "view" and
+    this operator is its maintenance transaction.  Count algebra is
+    exact (int64 adds), so the result is bit-identical to a full
+    recompute — which is exactly what the contract oracle checks.
+
+    Zero-count tiles are dropped (a full recompute never emits them).
+    Output: (tile_id, tile_token, n_points) like ``tile_counts``.
+    """
+    minus = (
+        with_tile(removed, level, cell_col)
+        .groupBy("tile_id")
+        .agg((-F.count("*")).alias("d"))
+    )
+    plus = (
+        with_tile(added, level, cell_col)
+        .groupBy("tile_id")
+        .agg(F.count("*").alias("d"))
+    )
+    delta = (
+        minus.unionByName(plus).groupBy("tile_id").agg(F.sum("d").alias("d"))
+    )
+    return (
+        old_counts.select("tile_id", "n_points")
+        .join(delta, "tile_id", "full_outer")
+        .select(
+            "tile_id",
+            (
+                F.coalesce("n_points", F.lit(0)) + F.coalesce("d", F.lit(0))
+            ).alias("n_points"),
+        )
+        .filter(F.col("n_points") > 0)
+        .withColumn("tile_token", cell_token("tile_id"))
+        .select("tile_id", "tile_token", "n_points")
+    )

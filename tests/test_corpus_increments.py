@@ -62,3 +62,43 @@ def test_lm_bigram_novelty_case_folds(spark):
     out = lm_bigram_novelty(docs, min_df=2).collect()
     # case-folded tokenization: both docs share the bigram, df = 2
     assert all(r["n_known"] == 1 for r in out)
+
+
+def test_apply_tile_count_delta_equals_recompute(spark, sf_dir):
+    """IVM algebra == full recompute on real fixture points, including
+    moved points (appearing in both delta sides) and tiles that drain
+    to zero (must vanish, as a recompute would never emit them)."""
+    from s2_geometry_rust_spark.functions import cell_id_from_xyz
+    from s2_geometry_rust_spark.operators.tiling import (
+        apply_tile_count_delta,
+        tile_counts,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("k")
+    )
+    k = F.col("k")
+
+    def pts(df, kk):
+        return df.select(
+            F.col("k").alias("point_id"),
+            ((kk * 37 % 997) / 498.5 - 1.0).alias("x"),
+            ((kk * 73 % 991) / 495.5 - 1.0).alias("y"),
+            ((kk * 101 % 983) / 491.5 - 1.0).alias("z"),
+        ).withColumn("cell_id", cell_id_from_xyz("x", "y", "z"))
+
+    # old = everything at base coords; new = drop k%7==0, move k%7==1
+    old_counts = tile_counts(pts(cust, k), 8)
+    removed = pts(cust.filter((k % 7 == 0) | (k % 7 == 1)), k)
+    added = pts(cust.filter(k % 7 == 1), k + 123457)
+    inc = apply_tile_count_delta(old_counts, removed, added, 8)
+
+    new_pts = pts(cust.filter(k % 7 > 1), k).unionByName(
+        pts(cust.filter(k % 7 == 1), k + 123457)
+    )
+    full = tile_counts(new_pts, 8)
+    a = {r["tile_id"]: (r["tile_token"], r["n_points"]) for r in inc.collect()}
+    b = {r["tile_id"]: (r["tile_token"], r["n_points"]) for r in full.collect()}
+    assert a == b
+    assert len(a) > 0
+    assert all(n > 0 for _, n in a.values())
