@@ -185,7 +185,8 @@ def main() -> None:
         "event_transitions", "quality_histogram", "tile_quality",
         "source_bbox", "pii_report", "dedup_keep_best", "ann_ivfpq",
         "semantic_dedup", "bloom_decontaminate", "classifier_scores",
-        "classifier_gate",
+        "classifier_gate", "incremental_dedup", "snapshot_diff",
+        "lm_bigram_novelty", "tile_counts_incremental",
     ]
     # steady-state protocol: min of 2 runs per query — the first run pays
     # one-time per-query costs (whole-stage-codegen JIT, Arrow worker
