@@ -2434,3 +2434,17 @@ QUERIES["tile_counts_incremental"] = tile_counts_incremental_q
 ORACLES["tile_counts_incremental"] = oracle.tile_counts_sql(
     8, table="(SELECT * FROM customer WHERE c_custkey % 10 <> 2)"
 )
+
+
+def collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (vocab.collocations): top-50 bigrams by
+    exact-integer lift (>= 5 occurrences) — monotone-equivalent to PMI
+    ranking but bit-exact (one double division, never a log)."""
+    from .operators.vocab import collocations
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return collocations(docs, min_count=5, k=50)
+
+
+QUERIES["collocations"] = collocations_q
+ORACLES["collocations"] = oracle.collocations_sql()

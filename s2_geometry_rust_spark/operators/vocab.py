@@ -425,3 +425,65 @@ def lm_bigram_novelty(docs: DataFrame, min_df: int = 30,
             ).alias("mean_df"),
         )
     )
+
+
+def collocations(docs: DataFrame, min_count: int = 5, k: int = 50,
+                 text_col: str = "text") -> DataFrame:
+    """Collocation (phrase) mining by exact-integer lift — the PMI
+    stand-in that stays bit-exact across engines (PMI's log changes no
+    ranking: log is monotone, so top-k by lift == top-k by PMI).
+
+    Over the corpus bigram-occurrence stream (N = total bigram count):
+
+        lift(a b) = (n_ab * N) / (n_left_a * n_right_b)
+
+    where n_left_a / n_right_b count occurrences of ``a`` as a first
+    token / ``b`` as a second token.  Both products are exact int64
+    (bound documented below); the division is ONE double op, so ranks
+    and values replay bit-for-bit in the oracle.  High lift = the pair
+    sticks together far more than its parts predict — the classic
+    phrase-vocabulary / tokenizer-merge signal.
+
+    Output: top-``k`` (bigram, n_ab, n_left, n_right, lift) by
+    (lift DESC, bigram ASC), rank included — deterministic ties.
+
+    Scale shape: bigram expansion is row-local; three count tables are
+    map-side-combinable groupBys; the margin joins key on single
+    tokens (the hottest fixture token covers ~2% of occurrences; at
+    web scale the margins table is tiny relative to the stream and
+    broadcastable); final top-k is a WindowGroupLimit over the
+    already-aggregated bigram table, never raw occurrences.  int64
+    bound: n_ab * N < 2^63 holds while N < ~3e9 with n_ab <= N; past
+    that, compute lift per SHARD (date/source) and merge, or widen to
+    decimal — documented, not silent.
+    """
+    toks = docs.withColumn("_toks", _tokens(text_col))
+    bg = toks.select(
+        F.explode(_ngrams_of(F.col("_toks"), 2)).alias("bigram")
+    ).select(
+        "bigram",
+        F.split(F.col("bigram"), " ", 2).getItem(0).alias("w1"),
+        F.split(F.col("bigram"), " ", 2).getItem(1).alias("w2"),
+    )
+    pair = bg.groupBy("bigram", "w1", "w2").agg(F.count("*").alias("n_ab"))
+    left = bg.groupBy("w1").agg(F.count("*").alias("n_left"))
+    right = bg.groupBy("w2").agg(F.count("*").alias("n_right"))
+    total = pair.agg(F.sum("n_ab").alias("n_total"))
+    scored = (
+        pair.filter(F.col("n_ab") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bigram", "n_ab", "n_left", "n_right",
+            (
+                (F.col("n_ab") * F.col("n_total")).cast("double")
+                / (F.col("n_left") * F.col("n_right")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.desc("lift"), "bigram")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

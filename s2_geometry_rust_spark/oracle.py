@@ -5182,3 +5182,45 @@ SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
        o.old_md5, n.new_md5
 FROM old_s o FULL OUTER JOIN new_s n ON o.doc_id = n.doc_id
 """
+
+
+def collocations_sql(min_count: int = 5, k: int = 50) -> str:
+    """Mirror of vocab.collocations: exact int64 counts and products,
+    lift as ONE double division (CASTs load-bearing to keep DuckDB in
+    IEEE doubles), top-k by (lift DESC, bigram ASC)."""
+    return rf"""
+WITH t AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), bg AS (
+  SELECT unnest(list_transform(range(len(toks) - 1),
+                               i -> toks[i + 1] || ' ' || toks[i + 2]))
+           AS bigram
+  FROM t WHERE len(toks) >= 2
+), sp AS (
+  SELECT bigram,
+         string_split(bigram, ' ')[1] AS w1,
+         string_split(bigram, ' ')[2] AS w2
+  FROM bg
+), pair AS (
+  SELECT bigram, w1, w2, count(*) AS n_ab FROM sp GROUP BY bigram, w1, w2
+), lft AS (SELECT w1, count(*) AS n_left FROM sp GROUP BY w1),
+rgt AS (SELECT w2, count(*) AS n_right FROM sp GROUP BY w2),
+tot AS (SELECT sum(n_ab) AS n_total FROM pair),
+scored AS (
+  SELECT p.bigram, p.n_ab, l.n_left, r.n_right,
+         CAST(p.n_ab * t.n_total AS DOUBLE)
+           / CAST(l.n_left * r.n_right AS DOUBLE) AS lift
+  FROM pair p
+  JOIN lft l USING (w1)
+  JOIN rgt r USING (w2)
+  CROSS JOIN tot t
+  WHERE p.n_ab >= {min_count}
+)
+SELECT * FROM (
+  SELECT bigram, n_ab, n_left, n_right, lift,
+         row_number() OVER (ORDER BY lift DESC, bigram) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

@@ -102,3 +102,41 @@ def test_apply_tile_count_delta_equals_recompute(spark, sf_dir):
     assert a == b
     assert len(a) > 0
     assert all(n > 0 for _, n in a.values())
+
+
+def test_collocations_lift_and_rank(spark):
+    from s2_geometry_rust_spark.operators.vocab import collocations
+
+    # "new york" always together; "the cat" / "the dog" share a left
+    # margin, diluting their lift
+    docs = spark.createDataFrame(
+        [
+            (1, "new york new york new york"),
+            (2, "the cat the dog the cat"),
+            (3, "new york the dog"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = collocations(docs, min_count=2, k=10).collect()
+    by_bg = {r["bigram"]: r for r in rows}
+    # counts: bigram stream includes cross-boundary pairs within a doc
+    ny = by_bg["new york"]
+    assert ny["n_ab"] == 4
+    # lift exact: n_ab * N / (n_left("new") * n_right("york"))
+    assert ny["lift"] == ny["n_ab"] * _total_bigrams(docs) / (
+        ny["n_left"] * ny["n_right"]
+    )
+    ranks = [r["rank"] for r in rows]
+    assert ranks == sorted(ranks) and len(set(ranks)) == len(ranks)
+    lifts = [r["lift"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+def _total_bigrams(docs):
+    from s2_geometry_rust_spark.operators.vocab import _ngrams_of, _tokens
+
+    return (
+        docs.withColumn("_toks", _tokens("text"))
+        .select(F.explode(_ngrams_of(F.col("_toks"), 2)).alias("b"))
+        .count()
+    )
