@@ -4,6 +4,7 @@ stream."""
 from .dedup import (  # noqa: F401
     streaming_corpus_filter,
     streaming_exact_dedup,
+    streaming_index_dedup,
     streaming_simhash_dedup,
 )
 from .sessions import streaming_session_stats  # noqa: F401

@@ -113,3 +113,177 @@ def streaming_corpus_filter(doc_stream: DataFrame, quality_min: float = 0.5,
     gated = gated.withColumn("text_md5", F.md5(F.col(text_col)))
     gated = gated.withWatermark(ts_col, watermark)
     return gated.dropDuplicatesWithinWatermark(["text_md5"])
+
+
+
+
+def streaming_index_dedup(doc_stream: DataFrame, index_docs: DataFrame,
+                          threshold: float = 0.5, n_perm: int = 128,
+                          n_bands: int = 32, shingle_k: int = 3,
+                          index_signatures: DataFrame | None = None,
+                          ts_col: str = "event_time",
+                          watermark: str = "10 minutes",
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Live-ingest twin of operators/dedup.incremental_dedup: decide
+    each streamed document against a STATIC indexed corpus.  Every
+    join is stream-static (no stream-stream joins); the only state is
+    the watermark-bounded (doc_a, doc_b) dedup that collapses a pair
+    colliding in several LSH bands to one candidate before the exact
+    Jaccard verify (same state shape as streaming_exact_dedup).
+
+    Emits MATCH rows only, append mode (absence == keep — the
+    streaming analogue of an anti-join the consumer applies):
+
+    - ``exact_index``: stream-static md5 equi-join against the index
+      keeper table (matched_id = min index id, jaccard 1.0);
+    - ``near_index``: exact non-matches run the SAME banded LSH
+      machinery as the batch operator — signatures via a stateless
+      mapInPandas that carries (text, ts) through, band explode,
+      stream-static join on (band, bucket) against the banded index
+      signatures (materialized once, like the batch
+      ``index_signatures`` path), watermark-bounded pair dedup, exact
+      Jaccard verify.  One row PER VERIFIED INDEX MATCH: the batch
+      operator's min-id reduction is an aggregation (stateful on a
+      stream), so downstream either aggregates under a watermark or
+      treats any match as a drop signal — and the twin relation stays
+      exact: the streamed near rows are precisely the batch
+      ``verified`` pair set restricted to exact survivors.
+
+    Within-stream (batch-internal) dedup composes upstream via
+    ``streaming_exact_dedup``; a per-micro-batch ``foreachBatch``
+    application of the full batch operator is the alternative when
+    exact_batch semantics are required per delta batch.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.dedup import (
+        _band_signatures,
+        _minhash_matrix,
+        _stable_shingle_hashes,
+        minhash_signatures,
+    )
+
+    s = doc_stream.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.col(ts_col).alias("_ts"),
+        F.md5(text_col).alias("tmd5"),
+    )
+    idx_t = index_docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.md5(text_col).alias("tmd5"),
+    )
+    idx_md5 = idx_t.groupBy("tmd5").agg(F.min("doc_id").alias("idx_match"))
+
+    exact = s.join(idx_md5, "tmd5").select(
+        "doc_id",
+        F.lit("exact_index").alias("decision"),
+        F.col("idx_match").alias("matched_id"),
+        F.lit(1.0).alias("jaccard"),
+    )
+
+    surv = s.join(idx_md5, "tmd5", "left_anti")
+    sig_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", surv.schema["text"].dataType),
+            StructField("_ts", surv.schema["_ts"].dataType),
+            StructField("sig", ArrayType(LongType())),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            sets = _stable_shingle_hashes(b["text"], shingle_k)
+            sig = _minhash_matrix(sets, n_perm)
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"].to_numpy(np.int64),
+                    "text": b["text"],
+                    "_ts": b["_ts"],
+                    "sig": list(sig.view(np.int64)),
+                }
+            )
+
+    sig_new = surv.select("doc_id", "text", "_ts").mapInPandas(
+        gen, sig_schema
+    )
+    rows = n_perm // n_bands
+    band_arr = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.xxhash64(F.slice("sig", i * rows + 1, rows)).alias(
+                        "bucket"
+                    ),
+                )
+                for i in range(n_bands)
+            ]
+        )
+    ).alias("bb")
+    banded_new = sig_new.select("doc_id", "text", "_ts", band_arr).select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("text_a"),
+        "_ts",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    if index_signatures is None:
+        index_signatures = minhash_signatures(
+            idx_t, "doc_id", "text", n_perm, shingle_k
+        )
+    banded_idx = _band_signatures(index_signatures, n_bands, n_perm).select(
+        F.col("doc_id").alias("doc_b"), "band", "bucket"
+    )
+    cand = (
+        banded_new.join(banded_idx, ["band", "bucket"])
+        .select("doc_a", "text_a", "_ts", "doc_b")
+        .withWatermark("_ts", watermark)
+        .dropDuplicatesWithinWatermark(["doc_a", "doc_b"])
+    )
+    withb = cand.join(
+        idx_t.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")),
+        "doc_b",
+    )
+
+    from pyspark.sql.functions import pandas_udf as _pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    # no type hints: pandas/pd is function-local here, so hint
+    # resolution would fail — the non-hinted form defaults to the
+    # scalar Arrow eval type, same as verify_jaccard's
+    @_pandas_udf(DoubleType())
+    def _jaccard(text_a, text_b):
+        sa = _stable_shingle_hashes(text_a, shingle_k)
+        sb = _stable_shingle_hashes(text_b, shingle_k)
+        return pd.Series(
+            [
+                len(np.intersect1d(x, y, assume_unique=True))
+                / max(len(np.union1d(x, y)), 1)
+                for x, y in zip(sa, sb)
+            ],
+            dtype=np.float64,
+        )
+
+    near = (
+        withb.select(
+            F.col("doc_a").alias("doc_id"),
+            F.lit("near_index").alias("decision"),
+            F.col("doc_b").alias("matched_id"),
+            _jaccard(F.col("text_a"), F.col("text_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return exact.unionByName(near)

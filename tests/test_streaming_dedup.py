@@ -144,3 +144,85 @@ def test_streaming_corpus_filter_matches_batch_gates(spark, tmp_path):
     # survivors must individually pass the gates
     assert (got["quality_score"] >= 0.5).all()
     assert (got["lang_pred"] == "en").all()
+
+
+def test_streaming_index_dedup_matches_batch_twin(spark, tmp_path):
+    """Stream-vs-static-index decisions == the batch incremental_dedup
+    components on the same data: exact rows == the batch exact_index
+    set, near pair rows == the batch verified pair set restricted to
+    exact survivors (the documented twin relation)."""
+    from s2_geometry_rust_spark.operators.dedup import (
+        incremental_dedup,
+        lsh_candidate_pairs_cross,
+        minhash_signatures,
+        verify_jaccard,
+    )
+    from s2_geometry_rust_spark.streaming import streaming_index_dedup
+
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    near = "alpha bravo charlie delta echo foxtrot golf hotel india kilo"
+    index = spark.createDataFrame(
+        [(1, words), (2, "completely different index content here"),
+         (3, "another unrelated index document body")],
+        "doc_id long, text string",
+    )
+    rows = [
+        (101, words),                              # exact_index
+        (102, near),                               # near_index
+        (103, "fresh streamed content aardvark"),  # keep (no row)
+        (104, words),                              # exact_index too
+    ]
+    stream_docs = spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).withColumn(
+        "event_time",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")),
+    )
+    src = str(tmp_path / "idx_dedup_src")
+    stream_docs.write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = streaming_index_dedup(stream, index, threshold=0.5, n_perm=64)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("idx_dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "idx_dedup_cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM idx_dedup_stream").toPandas()
+
+    streamed = {
+        (r.doc_id, r.decision, r.matched_id, round(r.jaccard, 12))
+        for r in got.itertuples()
+    }
+    # batch twin: exact_index rows from incremental_dedup; near pairs
+    # from the verified candidate set over exact survivors
+    batch = incremental_dedup(
+        stream_docs.drop("event_time"), index, threshold=0.5, n_perm=64,
+        n_bands=32,
+    ).collect()
+    want = {
+        (r["doc_id"], "exact_index", r["matched_id"], 1.0)
+        for r in batch if r["decision"] == "exact_index"
+    }
+    surv_ids = [r["doc_id"] for r in batch
+                if r["decision"] in ("keep", "near_index")]
+    surv = stream_docs.filter(F.col("doc_id").isin(surv_ids)).drop("event_time")
+    verified = verify_jaccard(
+        lsh_candidate_pairs_cross(
+            minhash_signatures(surv, n_perm=64),
+            minhash_signatures(index, n_perm=64),
+            n_bands=32, n_perm=64,
+        ),
+        surv.unionByName(index), 0.5,
+    ).collect()
+    want |= {
+        (r["doc_a"], "near_index", r["doc_b"], round(r["jaccard"], 12))
+        for r in verified
+    }
+    assert streamed == want
+    assert 103 not in {t[0] for t in streamed}  # keep == absence
