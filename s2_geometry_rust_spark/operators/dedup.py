@@ -839,7 +839,8 @@ def incremental_dedup(new_docs: DataFrame, index_docs: DataFrame,
                       n_perm: int = 128, n_bands: int = 32,
                       shingle_k: int = 3,
                       index_signatures: DataFrame | None = None,
-                      max_per_bucket: int | None = None) -> DataFrame:
+                      max_per_bucket: int | None = None,
+                      materialize_tags: bool | None = None) -> DataFrame:
     """Delta-batch dedup against an already-indexed corpus — the
     continuous-ingestion step a recurring-crawl pipeline runs per batch
     (the batch is deduped against everything accepted before it, never
@@ -869,6 +870,18 @@ def incremental_dedup(new_docs: DataFrame, index_docs: DataFrame,
     production path — the index is never re-shingled per batch), and
     pairs via the banded cross join above.  Id spaces of the two sides
     must be disjoint (they are distinct corpus generations).
+
+    ``materialize_tags`` (default None = auto from Catalyst's
+    optimized-plan size of the batch's (id, text) projection, same
+    64 MB rule as ngram_jaccard's grams checkpoint): the exact-tag
+    frame feeds THREE consumers (survivor signatures, the verify text
+    union, and the final decision join), so past bench scale its two
+    md5 hash joins re-run up to 3x without a checkpoint — the 400k/200k
+    soak measured the re-run cost as the difference between a
+    persisted-stage sum (~70 s at 1M/500k) and the naive end-to-end
+    wall (136.6 s).  The index side is deliberately NOT cached: a
+    10^12-doc index cannot be, and each of its consumers is a plain
+    re-scan Catalyst prunes independently.
     """
     new_t = new_docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
@@ -887,6 +900,18 @@ def incremental_dedup(new_docs: DataFrame, index_docs: DataFrame,
         .join(batch_min, "tmd5")
         .select("doc_id", "text", "idx_match", "batch_min")
     )
+    if materialize_tags is None:
+        try:
+            sz = int(
+                new_docs.select(id_col, text_col)
+                ._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes()
+            )
+            materialize_tags = sz > 64 * 1024 * 1024
+        except Exception:
+            materialize_tags = False
+    if materialize_tags:
+        tagged = tagged.localCheckpoint(eager=False)
 
     surv = tagged.filter(
         F.col("idx_match").isNull() & (F.col("doc_id") == F.col("batch_min"))
