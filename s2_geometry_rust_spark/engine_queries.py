@@ -2448,3 +2448,35 @@ def collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["collocations"] = collocations_q
 ORACLES["collocations"] = oracle.collocations_sql()
+
+
+def incremental_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental duplicate-cluster maintenance
+    (dedup.incremental_duplicate_clusters): the documents table split
+    by md5(doc_id) into an indexed corpus and a delta batch; old labels
+    come from duplicate_clusters over the index alone (the checkpoint
+    read, recomputed here), then only within-batch + cross pairs and
+    the star-compressed old labels feed the CC.  Output is provably
+    identical to the full-corpus recompute, and the oracle IS the
+    full-corpus recursive closure (dedup_clusters_sql) — same pair
+    universe, same components, same min-id labels."""
+    from .operators.dedup import (
+        duplicate_clusters,
+        incremental_duplicate_clusters,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+    index, batch = docs.filter(split), docs.filter(~split)
+    labels_old = duplicate_clusters(index, threshold=0.5, n_bands=32).select(
+        "doc_id", "cluster_id"
+    )
+    return incremental_duplicate_clusters(
+        batch, index, labels_old, threshold=0.5, n_bands=32
+    )
+
+
+QUERIES["incremental_clusters"] = incremental_clusters_q
+ORACLES["incremental_clusters"] = oracle.dedup_clusters_sql(
+    threshold=0.5, n_bands=32
+)

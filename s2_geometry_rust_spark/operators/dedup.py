@@ -951,3 +951,86 @@ def incremental_dedup(new_docs: DataFrame, index_docs: DataFrame,
         .otherwise(F.col("near_jac"))
         .alias("jaccard"),
     )
+
+
+def incremental_duplicate_clusters(new_docs: DataFrame,
+                                   index_docs: DataFrame,
+                                   labels_old: DataFrame,
+                                   threshold: float = 0.8,
+                                   id_col: str = "doc_id",
+                                   text_col: str = "text",
+                                   n_perm: int = 128, n_bands: int = 16,
+                                   shingle_k: int = 3,
+                                   index_signatures: DataFrame | None = None,
+                                   max_rounds: int = 50) -> DataFrame:
+    """Incremental maintenance of duplicate-cluster labels: given the
+    previous run's labels over the indexed corpus (``labels_old`` =
+    (doc_id, cluster_id), read from a checkpoint table in production)
+    and one delta batch, produce the labels of the COMBINED corpus
+    without re-pairing the index against itself.
+
+    New work per batch: within-batch near-dup pairs + batch<->index
+    cross pairs (banded LSH both ways, reusing materialized
+    ``index_signatures``) + the old labels star-compressed to
+    (cluster_id, doc_id) edges.  Correctness is an identity, not an
+    approximation: CC(star(G_old) UNION E_new) == CC(G_old UNION
+    E_new) because star compression preserves connectivity, and the
+    old cluster_id is itself the component minimum, so min-reachable
+    labels are preserved too.  The output is therefore IDENTICAL to
+    re-running ``duplicate_clusters`` over the full corpus — the
+    contract oracle IS that full-corpus recursive closure.
+
+    At 10^12 docs the difference is re-shingling + re-pairing the
+    whole corpus vs O(|batch|) shingling, one banded cross join
+    against checkpointed signatures, and a CC run whose index-side
+    input is one star edge per non-singleton doc (bounded by the
+    number of known duplicates, not corpus size).
+
+    Output: (doc_id, cluster_id, cluster_size) over ALL docs, exactly
+    like ``duplicate_clusters``.
+    """
+    new_t = new_docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+    idx_t = index_docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+    sigs_new = minhash_signatures(new_t, "doc_id", "text", n_perm, shingle_k)
+    if index_signatures is None:
+        index_signatures = minhash_signatures(
+            idx_t, "doc_id", "text", n_perm, shingle_k
+        )
+    batch_cands = lsh_candidate_pairs(sigs_new, n_bands, n_perm)
+    cross_cands = lsh_candidate_pairs_cross(
+        sigs_new, index_signatures, n_bands, n_perm
+    )
+    texts = new_t.union(idx_t)
+    verified = verify_jaccard(
+        batch_cands.unionByName(cross_cands), texts, threshold,
+        "doc_id", "text", shingle_k,
+    ).select("doc_a", "doc_b")
+    star = labels_old.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select(
+        F.col("cluster_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    cc = connected_components(
+        verified.unionByName(star), max_rounds=max_rounds
+    )
+    assigned = (
+        new_t.select("doc_id")
+        .union(idx_t.select("doc_id"))
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+    )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return assigned.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
