@@ -2480,3 +2480,37 @@ QUERIES["incremental_clusters"] = incremental_clusters_q
 ORACLES["incremental_clusters"] = oracle.dedup_clusters_sql(
     threshold=0.5, n_bands=32
 )
+
+
+def image_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched image resize over the codec seam
+    (multimodal.resize_images): image spans decode +
+    nearest-neighbor-resize in ONE Arrow pass, emitted as scalar
+    per-output-row rows (exact int sums + one division).  The resize
+    kernel is pluggable like the decoders; the fake grid stands in for
+    PIL and replays bit-for-bit in SQL."""
+    from .operators.multimodal import media_spans, resize_images
+    from .sources import interleave_flat_documents
+
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = interleave_flat_documents(flat, with_media=True)
+    return resize_images(media_spans(docs), out_h=16, out_w=16)
+
+
+def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over the codec seam
+    (multimodal.sample_frames): every 4th frame of each video span,
+    decimated INSIDE the scan partition (the full frame stream never
+    hits an exchange)."""
+    from .operators.multimodal import media_spans, sample_frames
+    from .sources import interleave_flat_documents
+
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = interleave_flat_documents(flat, with_media=True)
+    return sample_frames(media_spans(docs), every_k=4)
+
+
+QUERIES["image_resize"] = image_resize_q
+QUERIES["frame_sample"] = frame_sample_q
+ORACLES["image_resize"] = oracle.image_resize_sql()
+ORACLES["frame_sample"] = oracle.frame_sample_sql()

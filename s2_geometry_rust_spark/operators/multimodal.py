@@ -24,6 +24,7 @@ from pyspark.sql.types import (
     BinaryType,
     DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -206,3 +207,186 @@ def extract_media_features(spans: DataFrame) -> DataFrame:
             yield pd.concat(parts, ignore_index=True)
 
     return spans.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def _fake_pixels(payload: bytes, src_h: int = 64,
+                 src_w: int = 64) -> np.ndarray:
+    """Deterministic stand-in pixel grid for the fake image decoder:
+    int pixels in [0, 251), p(r, c) = (S + 31r + 17c) % 251 with S =
+    byte sum of the payload — a pure-integer function both engines
+    replay exactly (the payload is the utf-8 media_ref, so S is a
+    unicode-codepoint sum in SQL).  A real deployment swaps
+    RESIZERS["image"] for a PIL/numpy decode of the same
+    (payloads) -> (n, h, w) contract."""
+    s = int(np.frombuffer(payload, np.uint8).astype(np.int64).sum())
+    r = np.arange(src_h, dtype=np.int64)[:, None] * 31
+    c = np.arange(src_w, dtype=np.int64)[None, :] * 17
+    return (s + r + c) % 251
+
+
+def _fake_resize_batch(payloads: list[bytes], out_h: int, out_w: int,
+                       src_h: int = 64, src_w: int = 64) -> list[np.ndarray]:
+    """Nearest-neighbor resize of the fake pixel grids: source index =
+    floor(i * src / out) — the classic NN mapping, identical in SQL."""
+    ri = (np.arange(out_h, dtype=np.int64) * src_h) // out_h
+    ci = (np.arange(out_w, dtype=np.int64) * src_w) // out_w
+    return [
+        _fake_pixels(p, src_h, src_w)[np.ix_(ri, ci)] for p in payloads
+    ]
+
+
+RESIZERS = {"image": _fake_resize_batch}
+
+
+RESIZED_ROW_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("span_idx", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("out_w", IntegerType()),
+        StructField("row_idx", IntegerType()),
+        StructField("row_sum", LongType()),
+        StructField("row_mean", DoubleType()),
+    ]
+)
+
+
+def resize_images(spans: DataFrame, out_h: int = 16,
+                  out_w: int = 16) -> DataFrame:
+    """Batched image resize over the codec seam: image-modality spans
+    decode and nearest-neighbor-resize inside ONE Arrow pass (no
+    shuffle — runs in place on the span partitions, like
+    extract_media_features).  Output is one row per RESIZED IMAGE ROW
+    with scalar columns only (row_sum = exact int64 pixel sum,
+    row_mean = one int->double division), so the result is
+    driver-canonicalizable and bit-exact against the SQL replay.
+
+    The decode+resize kernel is pluggable (RESIZERS — same design as
+    DECODERS): the deterministic fake grid stands in for PIL, and the
+    pure-python PNG parser proves the seam takes a real codec."""
+    imgs = spans.filter(F.col("modality") == "image")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            resized = RESIZERS["image"](list(b["payload"]), out_h, out_w)
+            n = len(b)
+            sums = np.stack([r.sum(axis=1) for r in resized])  # (n, out_h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(b["doc_id"].to_numpy(), out_h),
+                    "span_idx": np.repeat(
+                        b["span_idx"].to_numpy(np.int32), out_h
+                    ),
+                    "out_h": np.int32(out_h),
+                    "out_w": np.int32(out_w),
+                    "row_idx": np.tile(
+                        np.arange(out_h, dtype=np.int32), n
+                    ),
+                    "row_sum": sums.reshape(-1).astype(np.int64),
+                    "row_mean": sums.reshape(-1) / float(out_w),
+                }
+            )
+
+    return imgs.mapInPandas(run, RESIZED_ROW_SCHEMA)
+
+
+def _fake_frame_values(payload: bytes, frame_idx: np.ndarray) -> np.ndarray:
+    """Deterministic stand-in per-frame value: (7S + 13f) % 251."""
+    s = int(np.frombuffer(payload, np.uint8).astype(np.int64).sum())
+    return (7 * s + 13 * frame_idx) % 251
+
+
+FRAME_SAMPLERS = {"video": _fake_frame_values}
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("span_idx", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_value", LongType()),
+        StructField("frame_feature", DoubleType()),
+    ]
+)
+
+
+def sample_frames(spans: DataFrame, every_k: int = 4,
+                  n_frames: int = 16) -> DataFrame:
+    """Video frame sampling over the codec seam: every k-th frame of
+    each video-modality span, one Arrow pass, no shuffle.  The frame
+    reader is pluggable (FRAME_SAMPLERS — a pyav keyframe reader slots
+    into the same (payload, frame indices) -> values contract); the
+    deterministic fake emits frame_value = (7S + 13f) % 251 and
+    frame_feature = frame_value / 251.0 (one exact division), replayed
+    bit-for-bit in SQL.
+
+    At 100 TB this is the decimation step that makes video corpora
+    tractable: sampling inside the scan partition means the full frame
+    stream never hits an exchange — only the sampled rows do."""
+    vids = spans.filter(F.col("modality") == "video")
+    fidx = np.arange(0, n_frames, every_k, dtype=np.int64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            vals = np.stack(
+                [
+                    FRAME_SAMPLERS["video"](p, fidx)
+                    for p in b["payload"]
+                ]
+            )  # (n, n_sampled)
+            n, k = len(b), len(fidx)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(b["doc_id"].to_numpy(), k),
+                    "span_idx": np.repeat(
+                        b["span_idx"].to_numpy(np.int32), k
+                    ),
+                    "n_frames": np.int32(n_frames),
+                    "frame_idx": np.tile(fidx.astype(np.int32), n),
+                    "frame_value": vals.reshape(-1).astype(np.int64),
+                    "frame_feature": vals.reshape(-1) / 251.0,
+                }
+            )
+
+    return vids.mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_png_batch(payloads: list[bytes], out_h: int, out_w: int,
+                     src_h: int = 64, src_w: int = 64) -> list[np.ndarray]:
+    """Real (pure-python stdlib) PNG nearest-neighbor resize honoring
+    the RESIZERS contract: parse each grayscale-8 PNG (IHDR dims, IDAT
+    zlib, filter-0 rows — same dialect as decode_png_batch), then
+    gather rows/cols at floor(i*src/out).  ``src_h``/``src_w`` are
+    ignored — the true dims come from each IHDR.  Swap in for
+    RESIZERS["image"] when payloads are real PNGs."""
+    import struct
+    import zlib
+
+    out = []
+    for p in payloads:
+        p = bytes(p)
+        if p[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("payload is not a PNG stream")
+        length, tag = struct.unpack(">I4s", p[8:16])
+        if tag != b"IHDR" or length != 13:
+            raise ValueError("malformed PNG: IHDR not first chunk")
+        w, h = struct.unpack(">II", p[16:24])
+        off, idat = 16 + length + 4, b""
+        while off < len(p):
+            ln, tg = struct.unpack(">I4s", p[off:off + 8])
+            if tg == b"IDAT":
+                idat += p[off + 8:off + 8 + ln]
+            if tg == b"IEND":
+                break
+            off += 12 + ln
+        pix = np.frombuffer(zlib.decompress(idat), np.uint8)
+        pix = pix.reshape(h, w + 1)[:, 1:].astype(np.int64)
+        ri = (np.arange(out_h, dtype=np.int64) * h) // out_h
+        ci = (np.arange(out_w, dtype=np.int64) * w) // out_w
+        out.append(pix[np.ix_(ri, ci)])
+    return out

@@ -5224,3 +5224,66 @@ SELECT * FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+def _media_ref_cte() -> str:
+    """Shared media-pipeline replay fragments (same derivations as
+    media_features_sql): ref string, modality class m3, and the
+    payload byte sum s (the payload is the utf-8 ref, so the byte sum
+    is a unicode-codepoint sum — ASCII refs)."""
+    return f"""m AS (
+  SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+         'media://' || lpad(lower(to_hex(doc_id)), 10, '0') AS ref
+  FROM documents
+), h AS (
+  SELECT doc_id, ref,
+         CAST({_fnv1a_sql('ref')} % 3 AS INT) AS m3,
+         list_sum(list_transform(range(1, len(ref) + 1),
+                  j -> unicode(substr(ref, j, 1)))) AS s
+  FROM m
+)"""
+
+
+def image_resize_sql(out_h: int = 16, out_w: int = 16,
+                     src_h: int = 64, src_w: int = 64) -> str:
+    """Mirror of multimodal.resize_images over the fake pixel grid
+    p(r,c) = (S + 31r + 17c) % 251 with nearest-neighbor source index
+    floor(i*src/out): integer row sums are exact, row_mean is one
+    int->double division (out_w = 16 is even a power of two)."""
+    return f"""
+WITH {_media_ref_cte()},
+img AS (SELECT doc_id, s FROM h WHERE m3 = 0),
+rws AS (
+  SELECT doc_id, s, CAST(r.ri AS INT) AS row_idx
+  FROM img CROSS JOIN range(0, {out_h}) r(ri)
+)
+SELECT doc_id, CAST(2 AS INT) AS span_idx,
+       CAST({out_h} AS INT) AS out_h, CAST({out_w} AS INT) AS out_w,
+       row_idx,
+       CAST(list_sum(list_transform(range(0, {out_w}),
+         j -> (s + 31 * ((row_idx * {src_h}) // {out_h})
+                 + 17 * ((j * {src_w}) // {out_w})) % 251)) AS BIGINT)
+         AS row_sum,
+       CAST(list_sum(list_transform(range(0, {out_w}),
+         j -> (s + 31 * ((row_idx * {src_h}) // {out_h})
+                 + 17 * ((j * {src_w}) // {out_w})) % 251)) AS DOUBLE)
+         / CAST({out_w} AS DOUBLE) AS row_mean
+FROM rws
+"""
+
+
+def frame_sample_sql(every_k: int = 4, n_frames: int = 16) -> str:
+    """Mirror of multimodal.sample_frames: every k-th frame of each
+    video span, frame_value = (7S + 13f) % 251 exact int, feature =
+    one int->double division."""
+    return f"""
+WITH {_media_ref_cte()},
+vid AS (SELECT doc_id, s FROM h WHERE m3 = 2)
+SELECT doc_id, CAST(2 AS INT) AS span_idx,
+       CAST({n_frames} AS INT) AS n_frames,
+       CAST(f.fi AS INT) AS frame_idx,
+       CAST((7 * s + 13 * f.fi) % 251 AS BIGINT) AS frame_value,
+       CAST((7 * s + 13 * f.fi) % 251 AS DOUBLE) / CAST(251 AS DOUBLE)
+         AS frame_feature
+FROM vid CROSS JOIN range(0, {n_frames}, {every_k}) f(fi)
+"""
