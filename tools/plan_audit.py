@@ -36,6 +36,10 @@ NESTED_LOOP_ALLOWED = {
     "hilbert_partition_stats",
     # threshold side is a 1-row scalar aggregate broadcast over the scores
     "classifier_gate",
+    # n_total side is a 1-row scalar aggregate broadcast over the
+    # per-bigram table (vocab.collocations) — same class as
+    # classifier_gate's threshold row
+    "collocations",
     # strict completion leg pairs edge tables of 3-30-row loop dims via
     # a documented broadcast theta join (spatial_join.py
     # loop_edge_crossing_pairs); the v0-parent index path would
