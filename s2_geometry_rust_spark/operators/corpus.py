@@ -134,17 +134,27 @@ def snapshot_diff(old_docs: DataFrame, new_docs: DataFrame,
     on the id; no windows, no skew surface (ids are unique per side).
     """
     o = old_docs.select(
-        F.col(id_col).alias("doc_id"), F.md5(text_col).alias("old_md5")
+        F.col(id_col).alias("doc_id"),
+        F.md5(text_col).alias("old_md5"),
+        F.lit(True).alias("_in_old"),
     )
     n = new_docs.select(
-        F.col(id_col).alias("doc_id"), F.md5(text_col).alias("new_md5")
+        F.col(id_col).alias("doc_id"),
+        F.md5(text_col).alias("new_md5"),
+        F.lit(True).alias("_in_new"),
     )
     j = o.join(n, "doc_id", "full_outer")
+    # presence flags, not md5 nullness: md5(NULL text) is NULL, so a
+    # doc with NULL text present in both snapshots must still compare
+    # as unchanged (null-safe equality), never as added/removed
     return j.select(
         "doc_id",
-        F.when(F.col("old_md5").isNull(), F.lit("added"))
-        .when(F.col("new_md5").isNull(), F.lit("removed"))
-        .when(F.col("old_md5") != F.col("new_md5"), F.lit("changed"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("old_md5").eqNullSafe(F.col("new_md5")),
+            F.lit("changed"),
+        )
         .otherwise(F.lit("unchanged"))
         .alias("status"),
         "old_md5",

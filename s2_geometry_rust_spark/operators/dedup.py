@@ -203,16 +203,14 @@ def _stable_shingle_hashes(texts: pd.Series, k: int) -> list[np.ndarray]:
     return out
 
 
-def _band_signatures(signatures: DataFrame, n_bands: int, n_perm: int,
-                     max_per_bucket: int | None = None) -> DataFrame:
-    """(doc_id, band, bucket) rows: each signature exploded into its
-    ``n_bands`` band slices, bucket = xxhash64 of the slice.  The
-    optional ``max_per_bucket`` hot-bucket guard keeps only the first
-    ``max_per_bucket`` docs of each (band, bucket) in deterministic
-    (md5(doc_id), doc_id) order — see lsh_candidate_pairs for the loss
-    semantics."""
+def _band_struct_col(n_bands: int, n_perm: int) -> F.Column:
+    """The exploded (band, bucket) struct column over a ``sig`` array:
+    bucket = xxhash64 of the band's signature slice.  The ONE place the
+    banding layout (slice offsets + bucket hash) is defined — the
+    batch self-join, the cross join, and the streaming twin all build
+    on this column, so their bucket assignments can never drift."""
     rows = n_perm // n_bands
-    bands = F.explode(
+    return F.explode(
         F.array(
             *[
                 F.struct(
@@ -222,7 +220,18 @@ def _band_signatures(signatures: DataFrame, n_bands: int, n_perm: int,
                 for i in range(n_bands)
             ]
         )
-    ).alias("b")
+    )
+
+
+def _band_signatures(signatures: DataFrame, n_bands: int, n_perm: int,
+                     max_per_bucket: int | None = None) -> DataFrame:
+    """(doc_id, band, bucket) rows: each signature exploded into its
+    ``n_bands`` band slices, bucket = xxhash64 of the slice.  The
+    optional ``max_per_bucket`` hot-bucket guard keeps only the first
+    ``max_per_bucket`` docs of each (band, bucket) in deterministic
+    (md5(doc_id), doc_id) order — see lsh_candidate_pairs for the loss
+    semantics."""
+    bands = _band_struct_col(n_bands, n_perm).alias("b")
     banded = signatures.select("doc_id", bands).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
     )
@@ -278,6 +287,38 @@ def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = 16,
     )
 
 
+def _jaccard_series(text_a: pd.Series, text_b: pd.Series,
+                    shingle_k: int) -> pd.Series:
+    """Exact shingle-Jaccard kernel over two aligned text series — the
+    ONE implementation every verify path (batch and streaming) must
+    share, so twin equality can never drift between copies."""
+    sa = _stable_shingle_hashes(text_a, shingle_k)
+    sb = _stable_shingle_hashes(text_b, shingle_k)
+    jac = np.array(
+        [
+            len(np.intersect1d(x, y, assume_unique=True))
+            / max(len(np.union1d(x, y)), 1)
+            for x, y in zip(sa, sb)
+        ],
+        dtype=np.float64,
+    )
+    return pd.Series(jac)
+
+
+def jaccard_udf(shingle_k: int = 3):
+    """Arrow column udf wrapping _jaccard_series: only the two text
+    columns cross to Python (one way) and a double comes back — the
+    pair ids stay JVM-side (same Arrow-transport finding as the PIP
+    refine)."""
+    from pyspark.sql.functions import pandas_udf as _pandas_udf
+
+    @_pandas_udf(DoubleType())
+    def _jaccard(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
+        return _jaccard_series(text_a, text_b, shingle_k)
+
+    return _jaccard
+
+
 def verify_jaccard(pairs: DataFrame, docs: DataFrame, threshold: float,
                    id_col: str = "doc_id", text_col: str = "text",
                    shingle_k: int = 3) -> DataFrame:
@@ -293,25 +334,7 @@ def verify_jaccard(pairs: DataFrame, docs: DataFrame, threshold: float,
         .withColumnRenamed("_text", "text_b")
         .drop("_id")
     )
-    # Jaccard as an Arrow column udf: only the two text columns cross
-    # to Python (one way) and a double comes back — the pair ids stay
-    # JVM-side (same Arrow-transport finding as the PIP refine).
-    from pyspark.sql.functions import pandas_udf as _pandas_udf
-
-    @_pandas_udf(DoubleType())
-    def _jaccard(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
-        sa = _stable_shingle_hashes(text_a, shingle_k)
-        sb = _stable_shingle_hashes(text_b, shingle_k)
-        jac = np.array(
-            [
-                len(np.intersect1d(x, y, assume_unique=True))
-                / max(len(np.union1d(x, y)), 1)
-                for x, y in zip(sa, sb)
-            ],
-            dtype=np.float64,
-        )
-        return pd.Series(jac)
-
+    _jaccard = jaccard_udf(shingle_k)
     verified = j.select(
         "doc_a", "doc_b",
         _jaccard(F.col("text_a"), F.col("text_b")).alias("jaccard"),
@@ -511,13 +534,21 @@ def duplicate_clusters(docs: DataFrame, threshold: float = 0.8,
         docs, threshold, id_col, text_col, n_perm, n_bands, shingle_k
     )
     cc = connected_components(pairs, max_rounds=max_rounds)
-    assigned = (
-        docs.select(F.col(id_col).cast("long").alias("doc_id"))
-        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("component", "doc_id").alias("cluster_id"),
-        )
+    return _label_with_sizes(
+        docs.select(F.col(id_col).cast("long").alias("doc_id")), cc
+    )
+
+
+def _label_with_sizes(ids: DataFrame, cc: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) from a doc-id relation and a
+    CC (node, component) labeling — singletons label themselves; sizes
+    via groupBy + join back (a boilerplate cluster is one hot aggregate
+    row, never a hot window partition).  Shared by duplicate_clusters
+    and its incremental twin so the labeling semantics cannot drift."""
+    assigned = ids.join(
+        cc.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
     )
     sizes = assigned.groupBy("cluster_id").agg(
         F.count("*").alias("cluster_size")
@@ -1019,18 +1050,6 @@ def incremental_duplicate_clusters(new_docs: DataFrame,
     cc = connected_components(
         verified.unionByName(star), max_rounds=max_rounds
     )
-    assigned = (
-        new_t.select("doc_id")
-        .union(idx_t.select("doc_id"))
-        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("component", "doc_id").alias("cluster_id"),
-        )
-    )
-    sizes = assigned.groupBy("cluster_id").agg(
-        F.count("*").alias("cluster_size")
-    )
-    return assigned.join(sizes, "cluster_id").select(
-        "doc_id", "cluster_id", "cluster_size"
+    return _label_with_sizes(
+        new_t.select("doc_id").union(idx_t.select("doc_id")), cc
     )

@@ -417,7 +417,13 @@ def apply_tile_count_delta(old_counts: DataFrame, removed: DataFrame,
                 F.coalesce("n_points", F.lit(0)) + F.coalesce("d", F.lit(0))
             ).alias("n_points"),
         )
-        .filter(F.col("n_points") > 0)
+        .filter(F.col("n_points") != 0)
+        # != 0, NOT > 0: with consistent deltas the two are identical
+        # (counts can only drain to exactly zero), but an inconsistent
+        # input — a 'removed' point that was never in the old snapshot
+        # — yields a NEGATIVE count, and silently dropping it would
+        # make a broken delta look like a clean recompute.  Negative
+        # rows surface the violation instead.
         .withColumn("tile_token", cell_token("tile_id"))
         .select("tile_id", "tile_token", "n_points")
     )

@@ -2047,20 +2047,18 @@ def media_features_sql() -> str:
     The media span is always span_idx 2 (after text and geo).  Features
     come back posexploded to scalar (dim_idx, feature) rows mirroring
     the Spark query (the driver canonicalizer cannot hash a raw
-    array<double> column)."""
+    array<double> column).  The ref / modality / byte-sum derivations
+    come from _media_ref_cte — the ONE definition all three media
+    oracles (features, resize, frame-sample) share."""
     return f"""
-WITH m AS (
-  SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
-         'media://' || lpad(lower(to_hex(doc_id)), 10, '0') AS ref
-  FROM documents
-), h AS (
-  SELECT doc_id, ref,
-         CAST({_fnv1a_sql('ref')} % 3 AS INT) AS m3,
+WITH {_media_ref_cte()},
+hf AS (
+  SELECT doc_id, ref, m3,
          list_transform(range(len(ref)-7, len(ref)+1),
            k -> CAST(list_sum(list_transform(range(1, k+1),
                   j -> unicode(substr(ref, j, 1)))) % 251 AS DOUBLE) / 251.0
          ) AS features
-  FROM m
+  FROM h
 )
 SELECT doc_id, CAST(2 AS INT) AS span_idx,
        CASE m3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -2073,7 +2071,7 @@ SELECT doc_id, CAST(2 AS INT) AS span_idx,
          AS n_frames,
        CAST(d.dim_idx AS INT) AS dim_idx,
        features[CAST(d.dim_idx AS INT) + 1] AS feature
-FROM h CROSS JOIN range(0, 8) AS d(dim_idx)
+FROM hf CROSS JOIN range(0, 8) AS d(dim_idx)
 """
 
 
@@ -5175,9 +5173,9 @@ WITH old_s AS (
   SELECT doc_id, md5(text) AS new_md5 FROM documents WHERE doc_id % 10 <> 0
 )
 SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-       CASE WHEN o.old_md5 IS NULL THEN 'added'
-            WHEN n.new_md5 IS NULL THEN 'removed'
-            WHEN o.old_md5 <> n.new_md5 THEN 'changed'
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.old_md5 IS DISTINCT FROM n.new_md5 THEN 'changed'
             ELSE 'unchanged' END AS status,
        o.old_md5, n.new_md5
 FROM old_s o FULL OUTER JOIN new_s n ON o.doc_id = n.doc_id

@@ -146,13 +146,19 @@ def streaming_index_dedup(doc_stream: DataFrame, index_docs: DataFrame,
       Jaccard verify.  One row PER VERIFIED INDEX MATCH: the batch
       operator's min-id reduction is an aggregation (stateful on a
       stream), so downstream either aggregates under a watermark or
-      treats any match as a drop signal — and the twin relation stays
-      exact: the streamed near rows are precisely the batch
-      ``verified`` pair set restricted to exact survivors.
+      treats any match as a drop signal.
 
-    Within-stream (batch-internal) dedup composes upstream via
-    ``streaming_exact_dedup``; a per-micro-batch ``foreachBatch``
-    application of the full batch operator is the alternative when
+    Twin relation (exact, but mind the survivor definition): the
+    streamed near rows are precisely the batch ``verified`` pair set
+    over STREAM DOCS WITHOUT AN INDEX EXACT MATCH.  That is a
+    SUPERSET of the batch operator's near stage when the stream holds
+    within-stream exact duplicates — the batch path sends only each
+    md5 group's min-id keeper to the near stage (the rest become
+    exact_batch), while this operator has no batch boundary and
+    evaluates every non-index-matched doc, so duplicate copies each
+    emit their own near rows.  Compose ``streaming_exact_dedup``
+    upstream to collapse within-stream copies first, or apply the
+    full batch operator per micro-batch via ``foreachBatch`` when
     exact_batch semantics are required per delta batch.
     """
     from collections.abc import Iterator
@@ -168,8 +174,10 @@ def streaming_index_dedup(doc_stream: DataFrame, index_docs: DataFrame,
 
     from ..operators.dedup import (
         _band_signatures,
+        _band_struct_col,
         _minhash_matrix,
         _stable_shingle_hashes,
+        jaccard_udf,
         minhash_signatures,
     )
 
@@ -219,20 +227,9 @@ def streaming_index_dedup(doc_stream: DataFrame, index_docs: DataFrame,
     sig_new = surv.select("doc_id", "text", "_ts").mapInPandas(
         gen, sig_schema
     )
-    rows = n_perm // n_bands
-    band_arr = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.xxhash64(F.slice("sig", i * rows + 1, rows)).alias(
-                        "bucket"
-                    ),
-                )
-                for i in range(n_bands)
-            ]
-        )
-    ).alias("bb")
+    # same banding layout as the batch paths — the shared column
+    # builder is what keeps stream/batch bucket assignments identical
+    band_arr = _band_struct_col(n_bands, n_perm).alias("bb")
     banded_new = sig_new.select("doc_id", "text", "_ts", band_arr).select(
         F.col("doc_id").alias("doc_a"),
         F.col("text").alias("text_a"),
@@ -258,25 +255,7 @@ def streaming_index_dedup(doc_stream: DataFrame, index_docs: DataFrame,
         "doc_b",
     )
 
-    from pyspark.sql.functions import pandas_udf as _pandas_udf
-    from pyspark.sql.types import DoubleType
-
-    # no type hints: pandas/pd is function-local here, so hint
-    # resolution would fail — the non-hinted form defaults to the
-    # scalar Arrow eval type, same as verify_jaccard's
-    @_pandas_udf(DoubleType())
-    def _jaccard(text_a, text_b):
-        sa = _stable_shingle_hashes(text_a, shingle_k)
-        sb = _stable_shingle_hashes(text_b, shingle_k)
-        return pd.Series(
-            [
-                len(np.intersect1d(x, y, assume_unique=True))
-                / max(len(np.union1d(x, y)), 1)
-                for x, y in zip(sa, sb)
-            ],
-            dtype=np.float64,
-        )
-
+    _jaccard = jaccard_udf(shingle_k)
     near = (
         withb.select(
             F.col("doc_a").alias("doc_id"),

@@ -140,3 +140,24 @@ def _total_bigrams(docs):
         .select(F.explode(_ngrams_of(F.col("_toks"), 2)).alias("b"))
         .count()
     )
+
+
+def test_snapshot_diff_null_text(spark):
+    """md5(NULL text) is NULL: presence, not md5-nullness, must drive
+    the status — a NULL-text doc in both snapshots is unchanged, in
+    one snapshot only it is added/removed, and NULL vs non-NULL text
+    is changed (null-safe compare)."""
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (4, "real text")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, None), (3, None), (4, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert out == {
+        1: "unchanged",   # NULL == NULL (null-safe)
+        2: "removed",
+        3: "added",
+        4: "changed",     # text -> NULL
+    }

@@ -226,3 +226,44 @@ def test_streaming_index_dedup_matches_batch_twin(spark, tmp_path):
     }
     assert streamed == want
     assert 103 not in {t[0] for t in streamed}  # keep == absence
+
+
+def test_streaming_index_dedup_within_stream_duplicates(spark, tmp_path):
+    """Pin the documented superset semantics: within-stream exact
+    duplicates (absent from the index) EACH emit their own near rows —
+    the batch operator would route the non-keeper to exact_batch, but
+    the streaming operator has no batch boundary (compose
+    streaming_exact_dedup upstream to collapse copies first)."""
+    from s2_geometry_rust_spark.streaming import streaming_index_dedup
+
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    near = "alpha bravo charlie delta echo foxtrot golf hotel india kilo"
+    index = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    stream_docs = spark.createDataFrame(
+        [(201, near), (202, near)], "doc_id long, text string"
+    ).withColumn(
+        "event_time",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")),
+    )
+    src = str(tmp_path / "dup_src")
+    stream_docs.write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = (
+        streaming_index_dedup(stream, index, threshold=0.5, n_perm=64)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dup_stream")
+        .option("checkpointLocation", str(tmp_path / "dup_cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dup_stream").collect()
+    # BOTH identical copies near-match index doc 1 (batch would emit
+    # one near + one exact_batch)
+    assert {(r["doc_id"], r["decision"], r["matched_id"]) for r in got} == {
+        (201, "near_index", 1),
+        (202, "near_index", 1),
+    }
