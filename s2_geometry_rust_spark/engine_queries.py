@@ -2514,3 +2514,24 @@ QUERIES["image_resize"] = image_resize_q
 QUERIES["frame_sample"] = frame_sample_q
 ORACLES["image_resize"] = oracle.image_resize_sql()
 ORACLES["frame_sample"] = oracle.frame_sample_sql()
+
+
+def ivf_assign_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF quantizer assignment
+    (similarity.ivf_assign_delta): the embeddings table split by
+    md5(vec_id) into an indexed corpus and a delta batch; only the
+    delta assigns, against the FROZEN first-ids quantizer of the index
+    side — exact-integer argmin end-to-end (no float margins), d2
+    emitted so every row self-verifies.  Zero shuffle: scan ->
+    broadcast quantizer -> one Arrow matmul pass."""
+    from .operators.similarity import ivf_assign_delta
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    split = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "8"
+    return ivf_assign_delta(
+        emb.filter(~split), emb.filter(split), n_centroids=16
+    )
+
+
+QUERIES["ivf_assign_delta"] = ivf_assign_delta_q
+ORACLES["ivf_assign_delta"] = oracle.ivf_assign_delta_sql()

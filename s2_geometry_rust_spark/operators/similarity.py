@@ -955,3 +955,71 @@ def semantic_dedup(vectors: DataFrame, threshold: float = 0.85,
         .select(id_col, "cluster",
                 F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"))
     )
+
+
+def ivf_assign_delta(new_vectors: DataFrame, index_vectors: DataFrame,
+                     n_centroids: int = 16,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Incremental IVF index maintenance: assign ONLY a delta batch of
+    vectors to the FROZEN coarse quantizer of an existing index — the
+    embedding-side sibling of incremental_dedup / apply_tile_count_delta
+    (a 10^12-vector index retrains its quantizer on a schedule, never
+    per delta batch).
+
+    Centroids are the ``n_centroids`` smallest-id index vectors on the
+    exact 1e-6 integer grid (the deterministic first-ids rule the
+    ann_ivfpq oracle family replays); assignment is argmin of EXACT
+    integer squared L2 (ties -> lowest centroid id) via the same
+    |a|^2+|c|^2-2a.c int64-matmul kernel as ivfpq_topk — bit-exact, no
+    float margin anywhere.
+
+    Output: (vec_id, centroid_id, d2) — d2 the exact integer squared
+    grid distance to the chosen centroid, making each row
+    self-verifying; inverted-list-size maintenance composes as a
+    groupBy(centroid_id) count merged with the old sizes exactly like
+    apply_tile_count_delta.
+
+    Scale shape: the quantizer is a bounded driver collect of
+    ``n_centroids`` rows (checkpointed once in production); each delta
+    batch is ONE broadcast of nc x 64 ints plus an embarrassingly
+    parallel Arrow matmul pass — no shuffle at all (plan: scan ->
+    mapInPandas).
+    """
+    spark = new_vectors.sparkSession
+    crows = (
+        index_vectors.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    cids = np.array([r[0] for r in crows], dtype=np.int64)
+    coarse = _int_grid(np.array([r[1] for r in crows], dtype=np.float64))
+    bc = spark.sparkContext.broadcast((cids, coarse))
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("centroid_id", LongType()),
+            StructField("d2", LongType()),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, cs = bc.value
+        for b in batches:
+            if len(b) == 0:
+                continue
+            g = _int_grid(np.array(list(b[vec_col]), dtype=np.float64))
+            pos = _coarse_assign_int(g, cs)
+            diff = g - cs[pos]
+            d2 = (diff * diff).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": b[id_col].to_numpy(np.int64),
+                    "centroid_id": ids[pos],
+                    "d2": d2,
+                }
+            )
+
+    return new_vectors.select(id_col, vec_col).mapInPandas(assign, schema)

@@ -5285,3 +5285,41 @@ SELECT doc_id, CAST(2 AS INT) AS span_idx,
          AS frame_feature
 FROM vid CROSS JOIN range(0, {n_frames}, {every_k}) f(fi)
 """
+
+
+def ivf_assign_delta_sql(n_centroids: int = 16) -> str:
+    """Mirror of similarity.ivf_assign_delta over the md5(vec_id)
+    split (index = first hex char < '8', delta = rest): centroids =
+    the n_centroids smallest-id INDEX vectors on the exact 1e-6 grid,
+    assignment = argmin exact integer squared L2 (ties -> lowest
+    centroid id), d2 emitted so every row self-verifies.  Same grid
+    round (half-away) and distance algebra as ann_ivfpq_sql."""
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT)) AS v,
+         substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8' AS is_idx
+  FROM embeddings
+), ed AS (
+  SELECT vec_id, is_idx, CAST(unnest(range(64)) AS INT) AS d, unnest(v) AS x
+  FROM e
+), cid_pick AS (
+  SELECT vec_id AS cid, row_number() OVER (ORDER BY vec_id) AS rn
+  FROM e WHERE is_idx
+), coarse AS (
+  SELECT p.cid, ed.d, ed.x
+  FROM cid_pick p JOIN ed ON ed.vec_id = p.cid
+  WHERE p.rn <= {n_centroids}
+), cdist AS (
+  SELECT ed.vec_id, coarse.cid,
+         CAST(SUM((ed.x - coarse.x) * (ed.x - coarse.x)) AS BIGINT) AS d2
+  FROM ed JOIN coarse USING (d)
+  WHERE NOT ed.is_idx
+  GROUP BY 1, 2
+)
+SELECT vec_id, cid AS centroid_id, d2 FROM (
+  SELECT vec_id, cid, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM cdist) WHERE rn = 1
+"""

@@ -168,3 +168,40 @@ def test_incremental_clusters_equal_full_recompute(spark, sf_dir):
     # somewhere for the test to mean anything
     cross = [t for t in a if t[2] > 1]
     assert cross
+
+
+def test_ivf_assign_delta_matches_brute_and_is_shuffle_free(spark, sf_dir):
+    """Delta assignment == brute numpy argmin on the exact grid, d2
+    self-verifies, and the executed plan has ZERO exchanges (scan ->
+    Arrow pass only)."""
+    import numpy as np
+
+    from s2_geometry_rust_spark.operators.similarity import (
+        _coarse_assign_int,
+        _int_grid,
+        ivf_assign_delta,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    split = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "8"
+    index, delta = emb.filter(split), emb.filter(~split)
+    out = ivf_assign_delta(delta, index, n_centroids=8)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    rows = out.collect()
+    crows = index.orderBy("vec_id").limit(8).collect()
+    cids = np.array([r["vec_id"] for r in crows])
+    coarse = _int_grid(np.array([r["embedding"] for r in crows], np.float64))
+    drows = delta.collect()
+    g = _int_grid(np.array([r["embedding"] for r in drows], np.float64))
+    pos = _coarse_assign_int(g, coarse)
+    want = {
+        int(r["vec_id"]): (int(cids[p]), int(((v - coarse[p]) ** 2).sum()))
+        for r, p, v in zip(drows, pos, g)
+    }
+    assert len(rows) == len(want)
+    for r in rows:
+        cid, d2 = want[r["vec_id"]]
+        assert r["centroid_id"] == cid and r["d2"] == d2
