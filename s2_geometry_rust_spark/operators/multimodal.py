@@ -390,3 +390,53 @@ def resize_png_batch(payloads: list[bytes], out_h: int, out_w: int,
         ci = (np.arange(out_w, dtype=np.int64) * w) // out_w
         out.append(pix[np.ix_(ri, ci)])
     return out
+
+
+def decode_wav_batch(payloads: list[bytes], modality: str) -> dict:
+    """Real (pure-python stdlib) WAV/PCM codec honoring the DECODERS
+    contract — the audio sibling of decode_png_batch's proof that the
+    batched seam fits genuine parsers.  Parses each payload's RIFF
+    header via the ``wave`` module (channels, sample width, frame
+    count), decodes 16-bit PCM frames with numpy, and fills the 8-dim
+    feature slot with per-octile mean absolute amplitude (normalized
+    to [0, 1]).  Swap in for DECODERS["audio"] when payloads are real
+    WAV bytes."""
+    import io
+    import wave
+
+    n = len(payloads)
+    widths = np.zeros(n, np.int64)
+    heights = np.zeros(n, np.int64)
+    frames = np.empty(n, np.int64)
+    feats = []
+    for i, p in enumerate(payloads):
+        with wave.open(io.BytesIO(bytes(p)), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise ValueError("only 16-bit PCM supported")
+            nf = w.getnframes()
+            raw = np.frombuffer(w.readframes(nf), dtype="<i2")
+            if w.getnchannels() > 1:
+                raw = raw.reshape(-1, w.getnchannels()).mean(axis=1)
+        frames[i] = nf
+        amp = np.abs(raw.astype(np.float64)) / 32768.0
+        if len(amp) == 0:
+            feats.append(np.zeros(8))
+            continue
+        # per-octile mean |amplitude| — boundaries via the same
+        # floor(i*n/8) rule as the NN resize
+        bounds = (np.arange(9, dtype=np.int64) * len(amp)) // 8
+        feats.append(
+            np.array(
+                [
+                    amp[bounds[j]:bounds[j + 1]].mean()
+                    if bounds[j + 1] > bounds[j] else 0.0
+                    for j in range(8)
+                ]
+            )
+        )
+    return {
+        "width": widths,
+        "height": heights,
+        "n_frames": frames,
+        "features": feats,
+    }

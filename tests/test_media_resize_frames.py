@@ -99,3 +99,50 @@ def test_sample_frames_semantics(spark):
     for r in got:
         assert r["frame_value"] == (7 * s + 13 * r["frame_idx"]) % 251
         assert r["frame_feature"] == r["frame_value"] / 251.0
+
+
+def make_wav(n_frames: int, freq_step: int = 37) -> bytes:
+    """16-bit mono PCM WAV with sample[i] = ((i * freq_step) % 2000) - 1000."""
+    import io
+    import wave
+
+    samples = (
+        (np.arange(n_frames, dtype=np.int64) * freq_step) % 2000 - 1000
+    ).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def test_real_wav_decoder_honors_contract():
+    wav = make_wav(800)
+    out = mm.decode_wav_batch([wav, make_wav(8)], "audio")
+    assert list(out["n_frames"]) == [800, 8]
+    samples = ((np.arange(800, dtype=np.int64) * 37) % 2000 - 1000)
+    amp = np.abs(samples.astype(np.float64)) / 32768.0
+    want0 = amp[0:100].mean()
+    assert out["features"][0][0] == want0
+    assert len(out["features"][0]) == 8
+
+
+def test_real_wav_decoder_slots_into_pipeline(spark, monkeypatch):
+    """Swap DECODERS['audio'] for the real WAV codec and run the full
+    batched feature pipeline over constructed WAV payloads."""
+    monkeypatch.setitem(mm.DECODERS, "audio", mm.decode_wav_batch)
+    rows = [("doc-a", 2, "r1", "audio", bytearray(make_wav(160))),
+            ("doc-b", 2, "r2", "audio", bytearray(make_wav(320)))]
+    spans = spark.createDataFrame(
+        rows,
+        "doc_id string, span_idx int, media_ref string, modality string,"
+        " payload binary",
+    )
+    got = {r["doc_id"]: r
+           for r in mm.extract_media_features(spans).collect()}
+    assert got["doc-a"]["n_frames"] == 160
+    assert got["doc-b"]["n_frames"] == 320
+    ref = mm.decode_wav_batch([make_wav(160)], "audio")["features"][0]
+    assert np.allclose(got["doc-a"]["features"], ref, atol=0, rtol=0)
