@@ -188,7 +188,7 @@ def main() -> None:
         "classifier_gate", "incremental_dedup", "snapshot_diff",
         "lm_bigram_novelty", "tile_counts_incremental", "collocations",
         "incremental_clusters", "image_resize", "frame_sample",
-        "ivf_assign_delta",
+        "ivf_assign_delta", "embedding_drift",
     ]
     # steady-state protocol: min of 2 runs per query — the first run pays
     # one-time per-query costs (whole-stage-codegen JIT, Arrow worker

@@ -2535,3 +2535,20 @@ def ivf_assign_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ivf_assign_delta"] = ivf_assign_delta_q
 ORACLES["ivf_assign_delta"] = oracle.ivf_assign_delta_sql()
+
+
+def embedding_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding drift monitor (similarity.
+    embedding_drift): the embeddings table split by md5(vec_id) into
+    two corpus generations; exact int64 grid sums per dim, means and
+    mean-delta as single double ops — the distribution-shift check a
+    continuous embedding pipeline runs per delta batch."""
+    from .operators.similarity import embedding_drift
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    split = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "8"
+    return embedding_drift(emb.filter(split), emb.filter(~split))
+
+
+QUERIES["embedding_drift"] = embedding_drift_q
+ORACLES["embedding_drift"] = oracle.embedding_drift_sql()

@@ -1023,3 +1023,61 @@ def ivf_assign_delta(new_vectors: DataFrame, index_vectors: DataFrame,
             )
 
     return new_vectors.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
+def embedding_drift(old_vectors: DataFrame, new_vectors: DataFrame,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension embedding distribution drift between two corpus
+    generations — the monitor a continuously-ingesting embedding
+    pipeline runs per batch (a mean shift on a dimension flags encoder
+    version skew, modality mix change, or a broken upstream transform
+    long before retrieval quality visibly degrades).
+
+    Per dimension: row counts, exact int64 sums of the 1e-6-grid
+    components (the label_centroids convention — order-independent,
+    overflow-safe to ~9e12 rows at unit-norm), means as single
+    int->double divisions, and the mean delta (one subtraction of two
+    exactly-determined doubles) — everything bit-exact across engines.
+
+    Scale shape: one partial-aggregated groupBy per side keyed by
+    dim (64 keys; the partial sums collapse map-side so the exchange
+    carries n_partitions x 64 rows), one tiny join.
+    """
+    def per_dim(df: DataFrame, tag: str) -> DataFrame:
+        e = df.select(
+            F.posexplode(vec_col).alias("dim", "x")
+        ).select(
+            "dim",
+            F.expr(
+                "CAST(x AS DOUBLE) * 1e6"
+            ).alias("sx"),
+        ).select(
+            "dim",
+            # half-away rounding on the exact f64-widened product —
+            # trunc(x + copysign(.5, x)), the label_centroids rule
+            # (double -> BIGINT cast truncates toward zero)
+            F.expr(
+                "CAST(sx + CASE WHEN sx >= 0 THEN 0.5 "
+                "ELSE -0.5 END AS BIGINT)"
+            ).alias("micro"),
+        )
+        return e.groupBy("dim").agg(
+            F.count("*").alias(f"n_{tag}"),
+            F.sum("micro").alias(f"sum_{tag}_micro"),
+        )
+
+    o = per_dim(old_vectors, "old")
+    n = per_dim(new_vectors, "new")
+    mean_old = F.col("sum_old_micro").cast("double") / F.col("n_old").cast(
+        "double"
+    )
+    mean_new = F.col("sum_new_micro").cast("double") / F.col("n_new").cast(
+        "double"
+    )
+    return o.join(n, "dim").select(
+        "dim", "n_old", "n_new", "sum_old_micro", "sum_new_micro",
+        mean_old.alias("mean_old_micro"),
+        mean_new.alias("mean_new_micro"),
+        (mean_new - mean_old).alias("drift_micro"),
+    )

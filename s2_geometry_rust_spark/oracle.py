@@ -5323,3 +5323,39 @@ SELECT vec_id, cid AS centroid_id, d2 FROM (
          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
   FROM cdist) WHERE rn = 1
 """
+
+
+def embedding_drift_sql() -> str:
+    """Mirror of similarity.embedding_drift over the md5(vec_id) split
+    (old = first hex char < '8', new = rest): per-dim exact int64 sums
+    of round(x*1e6) (DuckDB round = half-away, matching the engine's
+    trunc+copysign), means and drift as single double ops."""
+    return """
+WITH e AS (
+  SELECT vec_id, embedding,
+         substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8' AS is_old
+  FROM embeddings
+), ex AS (
+  SELECT is_old, CAST(unnest(range(len(embedding))) AS INT) AS dim,
+         unnest(list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT))) AS micro
+  FROM e
+), o AS (
+  SELECT dim, count(*) AS n_old,
+         CAST(sum(micro) AS BIGINT) AS sum_old_micro
+  FROM ex WHERE is_old GROUP BY dim
+), n AS (
+  SELECT dim, count(*) AS n_new,
+         CAST(sum(micro) AS BIGINT) AS sum_new_micro
+  FROM ex WHERE NOT is_old GROUP BY dim
+)
+SELECT o.dim, o.n_old, n.n_new, o.sum_old_micro, n.sum_new_micro,
+       CAST(o.sum_old_micro AS DOUBLE) / CAST(o.n_old AS DOUBLE)
+         AS mean_old_micro,
+       CAST(n.sum_new_micro AS DOUBLE) / CAST(n.n_new AS DOUBLE)
+         AS mean_new_micro,
+       CAST(n.sum_new_micro AS DOUBLE) / CAST(n.n_new AS DOUBLE)
+         - CAST(o.sum_old_micro AS DOUBLE) / CAST(o.n_old AS DOUBLE)
+         AS drift_micro
+FROM o JOIN n USING (dim)
+"""

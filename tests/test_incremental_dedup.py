@@ -205,3 +205,25 @@ def test_ivf_assign_delta_matches_brute_and_is_shuffle_free(spark, sf_dir):
     for r in rows:
         cid, d2 = want[r["vec_id"]]
         assert r["centroid_id"] == cid and r["d2"] == d2
+
+
+def test_embedding_drift_exact_sums(spark):
+    from s2_geometry_rust_spark.operators.similarity import embedding_drift
+
+    old = spark.createDataFrame(
+        [(1, [1.0, -2.5e-6]), (2, [3.0, 0.5e-6])],
+        "vec_id long, embedding array<double>",
+    )
+    new = spark.createDataFrame(
+        [(3, [2.0, 1.5e-6])], "vec_id long, embedding array<double>"
+    )
+    out = {r["dim"]: r for r in embedding_drift(old, new).collect()}
+    # dim 0: sums 1e6 + 3e6 = 4e6 old, 2e6 new
+    assert out[0]["sum_old_micro"] == 4_000_000
+    assert out[0]["sum_new_micro"] == 2_000_000
+    assert out[0]["mean_old_micro"] == 2_000_000.0
+    assert out[0]["drift_micro"] == 0.0
+    # dim 1: half-away rounding — -2.5 -> -3, 0.5 -> 1, 1.5 -> 2
+    assert out[1]["sum_old_micro"] == -3 + 1
+    assert out[1]["sum_new_micro"] == 2
+    assert out[1]["n_old"] == 2 and out[1]["n_new"] == 1
