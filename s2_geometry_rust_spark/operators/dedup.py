@@ -864,6 +864,18 @@ def lsh_candidate_pairs_cross(sig_new: DataFrame, sig_index: DataFrame,
     )
 
 
+def null_safe_text_md5(text_col: str) -> F.Column:
+    """NULL-safe exact-dedup digest.  ``md5(NULL)`` is NULL and NULL
+    never equi-joins, so keying the exact stage on a plain md5 silently
+    drops NULL-text docs from the tagged frame (they match neither the
+    index nor their own batch_min group).  All NULL-text docs share one
+    sentinel digest instead: they are mutual exact duplicates, the
+    single smallest-id keeper flows to the near stage (where the shared
+    shingle kernel hashes ``str(None)``), and batch and streaming twins
+    agree on every NULL-text row."""
+    return F.coalesce(F.md5(F.col(text_col)), F.lit("__null_text__"))
+
+
 def incremental_dedup(new_docs: DataFrame, index_docs: DataFrame,
                       threshold: float = 0.5,
                       id_col: str = "doc_id", text_col: str = "text",
@@ -917,12 +929,12 @@ def incremental_dedup(new_docs: DataFrame, index_docs: DataFrame,
     new_t = new_docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col).alias("text"),
-        F.md5(text_col).alias("tmd5"),
+        null_safe_text_md5(text_col).alias("tmd5"),
     )
     idx_t = index_docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col).alias("text"),
-        F.md5(text_col).alias("tmd5"),
+        null_safe_text_md5(text_col).alias("tmd5"),
     )
     idx_md5 = idx_t.groupBy("tmd5").agg(F.min("doc_id").alias("idx_match"))
     batch_min = new_t.groupBy("tmd5").agg(F.min("doc_id").alias("batch_min"))

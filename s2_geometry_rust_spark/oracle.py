@@ -5053,7 +5053,9 @@ WITH planted_docs AS (
 ),
 {shingle_cte},
 cls AS (
-  SELECT doc_id, md5(text) AS tmd5,
+  -- null-safe digest mirrors dedup.null_safe_text_md5: md5(NULL) is
+  -- NULL and NULL never equi-joins, so NULL-text docs share a sentinel
+  SELECT doc_id, coalesce(md5(text), '__null_text__') AS tmd5,
          substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS is_idx
   FROM planted_docs
 ),

@@ -179,18 +179,19 @@ def streaming_index_dedup(doc_stream: DataFrame, index_docs: DataFrame,
         _stable_shingle_hashes,
         jaccard_udf,
         minhash_signatures,
+        null_safe_text_md5,
     )
 
     s = doc_stream.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col).alias("text"),
         F.col(ts_col).alias("_ts"),
-        F.md5(text_col).alias("tmd5"),
+        null_safe_text_md5(text_col).alias("tmd5"),
     )
     idx_t = index_docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col).alias("text"),
-        F.md5(text_col).alias("tmd5"),
+        null_safe_text_md5(text_col).alias("tmd5"),
     )
     idx_md5 = idx_t.groupBy("tmd5").agg(F.min("doc_id").alias("idx_match"))
 

@@ -128,6 +128,76 @@ def test_empty_batch_and_empty_index(spark, tiny):
     )
 
 
+def test_null_text_docs_are_kept_and_exact_deduped(spark):
+    """NULL-text docs must not silently vanish (r4 ADVICE): md5(NULL)
+    is NULL and NULL never equi-joins, so the exact stage keys on the
+    null-safe sentinel digest instead.  NULL-text docs are mutual exact
+    duplicates; the output stays one row per new doc."""
+    index = _mkdocs(spark, [(1, WORDS), (2, None)])
+    new = _mkdocs(spark, [(101, None),    # exact_index -> 2 (both NULL)
+                          (102, WORDS),   # exact_index -> 1
+                          (103, None)])   # exact_index -> 2
+    out = {r["doc_id"]: r for r in
+           incremental_dedup(new, index, n_perm=64).collect()}
+    assert len(out) == 3  # one row per new doc, NULLs included
+    assert out[101]["decision"] == "exact_index"
+    assert out[101]["matched_id"] == 2
+    assert out[103]["decision"] == "exact_index"
+    assert out[102]["matched_id"] == 1
+
+    # no NULL in the index: min-id NULL doc is the batch keeper, the
+    # other collapses onto it as exact_batch
+    idx2 = _mkdocs(spark, [(1, WORDS)])
+    out2 = {r["doc_id"]: r for r in
+            incremental_dedup(new, idx2, n_perm=64).collect()}
+    assert len(out2) == 3
+    assert out2[101]["decision"] == "keep"
+    assert out2[103]["decision"] == "exact_batch"
+    assert out2[103]["matched_id"] == 101
+
+
+def test_null_text_streaming_twin_agrees(spark, tmp_path):
+    """Batch and streaming twins must make the same NULL-text exact
+    decisions (they diverged before the null-safe digest)."""
+    from s2_geometry_rust_spark.streaming import streaming_index_dedup
+
+    index = _mkdocs(spark, [(1, WORDS), (2, None)])
+    stream_docs = spark.createDataFrame(
+        [(101, None), (102, WORDS)], "doc_id long, text string"
+    ).withColumn(
+        "event_time",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")),
+    )
+    src = str(tmp_path / "null_dedup_src")
+    stream_docs.write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = streaming_index_dedup(stream, index, threshold=0.5, n_perm=64)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("null_dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "null_dedup_cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["doc_id"], r["decision"], r["matched_id"])
+        for r in spark.sql("SELECT * FROM null_dedup_stream").collect()
+    }
+    batch = {
+        (r["doc_id"], r["decision"], r["matched_id"])
+        for r in incremental_dedup(
+            stream_docs.drop("event_time"), index, n_perm=64
+        ).collect()
+        if r["decision"] == "exact_index"
+    }
+    assert batch == {(101, "exact_index", 2), (102, "exact_index", 1)}
+    assert streamed == batch
+
+
 def test_contract_fixture_exercises_all_branches(spark, sf_dir):
     from s2_geometry_rust_spark.engine_queries import incremental_dedup_q
 
