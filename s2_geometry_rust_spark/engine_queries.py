@@ -2652,3 +2652,43 @@ def _register_in_window(name, query_fn, oracle_sql_str) -> None:
 
 
 _apply_window()
+
+
+def union_expand_radius_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CellUnion::expand_with_radius (cell_union.rs:446-467): expand
+    level = least(per-union min cell level + 3, level_for_min_width
+    (0.0003) = 13).  The fixture varies the per-union minimum level
+    (8 + union_id % 5, union_id = point_id % 7) so both arms of the
+    least() are live across the seven unions."""
+    from .functions import cell_id_from_xyz
+    from .operators.unions_ops import (
+        expand_with_radius_grouped,
+        normalize_grouped,
+    )
+
+    pts = _derived_points(spark, sf_dir)
+    cells = (
+        pts.withColumn("_leaf", cell_id_from_xyz("x", "y", "z"))
+        .withColumn("union_id", (F.col("point_id") % 7).cast("long"))
+        .withColumn(
+            "_lv",
+            (F.col("point_id") % 11 + 8 + F.col("union_id") % 5).cast("int"),
+        )
+        .withColumn("_lsb", F.expr("shiftleft(1L, (30 - _lv) * 2)"))
+        .withColumn("cell_id", F.expr("(_leaf & -_lsb) | _lsb"))
+        .select(F.col("union_id").cast("string").alias("union_id"), "cell_id")
+        .distinct()
+    )
+    out = expand_with_radius_grouped(
+        normalize_grouped(cells), min_radius_radians=0.0003, max_level_diff=3
+    )
+    return out.select(
+        F.col("union_id").cast("long").alias("union_id"), "cell_id"
+    )
+
+
+_register_in_window(
+    "union_expand_radius",
+    union_expand_radius_q,
+    oracle.union_expand_radius_sql(radius_level=13, max_level_diff=3),
+)

@@ -227,6 +227,27 @@ def expand(ids, expand_level: int) -> np.ndarray:
     return normalize(np.array(output, dtype=np.uint64))
 
 
+def expand_with_radius(ids, min_radius_radians: float,
+                       max_level_diff: int) -> np.ndarray:
+    """Radius-constrained expand (cell_union.rs:446-467): expand so all
+    points within ``min_radius`` are covered, but never with cells more
+    than ``max_level_diff`` levels finer than the largest input cell.
+
+    Reference quirks mirrored exactly: ``min_level`` is the *minimum*
+    cell level (largest cell), MAX_LEVEL when the union is empty; when
+    ``level_for_min_width`` saturates at 0 for a radius wider than a
+    face cell the reference expands at level 0 and then falls through
+    to the (level-0) general expand — i.e. TWO rounds of level-0
+    expansion, not one."""
+    ids = _arr(ids)
+    min_level = int(ci.level(ids).min()) if len(ids) else ci.MAX_LEVEL
+    radius_level = ci.level_for_min_width(min_radius_radians)
+    if radius_level == 0 and min_radius_radians > ci.min_width_at_level(0):
+        ids = expand(ids, 0)
+    expand_level = min(min_level + max_level_diff, radius_level)
+    return expand(ids, expand_level)
+
+
 def leaf_cells_covered(ids) -> int:
     """Sum of 4^(30-level) (cell_union.rs:472-479)."""
     ids = _arr(ids)

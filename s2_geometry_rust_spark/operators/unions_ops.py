@@ -97,6 +97,22 @@ def expand_grouped(cells: DataFrame, expand_level: int) -> DataFrame:
     )
 
 
+def expand_with_radius_grouped(cells: DataFrame, min_radius_radians: float,
+                               max_level_diff: int) -> DataFrame:
+    """Radius-constrained union expand (cell_union.rs:446-467): the
+    expand level is min(min_level + max_level_diff, level_for_min_width
+    (min_radius)) — per-union, so the kernel runs per group (the level
+    depends on the group's largest cell)."""
+    return cells.groupBy("union_id").applyInPandas(
+        _grouped(
+            lambda ids: ku.expand_with_radius(
+                ids, min_radius_radians, max_level_diff
+            )
+        ),
+        UNION_CELLS_SCHEMA,
+    )
+
+
 def contains_flags(unions_df: DataFrame, probe_cells: DataFrame) -> DataFrame:
     """For each (union_id, probe cell): does the union contain it?
     Binary-search semantics of cell_union.rs:262-282 re-expressed as an

@@ -2337,6 +2337,77 @@ filtered AS (
     )
 
 
+def union_expand_radius_sql(radius_level: int, max_level_diff: int = 3,
+                            rounds: int = 30) -> str:
+    """expand_with_radius oracle (cell_union.rs:446-467): the expand
+    level is per-union — least(min cell level + max_level_diff,
+    radius_level) where radius_level = level_for_min_width(min_radius)
+    is a pure constant precomputed by the caller from the same kernel.
+    The fixture varies the per-union minimum level (8 + union_id % 5)
+    so both arms of the least() are exercised.  Cell level from the lsb
+    bit position via bit_count(lsb - 1) (valid cells have lsb position
+    <= 60, so the -1 never touches the sign bit); the rest is the
+    union_expand_sql machinery with level_lsb/step as per-union
+    columns instead of constants."""
+    cte = hilbert_leaf_cte(derived_points_sql("customer", "c_custkey"))
+    prev_sql = _u64_to_bigint(f"({_as_u64('target')} - CAST(step AS HUGEINT))")
+    next_sql = _u64_to_bigint(
+        f"(({_as_u64('target')} + CAST(step AS HUGEINT)) % {U64})"
+    )
+    lsb_u = f"(u & ({U64} - u))"
+    is_valid = (f"(u // {1 << 61} < 6 AND "
+                f"({lsb_u} & 1537228672809129301) <> 0)")
+    return (
+        cte + f""",
+members AS (
+  SELECT DISTINCT point_id % 7 AS union_id,
+         (cell_id & -(1::BIGINT << ((30 - lv) * 2)))
+           | (1::BIGINT << ((30 - lv) * 2)) AS cell_id
+  FROM (
+    SELECT point_id, cell_id,
+           (point_id % 11) + 8 + ((point_id % 7) % 5) AS lv
+    FROM leaf) t
+),"""
+        + _normalize_chain_sql("members", "s") + f""",
+params AS (
+  SELECT union_id,
+         least(min(30 - bit_count((cell_id & -cell_id) - 1) // 2)
+                 + {max_level_diff}, {radius_level}) AS el
+  FROM sk{rounds} GROUP BY union_id
+),
+promoted AS (
+  SELECT s.union_id,
+         (1::BIGINT << ((30 - p.el) * 2)) AS lvl_lsb,
+         (1::BIGINT << ((30 - p.el) * 2 + 1)) AS step,
+         CASE WHEN (cell_id & -cell_id) < (1::BIGINT << ((30 - p.el) * 2))
+              THEN (cell_id & -(1::BIGINT << ((30 - p.el) * 2)))
+                     | (1::BIGINT << ((30 - p.el) * 2))
+              ELSE cell_id END AS target
+  FROM sk{rounds} s JOIN params p USING (union_id)
+),
+cands AS (
+  SELECT union_id, lvl_lsb, target AS cand, TRUE AS is_target
+  FROM promoted
+  UNION ALL
+  SELECT union_id, lvl_lsb, {prev_sql} AS cand, FALSE FROM promoted
+  WHERE {_as_u64('target')} >= CAST(step AS HUGEINT)
+  UNION ALL
+  SELECT union_id, lvl_lsb, {next_sql} AS cand, FALSE FROM promoted
+),
+checked AS (
+  SELECT union_id, lvl_lsb, cand, is_target, {_as_u64('cand')} AS u
+  FROM cands
+),
+filtered AS (
+  SELECT DISTINCT union_id, cand AS cell_id FROM checked
+  WHERE is_target
+     OR ({is_valid} AND {lsb_u} = CAST(lvl_lsb AS HUGEINT))
+)"""
+        + "," + _normalize_chain_sql("filtered", "e")
+        + f"\nSELECT union_id, cell_id FROM ek{rounds}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # round-3 oracles: polyline stats, chain-crossing join, union area
 # aggregates.  Same conventions as the earlier geometry oracles:

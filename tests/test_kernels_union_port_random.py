@@ -81,3 +81,42 @@ def test_whole_sphere_leaf_count():
     )
     assert ku.leaf_cells_covered(faces) == 6 << 60
     assert ku.is_normalized(np.sort(faces))
+
+
+@pytest.mark.parametrize("seed", [42, 123, 456])
+def test_expand_with_radius_matches_manual_composition(seed):
+    """cell_union.rs:446-467: expand_with_radius == expand at
+    min(min_level + max_level_diff, level_for_min_width(radius)),
+    with the reference's double-level-0-expand quirk for radii wider
+    than a face cell."""
+    ids = ku.normalize(_random_cells(seed))
+    for radius, diff in [(0.0003, 3), (1e-6, 2), (0.5, 4)]:
+        got = ku.expand_with_radius(ids, radius, diff)
+        min_level = int(ck.level(ids).min())
+        radius_level = ck.level_for_min_width(radius)
+        want = ids
+        if radius_level == 0 and radius > ck.min_width_at_level(0):
+            want = ku.expand(want, 0)
+        want = ku.expand(want, min(min_level + diff, radius_level))
+        assert np.array_equal(got, want)
+
+
+def test_expand_with_radius_wide_radius_double_expands():
+    """A radius wider than a face cell (min_width_at_level(0) = 2)
+    takes the reference's expand(0)-then-expand(0) path; the result
+    must equal two manual level-0 expansions, and differ from one
+    whenever the first round leaves room to grow."""
+    ids = ku.normalize(_random_cells(99, n=5))
+    got = ku.expand_with_radius(ids, 3.0, 20)
+    once = ku.expand(ids, 0)
+    twice = ku.expand(once, 0)
+    assert np.array_equal(got, twice)
+
+
+def test_expand_with_radius_empty_union():
+    """test_s2cell_union_port.rs:442-445: expanding an empty union is a
+    no-op (min_level falls back to MAX_LEVEL, expand of nothing is
+    nothing)."""
+    empty = np.empty(0, dtype=np.uint64)
+    assert len(ku.expand_with_radius(empty, 1.0, 20)) == 0
+    assert len(ku.expand_with_radius(empty, 3.0, 20)) == 0
