@@ -2692,3 +2692,25 @@ _register_in_window(
     union_expand_radius_q,
     oracle.union_expand_radius_sql(radius_level=13, max_level_diff=3),
 )
+
+
+def loop_nearest_boundary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2Loop::get_distance_to_boundary + project_to_boundary
+    (loop.rs:523-577 — the reference's nearest-vertex simplified
+    semantics) per (derived point, fixture loop): nano-rounded
+    boundary distance and the exact winning vertex (earliest on
+    ties, the reference's strict-< scan)."""
+    from . import fixtures
+    from .operators.geom_aggs import nearest_boundary_join
+
+    return nearest_boundary_join(
+        _derived_points(spark, sf_dir),
+        fixtures.loop_vertices(spark, fixtures.NEAREST_BOUNDARY_LOOPS),
+    )
+
+
+_register_in_window(
+    "loop_nearest_boundary",
+    loop_nearest_boundary_q,
+    oracle.loop_nearest_boundary_sql(),
+)

@@ -173,6 +173,43 @@ REGIONS_SCHEMA = StructType(
 )
 
 
+# Loops for the nearest-boundary contract query: everything except
+# skinny_chevron, whose far vertices are deliberately 1e-15 apart — the
+# nearest-vertex selection between them differs below the determinism
+# of cross-engine double arithmetic (DuckDB's vectorized path fuses
+# multiply-adds; Spark/numpy round every op), so that loop's exact tie
+# semantics are pinned by the numpy-only kernel parity tests instead
+# (tests/test_loop_nearest_boundary.py).
+NEAREST_BOUNDARY_LOOPS = [n for n in LOOPS if n != "skinny_chevron"]
+
+
+def loop_vertex_rows(names: list[str] | None = None
+                     ) -> list[tuple[str, int, float, float, float]]:
+    """(region_id, vid, vx, vy, vz) unit-vertex rows per LOOPS entry —
+    the exact doubles of S2Loop.from_degrees, shared by the Spark side
+    (createDataFrame) and the oracle (inlined VALUES via repr) so both
+    engines consume identical bits."""
+    from .kernels.loops import S2Loop
+
+    names = names or list(LOOPS)
+    rows = []
+    for n in names:
+        v = S2Loop.from_degrees(LOOPS[n]).vertices
+        rows.extend(
+            (n, i, float(v[i, 0]), float(v[i, 1]), float(v[i, 2]))
+            for i in range(len(v))
+        )
+    return rows
+
+
+def loop_vertices(spark: SparkSession,
+                  names: list[str] | None = None) -> DataFrame:
+    return spark.createDataFrame(
+        loop_vertex_rows(names),
+        "region_id string, vid int, vx double, vy double, vz double",
+    )
+
+
 def loop_regions(spark: SparkSession, names: list[str] | None = None) -> DataFrame:
     names = names or list(LOOPS)
     rows = [

@@ -263,6 +263,68 @@ class S2Loop:
     def get_curvature(self) -> float:
         return 2.0 * PI - self.get_area()
 
+    def distance_to_boundary_batch(self, x, y, z) -> np.ndarray:
+        """get_distance_to_boundary (loop.rs:523-547): min over edges
+        of the reference's simplified nearest-vertex "edge distance"
+        min(acos(p.a), acos(p.b)) — since every vertex bounds two
+        edges, this reduces to the min over VERTICES of acos(p.v).
+        Reference float quirks kept: acos of a dot outside [-1, 1] is
+        NaN, and NaN loses both Rust's f64::min and the `<`
+        accumulation, so out-of-range dots are skipped; the result is
+        +inf for an empty-or-full loop (S1Angle::infinity) or when
+        every dot is out of range."""
+        shape = np.shape(x)
+        if self.is_empty_or_full():
+            return np.full(shape, np.inf)
+        p = np.stack([np.asarray(x, dtype=np.float64),
+                      np.asarray(y, dtype=np.float64),
+                      np.asarray(z, dtype=np.float64)], axis=-1).reshape(-1, 3)
+        # elementwise mul + left-assoc adds, NOT BLAS matmul: the
+        # reference's scalar x*ax + y*ay + z*az must be matched
+        # bit-for-bit (BLAS fuses/reorders and drifts the last ulp)
+        v = self.vertices
+        dots = (p[:, 0:1] * v[:, 0][None, :]
+                + p[:, 1:2] * v[:, 1][None, :]
+                + p[:, 2:3] * v[:, 2][None, :])
+        # libm acos per element, NOT np.arccos: numpy's SIMD arccos
+        # drifts the last ulp vs the libm acos Rust f64::acos calls.
+        # Parity twin, not a hot path (the distributed op is the
+        # codegen join in geom_aggs.nearest_boundary_join).
+        d = np.empty_like(dots)
+        df, dd = d.ravel(), dots.ravel()
+        for i in range(dd.size):
+            val = dd[i]
+            df[i] = math.acos(val) if -1.0 <= val <= 1.0 else math.nan
+        d = np.where(np.isnan(d), np.inf, d)
+        return d.min(axis=1).reshape(shape)
+
+    def project_to_boundary_batch(self, x, y, z) -> np.ndarray:
+        """project_to_boundary (loop.rs:558-577): the nearest VERTEX by
+        squared Euclidean distance — strict `<` scan from vertex 0, so
+        the EARLIEST vertex wins ties (np.argmin's first-occurrence
+        rule is exactly that scan); empty-or-full returns the point
+        unchanged.  Returns an (n, 3) array."""
+        p = np.stack([np.asarray(x, dtype=np.float64),
+                      np.asarray(y, dtype=np.float64),
+                      np.asarray(z, dtype=np.float64)], axis=-1).reshape(-1, 3)
+        if self.is_empty_or_full():
+            return p
+        diff = p[:, None, :] - self.vertices[None, :, :]
+        d2 = (diff * diff).sum(axis=-1)
+        return self.vertices[np.argmin(d2, axis=1)]
+
+    def project_batch(self, x, y, z) -> np.ndarray:
+        """project (loop.rs:549-556): the point itself when contained,
+        else project_to_boundary."""
+        p = np.stack([np.asarray(x, dtype=np.float64),
+                      np.asarray(y, dtype=np.float64),
+                      np.asarray(z, dtype=np.float64)], axis=-1).reshape(-1, 3)
+        inside = self.contains_points_batch(
+            p[:, 0], p[:, 1], p[:, 2]
+        ).ravel()
+        out = self.project_to_boundary_batch(p[:, 0], p[:, 1], p[:, 2])
+        return np.where(inside[:, None], p, out)
+
     def get_centroid(self):
         """Simple vertex mean (loop.rs:345-364, NOT area-weighted)."""
         if self.is_empty_or_full():

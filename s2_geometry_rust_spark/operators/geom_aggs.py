@@ -366,3 +366,60 @@ def cap_add_point_bounds(points: DataFrame, group_col: str = "group_id",
             F.max("_d2").alias("radius_l2"),
         )
     )
+
+
+def nearest_boundary_join(pts: DataFrame, loop_verts: DataFrame) -> DataFrame:
+    """S2Loop::get_distance_to_boundary + project_to_boundary as a
+    distributed join (loop.rs:523-577 — the reference's simplified
+    nearest-VERTEX semantics, see the kernel twins
+    S2Loop.distance_to_boundary_batch / project_to_boundary_batch).
+
+    Per (point, loop): distance = min over vertices of acos(p.v) ==
+    acos(max dot) (valid while every |dot| <= 1, guaranteed for
+    distinct unit vectors), projection = the earliest vertex attaining
+    the minimal squared Euclidean distance (the reference's strict-<
+    scan == lexicographic struct-min on (d2, vid)).
+
+    Scale shape: pure whole-stage codegen — broadcast the (tiny) vertex
+    table, one shuffle for the per-(point, loop) aggregate, then a
+    second broadcast join to pull the winning vertex coords.  No Python
+    anywhere.
+    """
+    n = F.sqrt(F.col("x") * F.col("x") + F.col("y") * F.col("y")
+               + F.col("z") * F.col("z"))
+    p = pts.select(
+        "point_id",
+        (F.col("x") / n).alias("px"),
+        (F.col("y") / n).alias("py"),
+        (F.col("z") / n).alias("pz"),
+    )
+    j = p.crossJoin(F.broadcast(loop_verts))
+    dot = (F.col("px") * F.col("vx") + F.col("py") * F.col("vy")
+           + F.col("pz") * F.col("vz"))
+    d2 = (
+        (F.col("px") - F.col("vx")) * (F.col("px") - F.col("vx"))
+        + (F.col("py") - F.col("vy")) * (F.col("py") - F.col("vy"))
+        + (F.col("pz") - F.col("vz")) * (F.col("pz") - F.col("vz"))
+    )
+    g = j.groupBy("point_id", "region_id").agg(
+        F.max(dot).alias("max_dot"),
+        F.min(F.struct(d2.alias("d2"), F.col("vid").alias("vid"))).alias("m"),
+    )
+    return (
+        g.join(
+            F.broadcast(loop_verts),
+            (g["region_id"] == loop_verts["region_id"])
+            & (g["m.vid"] == loop_verts["vid"]),
+        )
+        .select(
+            "point_id",
+            g["region_id"].alias("region_id"),
+            F.round(F.acos(F.col("max_dot")) * 1e9, 0)
+            .cast("long")
+            .alias("dist_nano"),
+            F.col("m.vid").alias("proj_vid"),
+            F.col("vx").alias("proj_x"),
+            F.col("vy").alias("proj_y"),
+            F.col("vz").alias("proj_z"),
+        )
+    )

@@ -2337,6 +2337,55 @@ filtered AS (
     )
 
 
+def loop_nearest_boundary_sql(table: str = "customer",
+                              key: str = "c_custkey") -> str:
+    """Mirror of geom_aggs.nearest_boundary_join (loop.rs:523-577, the
+    reference's nearest-VERTEX simplified semantics): distance =
+    acos(max dot) nano-rounded (numpy vs DuckDB acos agree to ~1 ulp,
+    absorbed like loop_stats), projection = lexicographic struct-min on
+    (d2, vid) — identical pure +,-,*,/ double arithmetic on identical
+    inlined vertex literals, so the selection is bit-deterministic on
+    both engines."""
+    from . import fixtures
+
+    # CAST('<repr>' AS DOUBLE), not <repr>::DOUBLE: DuckDB parses a
+    # bare numeric literal as DECIMAL first, double-rounding the last
+    # ulp; the string cast is an exact strtod round-trip.
+    vvals = ", ".join(
+        f"('{n}', {vid}, CAST('{vx!r}' AS DOUBLE),"
+        f" CAST('{vy!r}' AS DOUBLE), CAST('{vz!r}' AS DOUBLE))"
+        for (n, vid, vx, vy, vz)
+        in fixtures.loop_vertex_rows(fixtures.NEAREST_BOUNDARY_LOOPS)
+    )
+    return f"""
+WITH pts AS ({derived_points_sql(table, key)}),
+p AS (
+  SELECT point_id,
+         x / sqrt(x*x + y*y + z*z) AS px,
+         y / sqrt(x*x + y*y + z*z) AS py,
+         z / sqrt(x*x + y*y + z*z) AS pz
+  FROM pts
+),
+v(region_id, vid, vx, vy, vz) AS (VALUES {vvals}),
+j AS (
+  SELECT point_id, region_id, vid,
+         px*vx + py*vy + pz*vz AS dot,
+         (px-vx)*(px-vx) + (py-vy)*(py-vy) + (pz-vz)*(pz-vz) AS d2
+  FROM p CROSS JOIN v
+),
+g AS (
+  SELECT point_id, region_id, max(dot) AS max_dot,
+         min(struct_pack(d2 := d2, vid := vid)) AS m
+  FROM j GROUP BY point_id, region_id
+)
+SELECT g.point_id, g.region_id,
+       CAST(round(acos(g.max_dot) * 1e9, 0) AS BIGINT) AS dist_nano,
+       (g.m).vid AS proj_vid,
+       v.vx AS proj_x, v.vy AS proj_y, v.vz AS proj_z
+FROM g JOIN v ON v.region_id = g.region_id AND v.vid = (g.m).vid
+"""
+
+
 def union_expand_radius_sql(radius_level: int, max_level_diff: int = 3,
                             rounds: int = 30) -> str:
     """expand_with_radius oracle (cell_union.rs:446-467): the expand

@@ -40,6 +40,10 @@ NESTED_LOOP_ALLOWED = {
     # per-bigram table (vocab.collocations) — same class as
     # classifier_gate's threshold row
     "collocations",
+    # every point scores every fixture loop vertex (~80 broadcast rows)
+    # by definition of the nearest-boundary op — same class as
+    # closest_edge's broadcast edge side
+    "loop_nearest_boundary",
     # strict completion leg pairs edge tables of 3-30-row loop dims via
     # a documented broadcast theta join (spatial_join.py
     # loop_edge_crossing_pairs); the v0-parent index path would
