@@ -37,6 +37,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions import cell_parent
+from .similarity import guard_driver_bound
 
 _TOPK_SCHEMA = StructType(
     [
@@ -64,6 +65,7 @@ def knn_bruteforce(queries: DataFrame, candidates: DataFrame, k: int,
     (same output contract, oracled separately).
     """
     spark = queries.sparkSession
+    guard_driver_bound(queries, "knn_bruteforce", "knn_cell_ring")
     qrows = queries.select(
         F.col(query_id).cast("long"),
         *[F.col(c).cast("double") for c in query_xyz],

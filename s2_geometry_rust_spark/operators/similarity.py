@@ -35,6 +35,34 @@ _TOPK_SCHEMA = StructType(
 )
 
 
+# Documented driver bound for the BASELINE operators that collect a
+# query/vector side to the driver (~10^5 rows at dim 64 ≈ 50 MB).
+# Past it the distributed twins are the only sound plan, so the
+# operators REFUSE instead of silently OOMing a 1000-executor job's
+# driver.  Overridable per call for soak tooling.
+MAX_DRIVER_SIDE_ROWS = 100_000
+
+
+class DriverBoundExceeded(RuntimeError):
+    """A driver-bounded baseline operator was handed a side larger than
+    its documented bound; the message names the distributed twin."""
+
+
+def guard_driver_bound(df: DataFrame, op: str, twin: str,
+                       bound: int = MAX_DRIVER_SIDE_ROWS) -> None:
+    """Count (at most bound+1 rows of) the side about to be collected;
+    raise DriverBoundExceeded past the bound with a pointer to the
+    fully distributed twin operator."""
+    n = df.limit(bound + 1).count()
+    if n > bound:
+        raise DriverBoundExceeded(
+            f"{op}: driver-collected side exceeds the documented bound "
+            f"({n - 1}+ rows > {bound}).  This operator is the exact "
+            f"driver-bounded BASELINE; use the distributed twin "
+            f"{twin} at this scale."
+        )
+
+
 def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
@@ -59,6 +87,8 @@ def cosine_topk_bruteforce(queries: DataFrame, candidates: DataFrame,
     ``lsh_bucketed_topk``, the fully-distributed scale twins.
     """
     spark = queries.sparkSession
+    guard_driver_bound(queries, "cosine_topk_bruteforce",
+                       "ivf_topk / lsh_bucketed_topk")
     q_ids, q_mat = _collect_matrix(queries, query_id_col or id_col, vec_col)
     bc = spark.sparkContext.broadcast((q_ids, q_mat))
 
@@ -250,6 +280,8 @@ def cosine_threshold_pairs_exact(vectors: DataFrame, threshold: float,
     (O(n^2) work, one broadcast): production near-dup at corpus scale
     uses cosine_threshold_pairs_lsh below."""
     spark = vectors.sparkSession
+    guard_driver_bound(vectors, "cosine_threshold_pairs",
+                       "cosine_threshold_pairs_lsh")
     ids, mat = _collect_matrix(vectors, id_col, vec_col)
     bc = spark.sparkContext.broadcast((ids, mat))
 
@@ -548,6 +580,7 @@ def pq_topk(queries: DataFrame, candidates: DataFrame, k: int,
         encode, f"{id_col} long, codes array<int>"
     )
 
+    guard_driver_bound(queries, "pq_topk", "ivf_topk")
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qv = _int_grid(np.array([r[1] for r in qrows], dtype=np.float64))
@@ -761,6 +794,7 @@ def ivfpq_topk(queries: DataFrame, candidates: DataFrame, k: int,
         encode, f"{id_col} long, bucket int, codes array<int>"
     )
 
+    guard_driver_bound(queries, "ivfpq_topk", "ivf_topk")
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qv = _int_grid(np.array([r[1] for r in qrows], dtype=np.float64))

