@@ -217,6 +217,12 @@ class S2RegionCoverer:
     def get_interior_covering(self, region) -> np.ndarray:
         return self._run(region, interior=True)
 
+    def get_fast_covering(self, region) -> np.ndarray:
+        """Alias of get_covering (region_coverer.rs:489-504: the
+        reference's "fast" variant falls through to the standard
+        algorithm — a named parity surface, not a different plan)."""
+        return self.get_covering(region)
+
     def is_canonical(self, ids) -> bool:
         ids = np.asarray(ids, dtype=np.uint64)
         if len(ids) > self.options.max_cells:

@@ -216,6 +216,16 @@ class TestCoverer:
         leaf = int(C.from_point(np.array([1.0]), np.array([0.0]), np.array([0.0]))[0])
         assert unions.contains_cell_id(covering, leaf)
 
+    def test_fast_covering_is_the_standard_covering(self):
+        # region_coverer.rs:489-504: get_fast_covering falls through to
+        # get_covering in the reference — named alias, identical output
+        cap = caps.S2Cap.from_center_degrees((1.0, 0.0, 0.0), 3.0)
+        cov = coverer.S2RegionCoverer(
+            coverer.CovererOptions(max_cells=8, max_level=12))
+        assert np.array_equal(
+            cov.get_fast_covering(coverer.CapRegion(cap)),
+            cov.get_covering(coverer.CapRegion(cap)))
+
     def test_interior_covering_subset(self):
         cap = caps.S2Cap.from_center_degrees((1.0, 0.0, 0.0), 10.0)
         cov = coverer.S2RegionCoverer(coverer.CovererOptions(max_cells=20))
