@@ -146,3 +146,32 @@ def test_real_wav_decoder_slots_into_pipeline(spark, monkeypatch):
     assert got["doc-b"]["n_frames"] == 320
     ref = mm.decode_wav_batch([make_wav(160)], "audio")["features"][0]
     assert np.allclose(got["doc-a"]["features"], ref, atol=0, rtol=0)
+
+
+def test_native_codec_binding_or_documented_absence(monkeypatch):
+    """use_native_codecs() binds the Pillow-backed codec when Pillow is
+    importable, and is a clean False no-op otherwise (this sandbox has
+    no Pillow — dated note in multimodal.py)."""
+    before = dict(mm.DECODERS), dict(mm.RESIZERS)
+    bound = mm.use_native_codecs()
+    try:
+        if not bound:
+            assert (dict(mm.DECODERS), dict(mm.RESIZERS)) == before
+            return
+        # Pillow present: native path must be pixel/byte-exact vs the
+        # stdlib proofs on filter-0 grayscale PNGs
+        pngs = [make_png_gradient(w, h) for (w, h) in
+                [(16, 16), (64, 48), (7, 9)]]
+        dn = mm.decode_png_batch_native(pngs, "image")
+        ds = mm.decode_png_batch(pngs, "image")
+        assert (dn["width"] == ds["width"]).all()
+        assert (dn["height"] == ds["height"]).all()
+        for a, b in zip(dn["features"], ds["features"]):
+            assert (a == b).all()
+        rn = mm.resize_png_batch_native(pngs, 6, 10)
+        rs = mm.resize_png_batch(pngs, 6, 10)
+        for a, b in zip(rn, rs):
+            assert (a == b).all()
+    finally:
+        mm.DECODERS.update(before[0])
+        mm.RESIZERS.update(before[1])
