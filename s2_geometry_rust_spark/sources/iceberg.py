@@ -2,8 +2,10 @@
 interleaved-document corpus and the checkpoint/lineage table live in
 Iceberg on a real cluster).
 
-This sandbox ships no Iceberg runtime jars, so every entry point here
-is dual-path:
+This sandbox ships no Iceberg runtime jars (re-checked each round; as
+of round 5, 2026-08-21, a filesystem-wide search finds no
+iceberg-spark-runtime jar and no network access to fetch one), so
+every entry point here is dual-path:
 
 * **Iceberg path** — used automatically when
   ``org.apache.iceberg.spark.SparkCatalog`` is loadable: tables are
