@@ -37,9 +37,12 @@ def are_siblings(a: int, b: int, c: int, d: int) -> bool:
             and (c & mask) == d_masked and not is_face)
 
 
-def normalize(ids) -> np.ndarray:
+def normalize_scan(ids) -> np.ndarray:
     """Sort, drop contained, collapse 4 siblings -> parent; the exact
-    linear scan of cell_union.rs:600-629."""
+    linear scan of cell_union.rs:600-629.  Parity reference for the
+    vectorized ``normalize`` below (the normalized form is canonical,
+    so both compute identical arrays — pinned by
+    tests/test_kernels_union_port_random.py)."""
     ids = _arr(ids)
     ids = np.sort(ids)
     out: list[int] = []
@@ -55,6 +58,57 @@ def normalize(ids) -> np.ndarray:
             del out[-3:]
         out.append(cur)
     return np.array(out, dtype=np.uint64)
+
+
+_FACE_LSB = U(1) << U(60)
+
+
+def normalize(ids) -> np.ndarray:
+    """Vectorized normalize — identical output to ``normalize_scan``
+    (the normalized form is unique: sorted, containment-free, no four
+    complete siblings), O(rounds) numpy passes instead of a per-cell
+    Python loop.
+
+    1. sort + dedup;
+    2. drop contained: cell ranges are laminar (nested or disjoint),
+       so after sorting by (range_min asc, range_max desc) a cell is
+       contained in another iff the running max of earlier range_max
+       already reaches its own range_max;
+    3. collapse complete sibling quads bottom-up: equal parent ids
+       imply equal levels (a parent id's own lsb pins its level), so
+       one unique-with-counts pass per round finds every count==4
+       parent; collapsing cannot create new containment (anything
+       nested in or containing the quad was already dropped), only new
+       quads — iterate to fixpoint (<= MAX_LEVEL rounds).
+    """
+    ids = np.unique(_arr(ids))
+    if len(ids) <= 1:
+        return ids
+    rmin = ci.range_min(ids)
+    rmax = ci.range_max(ids)
+    order = np.lexsort((np.iinfo(np.uint64).max - rmax, rmin))
+    rmax_o = rmax[order]
+    cummax = np.maximum.accumulate(rmax_o)
+    keep = np.ones(len(ids), dtype=bool)
+    keep[1:] = rmax_o[1:] > cummax[:-1]
+    ids = np.sort(ids[order][keep])
+    while len(ids) >= 4:
+        lb = ci.lsb(ids)
+        can = lb < _FACE_LSB
+        plsb = lb << _U2
+        with np.errstate(over="ignore"):
+            parents = (ids & (~plsb + _U1)) | plsb
+        parents = np.where(can, parents, ids)
+        uniq, inv, counts = np.unique(
+            parents, return_inverse=True, return_counts=True
+        )
+        quad = can & (counts[inv] == 4)
+        if not quad.any():
+            break
+        ids = np.sort(np.concatenate(
+            [ids[~quad], np.unique(parents[quad])]
+        ))
+    return ids
 
 
 def is_normalized(ids) -> bool:
@@ -211,10 +265,12 @@ def intersection_with_cell_id(ids, cell: int) -> np.ndarray:
     return np.array(out, dtype=np.uint64)
 
 
-def expand(ids, expand_level: int) -> np.ndarray:
+def expand_scan(ids, expand_level: int) -> np.ndarray:
     """Promote + add (placeholder) neighbors, then normalize
     (cell_union.rs:427-444; neighbors are id-space steps per
-    cell_id.rs:696-722)."""
+    cell_id.rs:696-722).  Parity reference for the vectorized
+    ``expand`` below (identical output — the order the scan appends in
+    is erased by normalize's sort)."""
     ids = _arr(ids)
     level_lsb = int(ci.lsb_for_level(expand_level))
     output: list[int] = []
@@ -225,6 +281,32 @@ def expand(ids, expand_level: int) -> np.ndarray:
         output.append(cur)
         output.extend(ci.append_all_neighbors(cur, expand_level))
     return normalize(np.array(output, dtype=np.uint64))
+
+
+def expand(ids, expand_level: int) -> np.ndarray:
+    """Vectorized expand — same promotion + placeholder-neighbor
+    semantics as ``expand_scan``, as numpy passes.  After promotion
+    every cell is at or above expand_level, so the scan's
+    parent_at_level inside append_all_neighbors is the identity and
+    the +/- step candidates come straight off the promoted ids."""
+    ids = _arr(ids)
+    if len(ids) == 0:
+        return normalize(ids)
+    level_lsb = ci.lsb_for_level(U(expand_level))
+    lb = ci.lsb(ids)
+    promoted = np.where(
+        lb < level_lsb, ci.parent(ids, expand_level), ids
+    )
+    step = level_lsb << _U1
+    with np.errstate(over="ignore"):
+        prev = promoted - step
+        nxt = promoted + step
+    ok_prev = ((promoted >= step) & ci.is_valid(prev)
+               & (ci.level(prev) == expand_level))
+    ok_next = ci.is_valid(nxt) & (ci.level(nxt) == expand_level)
+    return normalize(np.concatenate(
+        [promoted, prev[ok_prev], nxt[ok_next]]
+    ))
 
 
 def expand_with_radius(ids, min_radius_radians: float,

@@ -120,3 +120,31 @@ def test_expand_with_radius_empty_union():
     empty = np.empty(0, dtype=np.uint64)
     assert len(ku.expand_with_radius(empty, 1.0, 20)) == 0
     assert len(ku.expand_with_radius(empty, 3.0, 20)) == 0
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_vectorized_normalize_equals_linear_scan(seed):
+    """normalize (vectorized, r5) must be bit-identical to the
+    reference linear scan on arbitrary inputs — incl. deep sibling
+    cascades (all 4^k descendants of one cell collapse back to it)."""
+    ids = _random_cells(seed, n=60)
+    assert np.array_equal(ku.normalize(ids), ku.normalize_scan(ids))
+    # adversarial cascade: every level-(L+2) descendant of one cell
+    base = ck.parent(ids[:1], 5)[0]
+    kids = ck.children(np.array([base], dtype=np.uint64)).ravel()
+    grandkids = ck.children(kids).ravel()
+    cascade = np.concatenate([grandkids, ids[:7]])
+    assert np.array_equal(
+        ku.normalize(cascade), ku.normalize_scan(cascade))
+    # duplicates + containment mixtures
+    messy = np.concatenate([ids, ids[:13], kids, np.array([base], np.uint64)])
+    assert np.array_equal(ku.normalize(messy), ku.normalize_scan(messy))
+
+
+@pytest.mark.parametrize("seed", [7, 99, 1234])
+@pytest.mark.parametrize("lv", [0, 4, 11, 29, 30])
+def test_vectorized_expand_equals_linear_scan(seed, lv):
+    ids = ku.normalize(_random_cells(seed, n=40))
+    assert np.array_equal(ku.expand(ids, lv), ku.expand_scan(ids, lv))
+    empty = np.empty(0, dtype=np.uint64)
+    assert len(ku.expand(empty, lv)) == 0
