@@ -203,6 +203,7 @@ def main() -> None:
         "incremental_clusters", "image_resize", "frame_sample",
         "ivf_assign_delta", "embedding_drift",
         "union_expand_radius", "loop_nearest_boundary",
+        "union_expand_radius_dist",
     ]
     # steady-state protocol: min of 2 runs per query WITHIN a session
     # (the first run pays one-time per-query costs — whole-stage-codegen

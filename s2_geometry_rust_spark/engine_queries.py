@@ -2714,3 +2714,43 @@ _register_in_window(
     loop_nearest_boundary_q,
     oracle.loop_nearest_boundary_sql(),
 )
+
+
+def union_expand_radius_dist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path twin of union_expand_radius: identical semantics
+    (cell_union.rs:446-467) through expand_with_radius_distributed —
+    codegen +/- step candidates in the usk domain + the distributed
+    normalize fixpoint, no whole-union-per-task requirement.  Same
+    fixture, same oracle SQL as the grouped query."""
+    from .functions import cell_id_from_xyz
+    from .operators.unions_ops import (
+        expand_with_radius_distributed,
+        normalize_grouped,
+    )
+
+    pts = _derived_points(spark, sf_dir)
+    cells = (
+        pts.withColumn("_leaf", cell_id_from_xyz("x", "y", "z"))
+        .withColumn("union_id", (F.col("point_id") % 7).cast("long"))
+        .withColumn(
+            "_lv",
+            (F.col("point_id") % 11 + 8 + F.col("union_id") % 5).cast("int"),
+        )
+        .withColumn("_lsb", F.expr("shiftleft(1L, (30 - _lv) * 2)"))
+        .withColumn("cell_id", F.expr("(_leaf & -_lsb) | _lsb"))
+        .select(F.col("union_id").cast("string").alias("union_id"), "cell_id")
+        .distinct()
+    )
+    out = expand_with_radius_distributed(
+        normalize_grouped(cells), min_radius_radians=0.0003, max_level_diff=3
+    )
+    return out.select(
+        F.col("union_id").cast("long").alias("union_id"), "cell_id"
+    )
+
+
+_register_in_window(
+    "union_expand_radius_dist",
+    union_expand_radius_dist_q,
+    oracle.union_expand_radius_sql(radius_level=13, max_level_diff=3),
+)

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..functions import cell_level, cell_range_max, cell_range_min, unsigned_sort_key
+from ..functions.columns import LONG_MIN
 from ..kernels import unions as ku
 
 UNION_CELLS_SCHEMA = StructType(
@@ -216,6 +217,102 @@ def normalize_distributed(cells: DataFrame, max_rounds: int = 30) -> DataFrame:
         ).select("union_id", "cell_id")
         cur = kept.unionByName(collapsed)
     return cur
+
+
+def _expand_candidates(df: DataFrame) -> DataFrame:
+    """(union_id, cell_id, _el) -> exploded expand candidates: the
+    promoted cell plus the reference's +/- id-space step "neighbors"
+    (cell_union.rs:427-444 + cell_id.rs:696-722), pure whole-stage
+    codegen.
+
+    ANSI-safe u64 arithmetic: the +/- step runs in the usk domain
+    (id XOR 2^63), where every VALID cell's key lies in [-2^63, 2^62)
+    and one step (<= 2^61) can never overflow int64 — no try_add
+    (whose null-on-wrap is the wrong semantics: a face-3-top + step
+    legitimately wraps into face 4's negative-int64 id range).  The
+    neighbor validity test (is_valid AND level == el) reduces to
+    "low bits below the step equal the level lsb" + "face < 6",
+    avoiding `-cand` negations that would ANSI-overflow on the
+    u64 = 2^63 candidate."""
+    d = (
+        df
+        .withColumn("_lvl_lsb", F.expr("shiftleft(1L, (30 - _el) * 2)"))
+        .withColumn("_step", F.expr("shiftleft(1L, (30 - _el) * 2 + 1)"))
+        .withColumn(
+            "_prom",
+            F.expr(
+                "CASE WHEN (cell_id & -cell_id) < _lvl_lsb"
+                " THEN (cell_id & -_lvl_lsb) | _lvl_lsb"
+                " ELSE cell_id END"
+            ),
+        )
+        .withColumn("_usk", unsigned_sort_key(F.col("_prom")))
+    )
+    usk_step = unsigned_sort_key(F.col("_step"))
+    prev_id = F.when(
+        F.col("_usk") >= usk_step,
+        (F.col("_usk") - F.col("_step")).bitwiseXOR(F.lit(LONG_MIN)),
+    )
+    next_id = (F.col("_usk") + F.col("_step")).bitwiseXOR(F.lit(LONG_MIN))
+    d = d.select(
+        "union_id",
+        "_lvl_lsb",
+        "_step",
+        F.posexplode(F.array(F.col("_prom"), prev_id, next_id)).alias(
+            "_pos", "cell_id"
+        ),
+    )
+    neighbor_ok = (
+        (F.col("cell_id").bitwiseAND(F.col("_step") - 1) == F.col("_lvl_lsb"))
+        & (F.expr("shiftrightunsigned(cell_id, 61)") < 6)
+    )
+    return d.filter(
+        F.col("cell_id").isNotNull() & ((F.col("_pos") == 0) | neighbor_ok)
+    ).select("union_id", "cell_id")
+
+
+def expand_distributed(cells: DataFrame, expand_level: int) -> DataFrame:
+    """Scale-path expand: codegen candidates + the distributed
+    normalize fixpoint — no whole-union-in-one-task requirement, unlike
+    expand_grouped.  Same unique normal form, so identical output
+    (parity-tested in test_knn_unions)."""
+    return normalize_distributed(
+        _expand_candidates(
+            cells.withColumn("_el", F.lit(int(expand_level)))
+        )
+    )
+
+
+def expand_with_radius_distributed(cells: DataFrame,
+                                   min_radius_radians: float,
+                                   max_level_diff: int) -> DataFrame:
+    """Scale-path expand_with_radius (cell_union.rs:446-467): the
+    per-union minimum level comes from one small groupBy; the expand
+    level least(min_level + diff, radius_level) rides each row as a
+    column.  Mirrors the kernel's quirks: min_level is computed BEFORE
+    the wide-radius pre-expand, and a radius wider than a face cell
+    takes the reference's expand(0)-then-expand(0) double round.
+    Contract (same as the grouped twin's callers): the input union is
+    already NORMALIZED — min_level is only meaningful after sibling
+    collapse."""
+    from ..kernels import cellid as ci
+
+    radius_level = ci.level_for_min_width(min_radius_radians)
+    if radius_level == 0:
+        # el = min(min_level + diff, 0) = 0 for every union
+        out = cells
+        if min_radius_radians > ci.min_width_at_level(0):
+            out = expand_distributed(out, 0)
+        return expand_distributed(out, 0)
+    params = cells.groupBy("union_id").agg(
+        F.least(
+            F.min(cell_level("cell_id")) + max_level_diff,
+            F.lit(radius_level),
+        ).alias("_el")
+    )
+    return normalize_distributed(
+        _expand_candidates(cells.join(F.broadcast(params), "union_id"))
+    )
 
 
 def canonicalize_covering_distributed(cells: DataFrame, min_level: int,

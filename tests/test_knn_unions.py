@@ -164,3 +164,44 @@ def test_contains_flags_matches_kernel(spark, union_fixture):
     got_set = set(got.probe_cell.to_numpy(np.int64).view(np.uint64).tolist())
     want = {int(c) for c in probes if ku.contains_cell_id(u_ids, int(c))}
     assert got_set == want
+
+
+def test_expand_distributed_matches_kernel(spark, union_fixture):
+    """Scale-path expand (codegen candidates + distributed normalize
+    fixpoint) == the reference kernel, incl. face-boundary wraps (the
+    usk-domain +/- step) and coarser-than-target cells."""
+    from s2_geometry_rust_spark.operators.unions_ops import (
+        expand_distributed,
+    )
+
+    children, grandkids, scattered = union_fixture
+    for lv in (0, 4, 12):
+        for uid, ids in [
+            ("a", scattered),
+            ("b", grandkids + scattered[:10]),
+        ]:
+            df = _df(spark, uid, ids)
+            got = expand_distributed(df, lv).toPandas()
+            g = np.sort(got.cell_id.to_numpy(np.int64).view(np.uint64))
+            want = np.sort(ku.expand(
+                ku.normalize(np.array(ids, np.uint64)), lv))
+            # kernel callers normalize first; expand of a raw set and of
+            # its normalized form share the same normal form
+            np.testing.assert_array_equal(g, want, err_msg=f"{uid}@{lv}")
+
+
+def test_expand_with_radius_distributed_matches_kernel(spark, union_fixture):
+    from s2_geometry_rust_spark.operators.unions_ops import (
+        expand_with_radius_distributed,
+    )
+
+    children, grandkids, scattered = union_fixture
+    # contract (same as the grouped twin): the input is a NORMALIZED
+    # union — min_level must be taken after sibling collapse
+    ids = ku.normalize(np.array(grandkids + scattered, np.uint64))
+    df = _df(spark, "u", [int(i) for i in ids])
+    for radius, diff in [(0.0003, 3), (1e-6, 2), (3.0, 20)]:
+        got = expand_with_radius_distributed(df, radius, diff).toPandas()
+        g = np.sort(got.cell_id.to_numpy(np.int64).view(np.uint64))
+        want = np.sort(ku.expand_with_radius(ids, radius, diff))
+        np.testing.assert_array_equal(g, want, err_msg=str(radius))
