@@ -205,3 +205,28 @@ def test_expand_with_radius_distributed_matches_kernel(spark, union_fixture):
         g = np.sort(got.cell_id.to_numpy(np.int64).view(np.uint64))
         want = np.sort(ku.expand_with_radius(ids, radius, diff))
         np.testing.assert_array_equal(g, want, err_msg=str(radius))
+
+
+def test_expand_distributed_face_boundary_wraps(spark):
+    """The ANSI-safety edges of the codegen candidate stage: cells at
+    the very start/end of each face, including face 3's top (one step
+    crosses into face 4 = the int64 sign flip, where a plain + would
+    ANSI-overflow) and face 5's top (the u64 ceiling — next wraps to
+    an invalid id and must be dropped exactly as the kernel drops
+    it)."""
+    from s2_geometry_rust_spark.operators.unions_ops import (
+        expand_distributed,
+    )
+
+    for lv in (1, 12, 30):
+        lsb = int(ck.lsb_for_level(lv))
+        cells = []
+        for face in (0, 3, 4, 5):
+            base = face << 61
+            cells += [base + lsb, base + (1 << 61) - lsb]
+        ids = ku.normalize(np.array(cells, dtype=np.uint64))
+        df = _df(spark, "edge", [int(i) for i in ids])
+        got = expand_distributed(df, lv).toPandas()
+        g = np.sort(got.cell_id.to_numpy(np.int64).view(np.uint64))
+        want = np.sort(ku.expand(ids, lv))
+        np.testing.assert_array_equal(g, want, err_msg=f"lv={lv}")
