@@ -176,6 +176,52 @@ class S2Cell:
             return False
         return int(ci.parent(np.uint64(other.id), self.level)) == self.id
 
+    # -- point distances (cell.rs:300-345, nearest-vertex simplified) -------
+
+    def get_boundary_distance(self, x, y, z):
+        """Squared-chord distance from the cell BOUNDARY to each point
+        (cell.rs:314-326): min over the 4 edges of the reference's
+        simplified per-edge distance min(chord(p, a), chord(p, b)) —
+        which reduces to the min over the 4 vertices."""
+        from . import chord
+
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        z = np.asarray(z, dtype=np.float64)
+        best = np.full(np.shape(x), chord.INFINITY)
+        for k in range(4):
+            vx, vy, vz = self.get_vertex(k)
+            best = np.minimum(
+                best, chord.between_points(x, y, z, vx, vy, vz)
+            )
+        return best
+
+    def get_distance_to_point(self, x, y, z):
+        """Squared-chord distance cell -> point (cell.rs:304-310): zero
+        when the point is contained, else the boundary distance."""
+        inside = self.contains_point(x, y, z)
+        return np.where(
+            inside, 0.0, self.get_boundary_distance(x, y, z)
+        )
+
+    def get_max_distance(self, x, y, z):
+        """Max squared-chord distance cell -> point (cell.rs:329-345):
+        straight (4.0) when the ANTIPODAL point is contained, else the
+        max over the 4 vertices."""
+        from . import chord
+
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        z = np.asarray(z, dtype=np.float64)
+        worst = np.full(np.shape(x), chord.NEGATIVE)
+        for k in range(4):
+            vx, vy, vz = self.get_vertex(k)
+            worst = np.maximum(
+                worst, chord.between_points(x, y, z, vx, vy, vz)
+            )
+        anti = self.contains_point(-x, -y, -z)
+        return np.where(anti, chord.STRAIGHT, worst)
+
     def may_intersect(self, other: "S2Cell") -> bool:
         return bool(ci.intersects(np.uint64(self.id), np.uint64(other.id)))
 

@@ -85,3 +85,48 @@ def sin2(length2):
     """sin^2(a) = l2 * (1 - l2/4)."""
     l2 = np.asarray(length2, dtype=np.float64)
     return l2 * (1.0 - 0.25 * l2)
+
+
+def successor(length2):
+    """Next larger representable chord angle (chord_angle.rs:232-239):
+    >= straight -> infinity, negative -> zero, else nextafter toward
+    10.0."""
+    if length2 >= STRAIGHT:
+        return INFINITY
+    if length2 < 0.0:
+        return 0.0
+    return float(np.nextafter(length2, 10.0))
+
+
+def predecessor(length2):
+    """Next smaller representable chord angle (chord_angle.rs:242-250):
+    <= zero -> negative, > straight -> straight, else nextafter toward
+    -10.0."""
+    if length2 <= 0.0:
+        return NEGATIVE
+    if length2 > STRAIGHT:
+        return STRAIGHT
+    return float(np.nextafter(length2, -10.0))
+
+
+def _is_special(length2):
+    return length2 < 0.0 or length2 == INFINITY
+
+
+def plus_error(length2, error):
+    """Add an error bound, clamped to [0, 4]; special values pass
+    through (chord_angle.rs:253-259)."""
+    if _is_special(length2):
+        return length2
+    return min(max(length2 + error, 0.0), STRAIGHT)
+
+
+def s2_point_constructor_max_error(length2):
+    """chord_angle.rs:262-266."""
+    eps = np.finfo(np.float64).eps
+    return 4.5 * eps * length2 + 16.0 * eps * eps
+
+
+def s1_angle_constructor_max_error(length2):
+    """chord_angle.rs:269-272."""
+    return 1.5 * np.finfo(np.float64).eps * length2

@@ -111,6 +111,15 @@ class R1Interval:
     def intersection(self, o: "R1Interval") -> "R1Interval":
         return R1Interval(max(self.lo, o.lo), min(self.hi, o.hi))
 
+    def get_directed_hausdorff_distance(self, o: "R1Interval") -> float:
+        """interval.rs:750-758: 0 when self empty, inf when other
+        empty, else max(0, hi-o.hi, o.lo-lo)."""
+        if self.is_empty():
+            return 0.0
+        if o.is_empty():
+            return float("inf")
+        return max(0.0, max(self.hi - o.hi, o.lo - self.lo))
+
     def approx_equals(self, o: "R1Interval", max_error: float) -> bool:
         if self.is_empty():
             return o.get_length() <= 2.0 * max_error
@@ -193,6 +202,26 @@ class S1Interval:
         if self.lo != self.hi:
             return self.complement().get_center()
         return self.hi + PI if self.hi <= 0.0 else self.hi - PI
+
+    def get_directed_hausdorff_distance(self, o: "S1Interval") -> float:
+        """interval.rs:473-502: 0 when o contains self (incl. empty
+        self), pi when o empty; otherwise realized either from o.hi to
+        o's complement center (when self contains that center) or by
+        the hi/hi and lo/lo endpoint pairs."""
+        if o.contains(self):
+            return 0.0
+        if o.is_empty():
+            return PI
+        occ = o.get_complement_center()
+        if self.contains_point(occ):
+            return positive_distance(o.hi, occ)
+        hi_hi = (positive_distance(o.hi, self.hi)
+                 if S1Interval(o.hi, occ).contains_point(self.hi)
+                 else 0.0)
+        lo_lo = (positive_distance(self.lo, o.lo)
+                 if S1Interval(occ, o.lo).contains_point(self.lo)
+                 else 0.0)
+        return max(hi_hi, lo_lo)
 
     def fast_contains(self, p: float) -> bool:
         if self.is_inverted():

@@ -54,6 +54,32 @@ class S2Loop:
         return S2Loop(np.stack([x, y, z], axis=-1))
 
     @staticmethod
+    def make_regular_loop(center_xyz, radius_radians: float,
+                          num_vertices: int) -> "S2Loop":
+        """loop.rs:580-613: regular polygon of ``num_vertices`` points
+        at angular ``radius_radians`` around ``center_xyz`` — an
+        orthonormal frame with the center as z-axis, vertices at equal
+        angle steps in the tangent plane projected onto the sphere.
+        The reference returns S2Error for < 3 vertices -> ValueError
+        here."""
+        if num_vertices < 3:
+            raise ValueError("Regular loop needs at least 3 vertices")
+        z = np.asarray(center_xyz, dtype=np.float64)
+        ref = (np.array([0.0, 0.0, 1.0]) if abs(z[2]) < 0.9
+               else np.array([1.0, 0.0, 0.0]))
+        x = np.cross(ref, z)
+        x = x / np.linalg.norm(x)
+        y = np.cross(z, x)
+        step = 2.0 * PI / num_vertices
+        cr, sr = math.cos(radius_radians), math.sin(radius_radians)
+        verts = []
+        for i in range(num_vertices):
+            a = i * step
+            local = math.cos(a) * x + math.sin(a) * y
+            verts.append(cr * z + sr * local)
+        return S2Loop(np.array(verts))
+
+    @staticmethod
     def empty() -> "S2Loop":
         return S2Loop(np.array([[0.0, 0.0, 1.0]]))
 

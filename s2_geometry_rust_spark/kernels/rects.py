@@ -160,6 +160,27 @@ class S2LatLngRect:
         exp_lng = self.lng.expanded(lng_margin)
         return S2LatLngRect(exp_lat, exp_lng)
 
+    def polar_closure(self) -> "S2LatLngRect":
+        """latlng_rect.rs:408-418: a rect touching either pole expands
+        its longitude span to full (all representations of a contained
+        pole are then contained)."""
+        if self.lat.lo == -PI_2 or self.lat.hi == PI_2:
+            return S2LatLngRect(R1Interval(self.lat.lo, self.lat.hi),
+                                S1Interval.full())
+        return self
+
+    def get_distance_to_point(self, lat: float, lng: float) -> float:
+        """latlng_rect.rs:484-496 (simplified projection semantics):
+        zero when contained, else the haversine distance to the
+        (lat-project, lng-project) corner point."""
+        from . import latlng as ll
+
+        if self.contains_latlng(lat, lng):
+            return 0.0
+        lat_proj = self.lat.project(lat)
+        lng_proj = self.lng.project(lng)
+        return float(ll.haversine_distance(lat, lng, lat_proj, lng_proj))
+
     def union(self, o: "S2LatLngRect") -> "S2LatLngRect":
         return S2LatLngRect(self.lat.union(o.lat), self.lng.union(o.lng))
 

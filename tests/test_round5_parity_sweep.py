@@ -1,0 +1,206 @@
+"""Round-5 completeness-sweep parity ports: the reference public fns a
+name-level diff against the package surfaced as unmirrored —
+S2Cell point-distance family (cell.rs:300-345), S1ChordAngle
+successor/predecessor/plus_error (chord_angle.rs:231-272), interval
+directed Hausdorff distances (interval.rs:473-502, 750-758),
+S2LatLngRect polar_closure / get_distance_to_point
+(latlng_rect.rs:408-418, 484-496), and S2Loop::make_regular_loop
+(loop.rs:580-613)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from s2_geometry_rust_spark.kernels import cellid as ci
+from s2_geometry_rust_spark.kernels import chord
+from s2_geometry_rust_spark.kernels.cells import S2Cell
+from s2_geometry_rust_spark.kernels.intervals import (
+    PI,
+    R1Interval,
+    S1Interval,
+)
+from s2_geometry_rust_spark.kernels.loops import S2Loop
+from s2_geometry_rust_spark.kernels.rects import S2LatLngRect
+
+
+def _cell_at(x, y, z, lv):
+    leaf = ci.from_point(np.array([x]), np.array([y]), np.array([z]))
+    return S2Cell(int(ci.parent(leaf, lv)[0]))
+
+
+def _inside_point(cell):
+    """A point the cell's (pinned-UV-quirk, SURVEY.md §8.2) contains
+    rect actually contains: the midpoint of its own UV bounds."""
+    from s2_geometry_rust_spark.kernels.cells import _cell_face_uv_to_xyz
+
+    u = 0.5 * (cell.u_lo + cell.u_hi)
+    v = 0.5 * (cell.v_lo + cell.v_hi)
+    x, y, z = _cell_face_uv_to_xyz(cell.face, u, v)
+    n = math.sqrt(x * x + y * y + z * z)
+    return x / n, y / n, z / n
+
+
+class TestCellPointDistances:
+    def test_zero_inside_boundary_outside(self):
+        cell = _cell_at(1.0, 0.0, 0.0, 8)
+        cx, cy, cz = _inside_point(cell)
+        d_in = cell.get_distance_to_point(
+            np.array([cx]), np.array([cy]), np.array([cz]))[0]
+        assert d_in == 0.0
+        # far point: distance equals the min vertex chord (the
+        # reference's nearest-vertex simplification)
+        px, py, pz = 0.0, 0.0, 1.0
+        d_out = cell.get_distance_to_point(
+            np.array([px]), np.array([py]), np.array([pz]))[0]
+        want = min(
+            chord.between_points(px, py, pz, *cell.get_vertex(k))
+            for k in range(4)
+        )
+        assert d_out == want > 0.0
+        assert cell.get_boundary_distance(
+            np.array([px]), np.array([py]), np.array([pz]))[0] == want
+
+    def test_boundary_distance_positive_even_inside(self):
+        # cell.rs:314: boundary distance ignores containment
+        cell = _cell_at(1.0, 0.0, 0.0, 4)
+        cx, cy, cz = _inside_point(cell)
+        d = cell.get_boundary_distance(
+            np.array([cx]), np.array([cy]), np.array([cz]))[0]
+        assert d > 0.0
+
+    def test_max_distance_vertices_and_antipodal(self):
+        cell = _cell_at(1.0, 0.0, 0.0, 6)
+        px, py, pz = 0.0, 1.0, 0.0
+        got = cell.get_max_distance(
+            np.array([px]), np.array([py]), np.array([pz]))[0]
+        want = max(
+            chord.between_points(px, py, pz, *cell.get_vertex(k))
+            for k in range(4)
+        )
+        assert got == want
+        # antipode of a contained point -> straight (cell.rs:331-335)
+        cx, cy, cz = _inside_point(cell)
+        got = cell.get_max_distance(
+            np.array([-cx]), np.array([-cy]), np.array([-cz]))[0]
+        assert got == chord.STRAIGHT
+
+
+class TestChordAngleEdges:
+    def test_successor_predecessor(self):
+        assert chord.successor(chord.STRAIGHT) == chord.INFINITY
+        assert chord.successor(5.0) == chord.INFINITY
+        assert chord.successor(chord.NEGATIVE) == 0.0
+        x = 1.5
+        assert chord.successor(x) == np.nextafter(x, 10.0) > x
+        assert chord.predecessor(0.0) == chord.NEGATIVE
+        assert chord.predecessor(4.5) == chord.STRAIGHT
+        assert chord.predecessor(x) == np.nextafter(x, -10.0) < x
+        # round trip
+        assert chord.predecessor(chord.successor(x)) == x
+
+    def test_plus_error_clamps_and_specials(self):
+        assert chord.plus_error(chord.NEGATIVE, 1.0) == chord.NEGATIVE
+        assert chord.plus_error(chord.INFINITY, 1.0) == chord.INFINITY
+        assert chord.plus_error(3.9, 0.5) == 4.0
+        assert chord.plus_error(0.1, -0.5) == 0.0
+        assert chord.plus_error(1.0, 0.25) == 1.25
+
+    def test_constructor_max_errors(self):
+        eps = np.finfo(np.float64).eps
+        assert chord.s2_point_constructor_max_error(2.0) == \
+            4.5 * eps * 2.0 + 16.0 * eps * eps
+        assert chord.s1_angle_constructor_max_error(2.0) == 1.5 * eps * 2.0
+
+
+class TestDirectedHausdorff:
+    def test_r1(self):
+        a, b = R1Interval(1.0, 3.0), R1Interval(2.0, 5.0)
+        assert a.get_directed_hausdorff_distance(b) == 1.0
+        assert b.get_directed_hausdorff_distance(a) == 2.0
+        assert R1Interval.empty().get_directed_hausdorff_distance(a) == 0.0
+        assert a.get_directed_hausdorff_distance(
+            R1Interval.empty()) == math.inf
+        assert a.get_directed_hausdorff_distance(
+            R1Interval(0.0, 4.0)) == 0.0
+
+    def test_s1_contained_and_empty(self):
+        a = S1Interval.new(0.1, 0.2)
+        big = S1Interval.new(0.0, 1.0)
+        assert a.get_directed_hausdorff_distance(big) == 0.0
+        assert S1Interval.empty().get_directed_hausdorff_distance(big) == 0.0
+        assert a.get_directed_hausdorff_distance(S1Interval.empty()) == PI
+
+    def test_s1_endpoint_realization(self):
+        # disjoint arcs: hausdorff realized at an endpoint pair
+        a = S1Interval.new(0.0, 0.5)
+        b = S1Interval.new(1.0, 1.5)
+        d = a.get_directed_hausdorff_distance(b)
+        # every point of a is within d of b, and d is attained at lo/lo
+        assert math.isclose(d, 1.0, rel_tol=0, abs_tol=1e-15)
+        # symmetry is NOT expected (directed), but both are positive
+        assert b.get_directed_hausdorff_distance(a) > 0.0
+
+    def test_s1_complement_center_branch(self):
+        # self contains the complement center of other -> distance is
+        # from other.hi to that center (interval.rs:480-483)
+        other = S1Interval.new(-1.0, 1.0)
+        occ = other.get_complement_center()  # pi
+        me = S1Interval.new(3.0, -3.0)       # contains pi
+        assert me.contains_point(occ)
+        from s2_geometry_rust_spark.kernels.intervals import (
+            positive_distance,
+        )
+        assert me.get_directed_hausdorff_distance(other) == \
+            positive_distance(other.hi, occ)
+
+
+class TestRectAdditions:
+    def test_polar_closure(self):
+        r = S2LatLngRect.from_degrees(70.0, -10.0, 90.0, 10.0)
+        pc = r.polar_closure()
+        assert pc.lng.is_full()
+        assert pc.lat.lo == r.lat.lo and pc.lat.hi == r.lat.hi
+        mid = S2LatLngRect.from_degrees(-10.0, -10.0, 10.0, 10.0)
+        assert mid.polar_closure() is mid  # untouched (returns self)
+
+    def test_distance_to_point(self):
+        r = S2LatLngRect.from_degrees(-5.0, -5.0, 5.0, 5.0)
+        assert r.get_distance_to_point(0.0, 0.0) == 0.0
+        lat = math.radians(10.0)
+        d = r.get_distance_to_point(lat, 0.0)
+        # projection lands on the lat edge directly south of the point
+        from s2_geometry_rust_spark.kernels import latlng as ll
+        want = float(ll.haversine_distance(
+            lat, 0.0, math.radians(5.0), 0.0))
+        assert d == want > 0.0
+
+
+class TestMakeRegularLoop:
+    def test_structure_and_containment(self):
+        center = np.array([0.0, 0.0, 1.0])
+        loop = S2Loop.make_regular_loop(center, math.radians(10.0), 16)
+        v = loop.vertices
+        assert v.shape == (16, 3)
+        # unit vertices at the requested angular radius from center
+        norms = np.linalg.norm(v, axis=1)
+        np.testing.assert_allclose(norms, 1.0, rtol=0, atol=1e-14)
+        dots = v @ center
+        np.testing.assert_allclose(
+            dots, math.cos(math.radians(10.0)), rtol=0, atol=1e-14)
+        # CCW around the center: contains it
+        assert loop.contains_point(0.0, 0.0, 1.0)
+        assert not loop.contains_point(0.0, 0.0, -1.0)
+
+    def test_too_few_vertices(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            S2Loop.make_regular_loop(np.array([0.0, 0.0, 1.0]), 0.1, 2)
+
+    def test_frame_branch_low_z(self):
+        # |z.z| >= 0.9 branch uses the x-axis reference vector
+        loop = S2Loop.make_regular_loop(
+            np.array([1.0, 0.0, 0.0]), math.radians(5.0), 8)
+        assert loop.contains_point(1.0, 0.0, 0.0)
