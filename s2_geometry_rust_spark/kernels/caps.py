@@ -82,6 +82,19 @@ class S2Cap:
                      float(chord.from_length2(2.0 * height)))
 
     @staticmethod
+    def from_center_chord_angle(center_xyz, length2: float) -> "S2Cap":
+        """cap.rs:66-71: direct (center, squared-chord radius)."""
+        x, y, z = (float(v) for v in center_xyz)
+        return S2Cap(x, y, z, float(length2))
+
+    @staticmethod
+    def from_center_area(center_xyz, area: float) -> "S2Cap":
+        """cap.rs:102-112: radius length2 = area / pi (area == solid
+        angle on the unit sphere; negative -> empty, >= 4pi -> full)."""
+        x, y, z = (float(v) for v in center_xyz)
+        return S2Cap(x, y, z, float(area) / PI)
+
+    @staticmethod
     def from_point(center_xyz) -> "S2Cap":
         return S2Cap(center_xyz[0], center_xyz[1], center_xyz[2], 0.0)
 

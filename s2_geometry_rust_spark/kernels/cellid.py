@@ -200,6 +200,15 @@ def lsb_for_level(lv):
     return _u(_U1) << (_U2 * (U(MAX_LEVEL) - _u(lv)))
 
 
+def immediate_parent(id_):
+    """cell_id.rs:307-314: parent at level-1; level-0 cells have no
+    parent (reference S2Error -> ValueError here)."""
+    lv = int(level(U(int(id_))))
+    if lv <= 0:
+        raise ValueError("Cannot get parent of level 0 cell")
+    return parent(U(int(id_)), lv - 1)
+
+
 def parent(ids, lv):
     """Parent at the given level (caller guarantees lv <= level(id)),
     cell_id.rs:297-305."""

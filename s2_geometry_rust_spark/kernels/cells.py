@@ -127,6 +127,20 @@ class S2Cell:
         x, y, z = _get_u_norm_cell(self.face, self.u_lo)
         return -x, -y, -z
 
+    def get_bound_uv(self):
+        """cell.rs:131-135: the (pinned-quirk) UV bounds as R2Rect."""
+        from .r2 import R2Point, R2Rect
+
+        return R2Rect.from_points(R2Point(self.u_lo, self.v_lo),
+                                  R2Point(self.u_hi, self.v_hi))
+
+    def get_uv_coord_of_edge(self, k: int) -> float:
+        """cell.rs:180-190: the constant coordinate of edge k (even
+        edges constant in V, odd edges constant in U)."""
+        k = k & 3
+        u, v = self._uv_vertex(k)
+        return v if k % 2 == 0 else u
+
     def get_center(self):
         x, y, z = ci.to_point_raw(np.uint64(self.id))
         return _point_normalize(float(x), float(y), float(z))

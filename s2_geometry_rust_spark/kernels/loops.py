@@ -54,6 +54,15 @@ class S2Loop:
         return S2Loop(np.stack([x, y, z], axis=-1))
 
     @staticmethod
+    def from_cell(cell) -> "S2Loop":
+        """loop.rs:90-99: the 4 cell vertices (normalized) as a loop.
+        NOTE: with the reference's pinned-UV cell bounds (SURVEY.md
+        §8.2) many cells' vertex quads self-cross, so the reference's
+        `.expect("valid")` would PANIC there; the engine surfaces the
+        same validation verdict non-fatally as loop.valid=False."""
+        return S2Loop(np.array([cell.get_vertex(k) for k in range(4)]))
+
+    @staticmethod
     def make_regular_loop(center_xyz, radius_radians: float,
                           num_vertices: int) -> "S2Loop":
         """loop.rs:580-613: regular polygon of ``num_vertices`` points

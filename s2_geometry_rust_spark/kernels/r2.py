@@ -91,6 +91,15 @@ class R2Rect:
             self.y.hi if k in (2, 3) else self.y.lo,
         )
 
+    def get_vertex_ij(self, i: int, j: int) -> R2Point:
+        """r2.rs:270-278: i = left/right, j = bottom/top."""
+        return R2Point(self.x.hi if i else self.x.lo,
+                       self.y.hi if j else self.y.lo)
+
+    def expanded_by_margin(self, margin: float) -> "R2Rect":
+        """r2.rs:356-360."""
+        return self.expanded(R2Point(margin, margin))
+
     def get_center(self) -> R2Point:
         return R2Point(self.x.get_center(), self.y.get_center())
 

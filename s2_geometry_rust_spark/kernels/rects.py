@@ -160,6 +160,43 @@ class S2LatLngRect:
         exp_lng = self.lng.expanded(lng_margin)
         return S2LatLngRect(exp_lat, exp_lng)
 
+    def get_vertex(self, k: int):
+        """latlng_rect.rs:235-244: (lat, lng) vertices in CCW order —
+        bit-twiddled i = (k>>1)&1, j = i ^ (k&1)."""
+        i = (k >> 1) & 1
+        j = i ^ (k & 1)
+        return (self.lat.hi if i else self.lat.lo,
+                self.lng.hi if j else self.lng.lo)
+
+    def expanded_by_distance(self, distance_radians: float) -> "S2LatLngRect":
+        """latlng_rect.rs:439-458 (simplified spherical margins): lat
+        margin = distance; lng margin = distance / |cos(avg lat)|, or a
+        full 2*pi sweep near the poles."""
+        import math as _m
+
+        lat_margin = distance_radians
+        avg_lat = self.lat.get_center()
+        c = abs(_m.cos(avg_lat))
+        lng_margin = distance_radians / c if c > 1e-10 else 2.0 * PI
+        return self.expanded(lat_margin, lng_margin)
+
+    def get_distance(self, o: "S2LatLngRect") -> float:
+        """latlng_rect.rs:461-481 (simplified): zero when the rects
+        intersect, else the min haversine distance over the 4x4 corner
+        pairs."""
+        from . import latlng as ll
+
+        if self.intersects(o):
+            return 0.0
+        best = float("inf")
+        for i in range(4):
+            for j in range(4):
+                a_lat, a_lng = self.get_vertex(i)
+                b_lat, b_lng = o.get_vertex(j)
+                best = min(best, float(
+                    ll.haversine_distance(a_lat, a_lng, b_lat, b_lng)))
+        return best
+
     def polar_closure(self) -> "S2LatLngRect":
         """latlng_rect.rs:408-418: a rect touching either pole expands
         its longitude span to full (all representations of a contained

@@ -330,6 +330,12 @@ def expand_with_radius(ids, min_radius_radians: float,
     return expand(ids, expand_level)
 
 
+def whole_sphere() -> np.ndarray:
+    """cell_union.rs:89-99: the six face cells."""
+    return np.array([int(ci.from_face(f)) for f in range(6)],
+                    dtype=np.uint64)
+
+
 def leaf_cells_covered(ids) -> int:
     """Sum of 4^(30-level) (cell_union.rs:472-479)."""
     ids = _arr(ids)

@@ -204,3 +204,101 @@ class TestMakeRegularLoop:
         loop = S2Loop.make_regular_loop(
             np.array([1.0, 0.0, 0.0]), math.radians(5.0), 8)
         assert loop.contains_point(1.0, 0.0, 0.0)
+
+
+class TestSmallWrapperPorts:
+    def test_cap_constructors(self):
+        from s2_geometry_rust_spark.kernels.caps import S2Cap
+
+        c = S2Cap.from_center_chord_angle((1.0, 0.0, 0.0), 0.5)
+        assert (c.cx, c.cy, c.cz, c.radius_l2) == (1.0, 0.0, 0.0, 0.5)
+        # cap.rs:102-112: area / pi; negative -> empty, >= 4pi -> full
+        a = S2Cap.from_center_area((0.0, 1.0, 0.0), 2.0 * math.pi)
+        assert a.radius_l2 == 2.0
+        assert S2Cap.from_center_area((0.0, 1.0, 0.0), -1.0).is_empty()
+        assert S2Cap.from_center_area(
+            (0.0, 1.0, 0.0), 4.0 * math.pi).is_full()
+
+    def test_immediate_parent(self):
+        import pytest
+
+        leaf = int(ci.from_point(
+            np.array([1.0]), np.array([0.0]), np.array([0.0]))[0])
+        p = ci.immediate_parent(leaf)
+        assert int(ci.level(np.uint64(p))) == 29
+        assert int(ci.parent(np.uint64(leaf), 29)) == int(p)
+        face = int(ci.from_face(2))
+        with pytest.raises(ValueError):
+            ci.immediate_parent(face)
+
+    def test_whole_sphere(self):
+        from s2_geometry_rust_spark.kernels import unions as ku
+
+        ws = ku.whole_sphere()
+        assert len(ws) == 6
+        assert sorted(int(ci.face(np.uint64(c))) for c in ws) == list(range(6))
+        assert ku.leaf_cells_covered(ws) == 6 * (1 << 60)
+
+    def test_loop_from_cell(self):
+        cell = _cell_at(0.0, 1.0, 0.0, 5)
+        loop = S2Loop.from_cell(cell)
+        assert loop.vertices.shape == (4, 3)
+        for k in range(4):
+            assert tuple(loop.vertices[k]) == tuple(cell.get_vertex(k))
+
+    def test_cell_uv_accessors(self):
+        cell = _cell_at(0.0, 0.0, 1.0, 7)
+        uv = cell.get_bound_uv()
+        assert (uv.x.lo, uv.x.hi, uv.y.lo, uv.y.hi) == (
+            cell.u_lo, cell.u_hi, cell.v_lo, cell.v_hi)
+        # cell.rs:180-190: even edges constant in V, odd in U
+        for k in range(4):
+            got = cell.get_uv_coord_of_edge(k)
+            u, v = cell._uv_vertex(k)
+            assert got == (v if k % 2 == 0 else u)
+
+    def test_rect_vertex_expand_distance(self):
+        r = S2LatLngRect.from_degrees(10.0, 20.0, 30.0, 40.0)
+        # CCW vertex twiddle (latlng_rect.rs:235-244)
+        vs = [r.get_vertex(k) for k in range(4)]
+        assert vs[0] == (r.lat.lo, r.lng.lo)
+        assert vs[1] == (r.lat.lo, r.lng.hi)
+        assert vs[2] == (r.lat.hi, r.lng.hi)
+        assert vs[3] == (r.lat.hi, r.lng.lo)
+        # expanded_by_distance: lat margin = d, lng margin = d/cos(avg)
+        d = math.radians(1.0)
+        e = r.expanded_by_distance(d)
+        assert math.isclose(e.lat.lo, r.lat.lo - d, rel_tol=0, abs_tol=0)
+        want_lng = d / abs(math.cos(r.lat.get_center()))
+        assert math.isclose(e.lng.lo, r.lng.lo - want_lng,
+                            rel_tol=0, abs_tol=1e-15)
+        # pole branch (latlng_rect.rs:450-453): only when cos(avg lat)
+        # vanishes, i.e. the rect's lat center is exactly a pole
+        polar = S2LatLngRect.from_degrees(90.0, -10.0, 90.0, 10.0)
+        assert polar.expanded_by_distance(d).lng.is_full()
+        near = S2LatLngRect.from_degrees(89.0, -10.0, 90.0, 10.0)
+        assert not near.expanded_by_distance(d).lng.is_full()
+        # rect<->rect distance: zero when intersecting, corner-pair min
+        assert r.get_distance(
+            S2LatLngRect.from_degrees(15.0, 25.0, 35.0, 45.0)) == 0.0
+        far = S2LatLngRect.from_degrees(-30.0, 20.0, -20.0, 40.0)
+        from s2_geometry_rust_spark.kernels import latlng as ll
+        want = min(
+            float(ll.haversine_distance(*r.get_vertex(i), *far.get_vertex(j)))
+            for i in range(4) for j in range(4))
+        assert r.get_distance(far) == want > 0.0
+
+    def test_r2_vertex_ij_and_margin(self):
+        from s2_geometry_rust_spark.kernels.r2 import R2Point, R2Rect
+
+        r = R2Rect.from_points(R2Point(0.0, 1.0), R2Point(2.0, 3.0))
+        assert (r.get_vertex_ij(0, 0).x, r.get_vertex_ij(0, 0).y) == (0.0, 1.0)
+        assert (r.get_vertex_ij(1, 1).x, r.get_vertex_ij(1, 1).y) == (2.0, 3.0)
+        # r2.rs:263-268: get_vertex(k) == get_vertex_ij(j ^ (k&1), j)
+        for k in range(4):
+            j = (k >> 1) & 1
+            ij = r.get_vertex_ij(j ^ (k & 1), j)
+            v = r.get_vertex(k)
+            assert (v.x, v.y) == (ij.x, ij.y)
+        e = r.expanded_by_margin(0.5)
+        assert (e.x.lo, e.x.hi, e.y.lo, e.y.hi) == (-0.5, 2.5, 0.5, 3.5)
