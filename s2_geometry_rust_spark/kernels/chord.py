@@ -130,3 +130,9 @@ def s2_point_constructor_max_error(length2):
 def s1_angle_constructor_max_error(length2):
     """chord_angle.rs:269-272."""
     return 1.5 * np.finfo(np.float64).eps * length2
+
+
+def fast_upper_bound_from(radians):
+    """chord_angle.rs:145-152: length2 = radians^2, a guaranteed upper
+    bound on the true chord angle (within 1% below ~0.5 rad)."""
+    return from_length2(radians * radians)

@@ -222,3 +222,26 @@ def swap_axes(ij):
 
 def invert_bits(ij):
     return np.asarray(ij, dtype=np.int32) ^ 3
+
+
+def face_xyz_to_uvw(face: int, x, y, z):
+    """Transform xyz to the (u, v, w) frame of ``face`` — dots with the
+    face's u/v/norm axes (math.rs:264-279)."""
+    import numpy as np
+
+    p = np.stack([np.asarray(x, dtype=np.float64),
+                  np.asarray(y, dtype=np.float64),
+                  np.asarray(z, dtype=np.float64)], axis=-1)
+    return (p @ get_u_axis(face), p @ get_v_axis(face), p @ get_norm(face))
+
+
+def is_unit_length(x: float, y: float, z: float) -> bool:
+    """point.rs:139-143: |length2 - 1| <= 1e-15."""
+    return abs((x * x + y * y + z * z) - 1.0) <= 1e-15
+
+
+def approx_zero(v: float) -> bool:
+    """math.rs:559-562 (EPSILON = f64::EPSILON)."""
+    import numpy as np
+
+    return abs(v) < float(np.finfo(np.float64).eps)

@@ -371,6 +371,25 @@ class S2Loop:
             return (float(c[0]), float(c[1]), float(c[2]))
         return (0.0, 0.0, 0.0)
 
+    def boundary_equals(self, other: "S2Loop") -> bool:
+        """loop.rs:443-467: same vertex cycle up to rotation, each
+        component within 1e-15 (abs_diff_eq); empty/full compared by
+        kind."""
+        n = self.num_vertices()
+        if n != other.num_vertices():
+            return False
+        if self.is_empty_or_full() and other.is_empty_or_full():
+            return self.is_empty() == other.is_empty()
+        for offset in range(n):
+            rolled = np.roll(other.vertices, -offset, axis=0)
+            if np.all(np.abs(self.vertices - rolled) <= 1e-15):
+                return True
+        return False
+
+    def get_curvature_max_error(self) -> float:
+        """loop.rs:505-509 (simplified bound): 1e-14 * n."""
+        return 1e-14 * self.num_vertices()
+
     def get_rect_bound(self) -> S2LatLngRect:
         return self.bound
 

@@ -99,3 +99,8 @@ def intersects(v1: np.ndarray, v2: np.ndarray) -> bool:
     c = np.tile(v2[:-1], (len(v1) - 1, 1))
     d = np.tile(v2[1:], (len(v1) - 1, 1))
     return bool(np.any(pred.crossing_sign_batch(a, b, c, d) > 0))
+
+
+def reverse(v: np.ndarray) -> np.ndarray:
+    """polyline.rs:335-343: vertices in reverse traversal order."""
+    return np.asarray(v, dtype=np.float64)[::-1].copy()

@@ -346,3 +346,16 @@ def exact_fallback_rate() -> float:
     if TRIAGE_TOTAL_COUNT == 0:
         return 0.0
     return EXACT_FALLBACK_COUNT / TRIAGE_TOTAL_COUNT
+
+
+def sign_with_cross_product(a, b, c, a_cross_b) -> int:
+    """predicates.rs:123-135: triage with a PRECOMPUTED a x b (det =
+    (a x b) . c against the +-3.6548eps threshold), falling through to
+    the exact path on uncertainty."""
+    det = float(np.dot(np.asarray(a_cross_b, dtype=np.float64),
+                       np.asarray(c, dtype=np.float64)))
+    if det > TRIAGE_ERROR_THRESHOLD:
+        return 1
+    if det < -TRIAGE_ERROR_THRESHOLD:
+        return -1
+    return exact_sign_scalar(a, b, c)

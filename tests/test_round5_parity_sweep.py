@@ -302,3 +302,73 @@ class TestSmallWrapperPorts:
             assert (v.x, v.y) == (ij.x, ij.y)
         e = r.expanded_by_margin(0.5)
         assert (e.x.lo, e.x.hi, e.y.lo, e.y.hi) == (-0.5, 2.5, 0.5, 3.5)
+
+
+class TestBatch2Ports:
+    def test_face_xyz_to_uvw(self):
+        from s2_geometry_rust_spark.kernels import coords as co
+
+        p = np.array([0.3, -0.5, 0.81])
+        p = p / np.linalg.norm(p)
+        for face in range(6):
+            u, v, w = co.face_xyz_to_uvw(face, p[0], p[1], p[2])
+            assert float(u) == float(p @ co.get_u_axis(face))
+            assert float(v) == float(p @ co.get_v_axis(face))
+            assert float(w) == float(p @ co.get_norm(face))
+        # w is the dot with the face normal: positive on the own face
+        f0 = np.array([1.0, 0.0, 0.0])
+        assert co.face_xyz_to_uvw(0, *f0)[2] == 1.0
+
+    def test_point_utils(self):
+        from s2_geometry_rust_spark.kernels import coords as co
+
+        assert co.is_unit_length(1.0, 0.0, 0.0)
+        # tolerance is on length SQUARED: (1+4e-16)^2 - 1 ~ 8e-16
+        assert co.is_unit_length(1.0 + 4e-16, 0.0, 0.0)
+        assert not co.is_unit_length(1.1, 0.0, 0.0)
+        eps = float(np.finfo(np.float64).eps)
+        assert co.approx_zero(eps / 2)
+        assert not co.approx_zero(eps)
+
+    def test_fast_upper_bound_from(self):
+        assert chord.fast_upper_bound_from(0.1) == 0.1 * 0.1
+        # a genuine upper bound on the true chord for small angles
+        true_l2 = chord.from_radians(0.1)
+        assert chord.fast_upper_bound_from(0.1) >= true_l2
+
+    def test_sign_with_cross_product(self):
+        from s2_geometry_rust_spark.kernels import predicates as pred
+
+        a = np.array([1.0, 0.0, 0.0])
+        b = np.array([0.0, 1.0, 0.0])
+        c = np.array([0.0, 0.0, 1.0])
+        axb = np.cross(a, b)
+        assert pred.sign_with_cross_product(a, b, c, axb) == 1
+        assert pred.sign_with_cross_product(b, a, c, np.cross(b, a)) == -1
+        # degenerate triage -> exact path agrees with sign_batch
+        d = a + 1e-18 * b
+        got = pred.sign_with_cross_product(a, b, d, axb)
+        want = int(pred.sign_batch(a[None], b[None], d[None])[0])
+        assert got == want
+
+    def test_polyline_reverse(self):
+        from s2_geometry_rust_spark.kernels import polylines as pk
+
+        v = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+        r = pk.reverse(v)
+        assert np.array_equal(r, v[::-1])
+        assert pk.length(r) == pk.length(v)
+
+    def test_loop_boundary_equals(self):
+        loop = S2Loop.from_degrees([(0, 0), (0, 10), (10, 10), (10, 0)])
+        # same cycle, rotated start
+        rot = S2Loop(np.roll(loop.vertices, -2, axis=0))
+        assert loop.boundary_equals(rot)
+        assert rot.boundary_equals(loop)
+        other = S2Loop.from_degrees([(0, 0), (0, 10), (10, 10), (11, 0)])
+        assert not loop.boundary_equals(other)
+        assert not loop.boundary_equals(
+            S2Loop.from_degrees([(0, 0), (0, 10), (10, 10)]))
+        assert S2Loop.empty().boundary_equals(S2Loop.empty())
+        assert not S2Loop.empty().boundary_equals(S2Loop.full())
+        assert loop.get_curvature_max_error() == 1e-14 * 4
